@@ -1,0 +1,449 @@
+"""Relational operator surface (SURVEY.md §2.3 — "relational core").
+
+The reference has no relational operators at all (its complete dispatch
+is ops 1-4, ``Assignment2/client.c:385-400``); this module is the
+target-inventory relational surface, implemented purely with built-in
+Catalyst expressions so predicate pushdown, column pruning, join
+selection (broadcast vs sort-merge), AQE skew handling and whole-stage
+codegen all apply with zero custom code.
+
+Every query here is paired with an ANSI-SQL oracle (`ORACLES`) that
+DuckDB runs over the same parquet; the driver hash-compares values.
+
+Float determinism contract: any aggregate over float columns first
+casts the value (or each factor) to DECIMAL — decimal addition is exact
+and associative, so Spark's partial-aggregation order and DuckDB's
+serial order produce the same number — then casts the final result to
+DOUBLE. Plain SUM(double) would differ in the last ulp between engines
+and fail the driver's value-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdatabase_spark.sources.tables import load_table
+
+
+def _dec(col: str, scale: int = 2) -> F.Column:
+    """Exact-arithmetic view of a money-ish double column."""
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+def _dsum(col_expr: F.Column) -> F.Column:
+    return F.sum(col_expr).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# q_pricing_summary — TPC-H Q1 shape: scan + filter + hash agg + sort.
+# Catalyst: filter and the 7-column projection push into the parquet scan;
+# partial aggregation is map-side, one shuffle on (returnflag, linestatus).
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(_dec("l_quantity")).alias("sum_qty"),
+            _dsum(_dec("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum(_dec("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (_dsum(_dec("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+            (_dsum(_dec("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_revenue_by_nation — star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+# region. nation/region are broadcast (tiny dims); customer⋈orders⋈lineitem
+# shuffle on the fact keys; AQE picks broadcast for customer at small SF and
+# SMJ at large SF.
+# ---------------------------------------------------------------------------
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).alias("rev"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_dsum(F.col("rev")).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_shipping_priority — TPC-H Q3 shape: selective filters on both join sides
+# (pushed to scans) + join + agg + top-k. LIMIT with a deterministic
+# tiebreak (orderkey) so the oracle hash matches.
+# ---------------------------------------------------------------------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    ).select("l_orderkey", (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).alias("rev"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("rev")).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_customers_without_orders — anti join (null-producing outer joins and
+# semi/anti are the join-family coverage; inner/semi exercised above).
+# The date filter keeps the result non-empty in the synthetic data (every
+# customer has *some* order) so the oracle check isn't a trivial 0-row match.
+# ---------------------------------------------------------------------------
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_custkey IS NOT NULL
+                          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_order_priority_rollup — ROLLUP + GROUPING() (grouping-sets family).
+# ---------------------------------------------------------------------------
+
+def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(_dec("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+ORACLE_ORDER_PRIORITY_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_top_orders_per_customer — window functions: partitioned row_number
+# top-k (the scalable per-group top-k: one shuffle on the partition key,
+# no global sort).
+# ---------------------------------------------------------------------------
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.col("o_totalprice").alias("totalprice"), "rnk")
+    )
+
+
+ORACLE_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice AS totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_running_revenue — window frame (lag + running sum over ordered frame).
+# ---------------------------------------------------------------------------
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.sum(_dec("o_totalprice")).alias("revenue_dec"))
+    )
+    w = Window.orderBy("month")
+    # The running sum is computed in DECIMAL too: windowed SUM(double) is
+    # association-order-dependent (DuckDB uses a segment tree) and differs
+    # in the last ulp from Spark's running accumulation.
+    return monthly.select(
+        "month",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        F.lag(F.col("revenue_dec").cast("double"), 1).over(w).alias("prev_revenue"),
+        F.sum("revenue_dec").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double").alias("cum_revenue"),
+    )
+
+
+ORACLE_RUNNING_REVENUE = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue_dec
+  FROM orders GROUP BY 1
+)
+SELECT month,
+       CAST(revenue_dec AS DOUBLE) AS revenue,
+       LAG(CAST(revenue_dec AS DOUBLE), 1) OVER (ORDER BY month) AS prev_revenue,
+       CAST(SUM(revenue_dec) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+FROM monthly
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_top_expensive_orders — global sort + limit with deterministic tiebreak.
+# Spark executes this as TakeOrderedAndProject (no full sort materialized).
+# ---------------------------------------------------------------------------
+
+def q_top_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+ORACLE_TOP_EXPENSIVE_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_segment_distinct_customers — distinct aggregate + plain agg together.
+# ---------------------------------------------------------------------------
+
+def q_segment_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey", "c_acctbal")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(_dec("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+ORACLE_SEGMENT_DISTINCT_CUSTOMERS = """
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_set_ops — union / intersect / except coverage over key sets.
+# Customers that placed an order vs customers with positive balance.
+# ---------------------------------------------------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    positive = cust.filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("custkey"))
+    both = with_orders.intersect(positive).withColumn("bucket", F.lit("both"))
+    only_orders = with_orders.exceptAll(positive).withColumn("bucket", F.lit("orders_only"))
+    only_pos = positive.exceptAll(with_orders).withColumn("bucket", F.lit("positive_only"))
+    return both.unionByName(only_orders).unionByName(only_pos).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_SET_OPS = """
+WITH with_orders AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+     positive AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0),
+     labeled AS (
+       SELECT custkey, 'both' AS bucket FROM (SELECT custkey FROM with_orders INTERSECT SELECT custkey FROM positive)
+       UNION ALL
+       SELECT custkey, 'orders_only' AS bucket FROM (SELECT custkey FROM with_orders EXCEPT ALL SELECT custkey FROM positive)
+       UNION ALL
+       SELECT custkey, 'positive_only' AS bucket FROM (SELECT custkey FROM positive EXCEPT ALL SELECT custkey FROM with_orders)
+     )
+SELECT bucket, COUNT(*) AS n FROM labeled GROUP BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_scalar_functions — scalar-function coverage: string, date, math,
+# conditional, regex — all whole-stage-codegen expressions.
+# ---------------------------------------------------------------------------
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.when(F.col("p_size") >= 25, "large").when(F.col("p_size") >= 10, "medium")
+            .otherwise("small").alias("size_class"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+        F.abs(F.col("p_size") - 25).cast("int").alias("size_dist"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_first_word"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#00")), F.lit("unbranded")).alias("brand_or_default"),
+    )
+
+
+ORACLE_SCALAR_FUNCTIONS = r"""
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_upper,
+       substr(p_name, 1, 8) AS name_prefix,
+       LENGTH(p_name) AS name_len,
+       CASE WHEN p_size >= 25 THEN 'large' WHEN p_size >= 10 THEN 'medium' ELSE 'small' END AS size_class,
+       ROUND(p_retailprice * 1.1, 2) AS marked_up,
+       CAST(ABS(p_size - 25) AS INT) AS size_dist,
+       regexp_extract(p_type, '^(\w+)', 1) AS type_first_word,
+       COALESCE(NULLIF(p_brand, 'Brand#00'), 'unbranded') AS brand_or_default
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_local_supplier_volume — TPC-H Q5 shape: 6-way join where supplier and
+# customer must be in the same nation. Exercises join reordering + two
+# broadcast dims.
+# ---------------------------------------------------------------------------
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).alias("rev"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("rev")).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "shipping_priority": q_shipping_priority,
+    "customers_without_orders": q_customers_without_orders,
+    "order_priority_rollup": q_order_priority_rollup,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "running_revenue": q_running_revenue,
+    "top_expensive_orders": q_top_expensive_orders,
+    "segment_distinct_customers": q_segment_distinct_customers,
+    "set_ops": q_set_ops,
+    "scalar_functions": q_scalar_functions,
+    "local_supplier_volume": q_local_supplier_volume,
+}
+
+ORACLES = {
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+    "order_priority_rollup": ORACLE_ORDER_PRIORITY_ROLLUP,
+    "top_orders_per_customer": ORACLE_TOP_ORDERS_PER_CUSTOMER,
+    "running_revenue": ORACLE_RUNNING_REVENUE,
+    "top_expensive_orders": ORACLE_TOP_EXPENSIVE_ORDERS,
+    "segment_distinct_customers": ORACLE_SEGMENT_DISTINCT_CUSTOMERS,
+    "set_ops": ORACLE_SET_OPS,
+    "scalar_functions": ORACLE_SCALAR_FUNCTIONS,
+    "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
+}
