@@ -1,0 +1,152 @@
+"""Derived graph over the relational testdata.
+
+The driver's oracle can only see the ten relational parquet tables, so
+the graph operators are exercised over a graph *derived* from them
+(FIXTURES.md §3 "graph-on-relational derivations"): foreign keys become
+edges in a single unified bigint vertex-id space. The same derivation
+is written once as a SQL CTE so every recursive DuckDB oracle sees the
+identical graph.
+
+Vertex id space (disjoint offsets, stable across scale factors):
+
+    region    rk                      (0 .. ~10)
+    nation    100 + nk                (~100 .. ~200)
+    supplier  10_000 + sk
+    part      1_000_000_000 + pk
+    customer  100_000_000 + ck
+    order     10_000_000_000 + ok
+
+Edges (parent → child along the FK fan-out):
+
+    region → nation → {customer, supplier}, customer → order,
+    order → part (via lineitem, deduplicated)
+
+This is a DAG with heavy fan-out (1 region → millions of orders at
+large SF) — exactly the shape where level-synchronous BFS has a wide
+middle frontier, so it exercises the kernel's scale behavior, not a
+toy path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdatabase_spark.sources.tables import load_table
+
+OFF_NATION = 100
+OFF_SUPPLIER = 10_000
+OFF_PART = 1_000_000_000
+OFF_CUSTOMER = 100_000_000
+OFF_ORDER = 10_000_000_000
+
+
+def full_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete derived edge list ``(src, dst)`` (both long)."""
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def _e(df, src_col, dst_col):
+        return df.select(src_col.cast("long").alias("src"), dst_col.cast("long").alias("dst"))
+
+    return (
+        _e(nation, F.col("n_regionkey"), F.col("n_nationkey") + OFF_NATION)
+        .unionByName(_e(supplier, F.col("s_nationkey") + OFF_NATION, F.col("s_suppkey") + OFF_SUPPLIER))
+        .unionByName(_e(customer, F.col("c_nationkey") + OFF_NATION, F.col("c_custkey") + OFF_CUSTOMER))
+        .unionByName(_e(orders, F.col("o_custkey") + OFF_CUSTOMER, F.col("o_orderkey") + OFF_ORDER))
+        .unionByName(_e(lineitem, F.col("l_orderkey") + OFF_ORDER, F.col("l_partkey") + OFF_PART).distinct())
+    )
+
+
+# The same derivation for DuckDB oracles. Every graph oracle starts with
+# WITH [RECURSIVE] graph_edges AS (...) so Spark and the oracle traverse
+# the identical graph.
+EDGES_CTE = f"""
+graph_edges AS (
+  SELECT CAST(n_regionkey AS BIGINT) AS src, CAST(n_nationkey + {OFF_NATION} AS BIGINT) AS dst FROM nation
+  UNION ALL
+  SELECT CAST(s_nationkey + {OFF_NATION} AS BIGINT), CAST(s_suppkey + {OFF_SUPPLIER} AS BIGINT) FROM supplier
+  UNION ALL
+  SELECT CAST(c_nationkey + {OFF_NATION} AS BIGINT), CAST(c_custkey + {OFF_CUSTOMER} AS BIGINT) FROM customer
+  UNION ALL
+  SELECT CAST(o_custkey + {OFF_CUSTOMER} AS BIGINT), CAST(o_orderkey + {OFF_ORDER} AS BIGINT) FROM orders
+  UNION ALL
+  SELECT DISTINCT CAST(l_orderkey + {OFF_ORDER} AS BIGINT), CAST(l_partkey + {OFF_PART} AS BIGINT) FROM lineitem
+)
+"""
+
+
+def community_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The region–nation–customer subgraph used for connected
+    components (5 regions ⇒ 5 components; small enough that the DuckDB
+    transitive-closure oracle stays tractable at sf=0.01)."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        nation.select(F.col("n_regionkey").cast("long").alias("src"),
+                      (F.col("n_nationkey") + OFF_NATION).cast("long").alias("dst"))
+        .unionByName(customer.select((F.col("c_nationkey") + OFF_NATION).cast("long").alias("src"),
+                                     (F.col("c_custkey") + OFF_CUSTOMER).cast("long").alias("dst")))
+    )
+
+
+COMMUNITY_EDGES_CTE = f"""
+graph_edges AS (
+  SELECT CAST(n_regionkey AS BIGINT) AS src, CAST(n_nationkey + {OFF_NATION} AS BIGINT) AS dst FROM nation
+  UNION ALL
+  SELECT CAST(c_nationkey + {OFF_NATION} AS BIGINT), CAST(c_custkey + {OFF_CUSTOMER} AS BIGINT) FROM customer
+)
+"""
+
+
+def tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region → nation → supplier: a strict tree (each child has one
+    parent), used for the DFS-leaves oracle — on a tree, DFS-forest
+    leaves from the root are exactly the reachable out-degree-0 nodes,
+    which *is* SQL-expressible."""
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        nation.select(F.col("n_regionkey").cast("long").alias("src"),
+                      (F.col("n_nationkey") + OFF_NATION).cast("long").alias("dst"))
+        .unionByName(supplier.select((F.col("s_nationkey") + OFF_NATION).cast("long").alias("src"),
+                                     (F.col("s_suppkey") + OFF_SUPPLIER).cast("long").alias("dst")))
+    )
+
+
+TREE_EDGES_CTE = f"""
+graph_edges AS (
+  SELECT CAST(n_regionkey AS BIGINT) AS src, CAST(n_nationkey + {OFF_NATION} AS BIGINT) AS dst FROM nation
+  UNION ALL
+  SELECT CAST(s_nationkey + {OFF_NATION} AS BIGINT), CAST(s_suppkey + {OFF_SUPPLIER} AS BIGINT) FROM supplier
+)
+"""
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-purchase graph: undirected edge (p1, p2), p1 < p2, when
+    both parts appear in the same order. Cyclic — the triangle-count
+    substrate. The self-join shuffles on l_orderkey (already how
+    lineitem is naturally keyed)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").cast("long").alias("src"),
+                F.col("b.l_partkey").cast("long").alias("dst"))
+        .distinct()
+    )
+
+
+COPURCHASE_EDGES_CTE = """
+graph_edges AS (
+  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src, CAST(b.l_partkey AS BIGINT) AS dst
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+"""

@@ -1,0 +1,214 @@
+"""Graph query-ids for the driver contract (SURVEY.md §2.3 "graph
+analytics"), each paired with a DuckDB oracle.
+
+The traversal oracles use ``WITH RECURSIVE`` over the *same* derived
+edge list (derived_graph.EDGES_CTE) the Spark operators traverse —
+BFS level = min hop count, exactly the semantics the reference's own
+checker verifies (level-sets, ``utils/bfs_checker.py:75-76``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdatabase_spark.operators import derived_graph as dg
+from graphdatabase_spark.operators import dfs as dfs_mod
+from graphdatabase_spark.operators import graph_algos, pregel
+from graphdatabase_spark.sources import matrix as matrix_mod
+
+# A small literal adjacency matrix (designed here: asymmetric, one
+# self-loop, one isolated-ish sink) exercising the reference's on-disk
+# exchange format (line 1 = N, then N rows of 0/1 —
+# ``primary_server.c:132-140``) through the real melt path.
+_SAMPLE_MATRIX = """\
+6
+0 1 1 0 0 0
+0 0 0 1 0 0
+0 0 1 0 1 0
+0 0 0 0 0 0
+1 0 0 0 0 1
+0 0 0 0 0 0
+"""
+
+
+def q_graph_ingest_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = matrix_mod.lines_from_text(spark, "M1", _SAMPLE_MATRIX)
+    return matrix_mod.melt_matrix_lines(lines)
+
+
+ORACLE_GRAPH_INGEST_MATRIX = """
+SELECT * FROM (VALUES
+  ('M1', 1, 2), ('M1', 1, 3), ('M1', 2, 4), ('M1', 3, 3),
+  ('M1', 3, 5), ('M1', 5, 1), ('M1', 5, 6)
+) AS t(graph, src, dst)
+"""
+
+
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_algos.degrees(dg.full_edges(spark, sf_dir))
+
+
+ORACLE_GRAPH_DEGREE = f"""
+WITH {dg.EDGES_CTE},
+o AS (SELECT src AS vid, COUNT(*) AS out_degree FROM graph_edges GROUP BY 1),
+i AS (SELECT dst AS vid, COUNT(*) AS in_degree FROM graph_edges GROUP BY 1)
+SELECT COALESCE(o.vid, i.vid) AS vid,
+       COALESCE(out_degree, 0) AS out_degree,
+       COALESCE(in_degree, 0) AS in_degree
+FROM o FULL OUTER JOIN i ON o.vid = i.vid
+"""
+
+
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pregel.bfs_levels(dg.full_edges(spark, sf_dir), [0])
+
+
+ORACLE_BFS_LEVELS = f"""
+WITH RECURSIVE {dg.EDGES_CTE},
+bfs(vid, level) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, b.level + 1
+  FROM bfs b JOIN graph_edges e ON e.src = b.vid
+  WHERE b.level < 10
+)
+SELECT vid, MIN(level) AS level FROM bfs GROUP BY vid
+"""
+
+
+def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pregel.reachability(dg.full_edges(spark, sf_dir), [dg.OFF_NATION + 3])
+
+
+ORACLE_REACHABILITY = f"""
+WITH RECURSIVE {dg.EDGES_CTE},
+reach(vid) AS (
+  SELECT CAST({dg.OFF_NATION + 3} AS BIGINT)
+  UNION
+  SELECT e.dst FROM reach r JOIN graph_edges e ON e.src = r.vid
+)
+SELECT vid FROM reach
+"""
+
+
+def q_shortest_path_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hops from region 0 to every supplier vertex
+    return pregel.shortest_path_hops(
+        dg.full_edges(spark, sf_dir), [0],
+        (F.col("vid") >= dg.OFF_SUPPLIER) & (F.col("vid") < dg.OFF_CUSTOMER))
+
+
+ORACLE_SHORTEST_PATH_HOPS = f"""
+WITH RECURSIVE {dg.EDGES_CTE},
+bfs(vid, level) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, b.level + 1
+  FROM bfs b JOIN graph_edges e ON e.src = b.vid
+  WHERE b.level < 10
+)
+SELECT vid, MIN(level) AS hops FROM bfs
+WHERE vid >= {dg.OFF_SUPPLIER} AND vid < {dg.OFF_CUSTOMER}
+GROUP BY vid
+"""
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = dg.community_edges(spark, sf_dir)
+    vertices = edges.select(F.col("src").alias("vid")).unionByName(
+        edges.select(F.col("dst").alias("vid"))).distinct()
+    return pregel.connected_components(edges, vertices)
+
+
+ORACLE_CONNECTED_COMPONENTS = f"""
+WITH RECURSIVE {dg.COMMUNITY_EDGES_CTE},
+und AS (
+  SELECT src, dst FROM graph_edges
+  UNION
+  SELECT dst, src FROM graph_edges
+),
+verts AS (SELECT DISTINCT src AS vid FROM und),
+reach(a, b) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT r.a, u.dst FROM reach r JOIN und u ON u.src = r.b
+)
+SELECT a AS vid, MIN(b) AS component FROM reach GROUP BY a
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_algos.triangle_count(dg.copurchase_edges(spark, sf_dir))
+
+
+ORACLE_TRIANGLE_COUNT = f"""
+WITH {dg.COPURCHASE_EDGES_CTE}
+SELECT COUNT(*) AS n_triangles
+FROM graph_edges e1
+JOIN graph_edges e2 ON e1.dst = e2.src
+JOIN graph_edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+"""
+
+
+def q_dfs_leaves_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dfs_mod.dfs_leaves_tree(dg.tree_edges(spark, sf_dir), [0])
+
+
+ORACLE_DFS_LEAVES_TREE = f"""
+WITH RECURSIVE {dg.TREE_EDGES_CTE},
+reach(vid) AS (
+  SELECT CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst FROM reach r JOIN graph_edges e ON e.src = r.vid
+)
+SELECT vid AS leaf FROM reach
+WHERE vid NOT IN (SELECT src FROM graph_edges)
+"""
+
+
+def q_dfs_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Canonical sequential DFS (applyInPandas) over the derived tree;
+    # on a tree its leaf set provably equals reachable sinks, which
+    # makes this SQL-oracle-able. Non-tree behavior is pinned by unit
+    # tests against the reference fixture graphs.
+    edges = dg.tree_edges(spark, sf_dir).withColumn("graph", F.lit("tree"))
+    starts = spark.createDataFrame([("tree", 0)], "graph string, start long")
+    return dfs_mod.dfs_leaves(edges.select("graph", "src", "dst"), starts)
+
+
+ORACLE_DFS_LEAVES = f"""
+WITH RECURSIVE {dg.TREE_EDGES_CTE},
+reach(vid) AS (
+  SELECT CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst FROM reach r JOIN graph_edges e ON e.src = r.vid
+)
+SELECT 'tree' AS graph, vid AS leaf FROM reach
+WHERE vid NOT IN (SELECT src FROM graph_edges)
+"""
+
+
+QUERIES = {
+    "graph_ingest_matrix": q_graph_ingest_matrix,
+    "graph_degree": q_graph_degree,
+    "bfs_levels": q_bfs_levels,
+    "reachability": q_reachability,
+    "shortest_path_hops": q_shortest_path_hops,
+    "connected_components": q_connected_components,
+    "triangle_count": q_triangle_count,
+    "dfs_leaves_tree": q_dfs_leaves_tree,
+    "dfs_leaves": q_dfs_leaves,
+}
+
+ORACLES = {
+    "graph_ingest_matrix": ORACLE_GRAPH_INGEST_MATRIX,
+    "graph_degree": ORACLE_GRAPH_DEGREE,
+    "bfs_levels": ORACLE_BFS_LEVELS,
+    "reachability": ORACLE_REACHABILITY,
+    "shortest_path_hops": ORACLE_SHORTEST_PATH_HOPS,
+    "connected_components": ORACLE_CONNECTED_COMPONENTS,
+    "triangle_count": ORACLE_TRIANGLE_COUNT,
+    "dfs_leaves_tree": ORACLE_DFS_LEAVES_TREE,
+    "dfs_leaves": ORACLE_DFS_LEAVES,
+}

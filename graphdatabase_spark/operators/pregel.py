@@ -1,0 +1,140 @@
+"""Pregel-style level-synchronous superstep kernel + traversal operators.
+
+The reference's BFS is already bulk-synchronous-parallel: it drains the
+whole frontier, spawns one pthread per frontier vertex, and barriers
+with ``pthread_join`` before the next level (``secondary_server.c:
+588-618``). Each while-loop iteration there is one superstep here: one
+distributed join per level, driver-side loop, barrier = job boundary.
+That is the faithful mapping (SURVEY.md §2.1 A2-4) — GraphX's Pregel
+has the same structure but is JVM-only, so the loop is implemented
+over public DataFrame API.
+
+Scale design (the parts that matter at 100 TB / 1000 executors):
+
+- **Edges are persisted once, pre-partitioned on the join key** (src).
+  Every superstep joins the frontier against the same edge partitioning,
+  so only the (small) frontier shuffles per iteration, not the edges.
+- **Lineage truncation**: each new frontier/visited is
+  ``localCheckpoint(eager=True)``-ed. Without this the plan doubles per
+  iteration and the driver OOMs on plan size around iteration ~20
+  (the known iterative-DataFrame pitfall; cf. Pregelix VLDB'14 and the
+  GraphX literature, PAPERS.md).
+- **Visited is kept as a DataFrame and anti-joined**, not collected:
+  the visited set at 100 TB can be billions of vertices; nothing in the
+  loop ships vertex sets through the driver.
+- **AQE** converts the frontier side to a broadcast join at runtime
+  whenever a superstep's frontier is small (first/last supersteps),
+  and falls back to shuffle join for the wide middle supersteps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_ITERATIONS = 100
+
+
+def _prepare_edges(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Hash-partition edges by src once so every superstep's join
+    reuses the same partitioning (one-time shuffle, then stable)."""
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    e = e.repartition(*( [num_partitions, "src"] if num_partitions else ["src"] ))
+    return e.persist()
+
+
+def bfs_levels(edges: DataFrame, start_vids: list[int],
+               max_iterations: int = DEFAULT_MAX_ITERATIONS) -> DataFrame:
+    """Level-synchronous BFS: ``(vid, level)`` for every vertex
+    reachable from ``start_vids`` (level = minimum hop count; the start
+    vertices are level 0, matching ``secondary_server.c:577-585``).
+
+    Within-level order is intentionally unspecified — the reference's
+    own oracle compares level-*sets* (``utils/bfs_checker.py:75-76``).
+    """
+    spark = edges.sparkSession
+    e = _prepare_edges(edges)
+    frontier = spark.createDataFrame([(int(v),) for v in start_vids], "vid long").distinct()
+    frontier = frontier.localCheckpoint(eager=True)
+    visited = frontier.withColumn("level", F.lit(0))
+    visited = visited.localCheckpoint(eager=True)
+
+    level = 0
+    while level < max_iterations:
+        level += 1
+        # One superstep: expand frontier along edges, drop already-seen.
+        # distinct() before the anti-join: a vertex reachable from two
+        # same-level parents must be visited once (the reference's racy
+        # double-visit here is a bug not carried forward, SURVEY §2.2).
+        nxt = (
+            frontier.join(e, frontier.vid == e.src)
+            .select(F.col("dst").alias("vid"))
+            .distinct()
+            .join(visited, "vid", "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)  # also truncates lineage
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt.withColumn("level", F.lit(level)))
+        visited = visited.localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return visited
+
+
+def reachability(edges: DataFrame, start_vids: list[int],
+                 max_iterations: int = DEFAULT_MAX_ITERATIONS) -> DataFrame:
+    """Reachable set ``(vid)`` from the start vertices (BFS minus
+    levels — ``secondary_server.c:588-619`` with the output dropped)."""
+    return bfs_levels(edges, start_vids, max_iterations).select("vid")
+
+
+def shortest_path_hops(edges: DataFrame, start_vids: list[int], target_pred,
+                       max_iterations: int = DEFAULT_MAX_ITERATIONS) -> DataFrame:
+    """Unweighted shortest-path length from the source set to every
+    vertex satisfying ``target_pred`` (a Column predicate over ``vid``):
+    exactly the BFS level of the target (SURVEY §2.3)."""
+    levels = bfs_levels(edges, start_vids, max_iterations)
+    return levels.filter(target_pred).select("vid", F.col("level").alias("hops"))
+
+
+def connected_components(edges: DataFrame, vertices: DataFrame,
+                         max_iterations: int = DEFAULT_MAX_ITERATIONS) -> DataFrame:
+    """HashMin label propagation: ``(vid, component)`` where component =
+    min vertex id in the (undirected) component.
+
+    Each iteration every vertex adopts the min label among itself and
+    its neighbors; converges in O(diameter) supersteps. The min-label
+    exchange is a groupBy (map-side partial min) rather than a join
+    per direction — one shuffle per iteration.
+    """
+    und = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    und = und.repartition("src").persist()
+
+    labels = vertices.select(F.col("vid").cast("long")).distinct() \
+        .withColumn("component", F.col("vid"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        msgs = (
+            und.join(labels, und.src == labels.vid)
+            .select(F.col("dst").alias("vid"), "component")
+            .groupBy("vid").agg(F.min("component").alias("msg"))
+        )
+        new_labels = (
+            labels.join(msgs, "vid", "left")
+            .select("vid", F.least(F.col("component"), F.coalesce(F.col("msg"), F.col("component"))).alias("component"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "vid")
+            .filter(F.col("n.component") != F.col("o.component"))
+        )
+        labels_prev = labels
+        labels = new_labels
+        if changed.isEmpty():
+            break
+        del labels_prev
+    und.unpersist()
+    return labels

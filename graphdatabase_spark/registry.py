@@ -13,9 +13,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from graphdatabase_spark.operators import relational
+from graphdatabase_spark.operators import graph_queries, relational
 
-_MODULES = [relational]
+_MODULES = [relational, graph_queries]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,145 @@
+"""Graph layer tests: matrix ingest, BFS golden (G6/18), DFS respec,
+CC, triangles — on the reference's own fixture graphs (read as data
+from /root/reference, the format the engine must ingest) plus the
+parity checks on the derived relational graph.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdatabase_spark.operators import dfs as dfs_mod
+from graphdatabase_spark.operators import graph_algos, graph_queries, pregel
+from graphdatabase_spark.sources import matrix as matrix_mod
+
+from tests.parity import assert_parity
+
+FIXTURE_DIR = "/root/reference/Assignment2"
+HAVE_FIXTURES = os.path.isdir(FIXTURE_DIR)
+
+# Golden BFS level-sets for G6 from vertex 18, as printed by the
+# reference's own oracle (utils/bfs_checker.py; FIXTURES.md §1).
+G6_GOLDEN_LEVELS = {
+    0: {18}, 1: {11}, 2: {2, 19}, 3: {1, 13, 14},
+    4: {3, 12, 15, 16, 30}, 5: {4, 5, 17, 28, 29},
+    6: {6, 7, 8, 9, 10}, 7: {20, 21, 22, 23, 24, 25, 26, 27},
+}
+
+
+@pytest.fixture(scope="module")
+def fixture_edges(spark):
+    if not HAVE_FIXTURES:
+        pytest.skip("reference fixture dir not present")
+    lines = matrix_mod.read_matrix_files(spark, os.path.join(FIXTURE_DIR, "G*.txt"))
+    return matrix_mod.melt_matrix_lines(lines).cache()
+
+
+def test_ingest_fixture_edge_counts(fixture_edges):
+    # Edge counts per FIXTURES.md §1 (verified there by parsing each file).
+    counts = {r["graph"]: r["n"] for r in
+              fixture_edges.groupBy("graph").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["G6"] == 58
+    assert counts["G0"] == 2
+    assert counts["G2"] == 6
+    assert "G12" not in counts  # empty graph melts to zero edges
+
+
+def test_ingest_vertices_includes_isolated(spark, fixture_edges):
+    lines = matrix_mod.read_matrix_files(spark, os.path.join(FIXTURE_DIR, "G6.txt"))
+    verts = matrix_mod.matrix_vertices(lines)
+    assert verts.count() == 30
+
+
+def test_matrix_roundtrip(spark):
+    lines = matrix_mod.lines_from_text(spark, "M1", graph_queries._SAMPLE_MATRIX)
+    edges = matrix_mod.melt_matrix_lines(lines)
+    text = matrix_mod.edges_to_matrix_text(edges, 6)
+    assert text == graph_queries._SAMPLE_MATRIX
+
+
+def test_bfs_g6_golden(fixture_edges):
+    g6 = fixture_edges.filter(F.col("graph") == "G6").select("src", "dst")
+    got = pregel.bfs_levels(g6, [18]).collect()
+    levels: dict[int, set] = {}
+    for r in got:
+        levels.setdefault(r["level"], set()).add(r["vid"])
+    assert levels == G6_GOLDEN_LEVELS
+
+
+def test_bfs_empty_graph(spark):
+    # G12 is the empty graph: BFS from a lone vertex = just that vertex.
+    empty = spark.createDataFrame([], "src long, dst long")
+    got = pregel.bfs_levels(empty, [1]).collect()
+    assert [(r["vid"], r["level"]) for r in got] == [(1, 0)]
+
+
+def test_bfs_self_loop(spark):
+    # Self-loops are harmless: start is pre-visited (secondary_server.c:577).
+    edges = spark.createDataFrame([(1, 1), (1, 2), (2, 2)], "src long, dst long")
+    got = {(r["vid"], r["level"]) for r in pregel.bfs_levels(edges, [1]).collect()}
+    assert got == {(1, 0), (2, 1)}
+
+
+def test_bfs_asymmetric_g2(fixture_edges):
+    # G2 is directed (asymmetric matrix) — row-wise scan semantics honored.
+    g2 = fixture_edges.filter(F.col("graph") == "G2").select("src", "dst")
+    # G2 rows: 1→{1,4}, 2→{1,4}, 3→{4}, 4→{4}. Row-wise scan semantics:
+    # from 2 the reachable set is {2,1,4}; the reverse direction (4→2)
+    # does NOT exist — asymmetric matrices are honored.
+    reach = {r["vid"] for r in pregel.reachability(g2, [2]).collect()}
+    assert reach == {2, 1, 4}
+    reach4 = {r["vid"] for r in pregel.reachability(g2, [4]).collect()}
+    assert reach4 == {4}
+
+
+def test_canonical_dfs_leaves_pure():
+    # Diamond 1→{2,3}, 2→4, 3→4: canonical order visits 2 first, takes 4;
+    # then 3 finds 4 visited → 3 and 4 are leaves.
+    adj = {1: [2, 3], 2: [4], 3: [4], 4: []}
+    assert dfs_mod.canonical_dfs_leaves(adj, 1) == [3, 4]
+    # Chain: only the end is a leaf.
+    assert dfs_mod.canonical_dfs_leaves({1: [2], 2: [3], 3: []}, 1) == [3]
+    # Isolated start is itself a leaf.
+    assert dfs_mod.canonical_dfs_leaves({}, 7) == [7]
+
+
+def test_dfs_leaves_matches_pure_python_on_fixtures(spark, fixture_edges):
+    # Distributed applyInPandas DFS == pure-Python canonical DFS, per graph.
+    for graph, start in [("G6", 18), ("G5", 1), ("G1", 3), ("G2", 4)]:
+        sub = fixture_edges.filter(F.col("graph") == graph)
+        rows = sub.collect()
+        adj: dict[int, list[int]] = {}
+        for r in rows:
+            adj.setdefault(r["src"], []).append(r["dst"])
+        expected = dfs_mod.canonical_dfs_leaves(adj, start)
+        starts = spark.createDataFrame([(graph, start)], "graph string, start long")
+        got = sorted(r["leaf"] for r in dfs_mod.dfs_leaves(
+            sub.select("graph", "src", "dst"), starts).collect())
+        assert got == expected, f"{graph} from {start}"
+
+
+def test_connected_components_fixture(spark, fixture_edges):
+    # Components across all fixture graphs at once (prefix the vid with a
+    # per-graph offset to keep them disjoint) — sanity on shapes instead:
+    # G1 is a connected star, so one component.
+    g1 = fixture_edges.filter(F.col("graph") == "G1").select("src", "dst")
+    verts = g1.select(F.col("src").alias("vid")).union(g1.select("dst")).distinct()
+    comps = pregel.connected_components(g1, verts).collect()
+    assert {r["component"] for r in comps} == {1}
+
+
+def test_triangle_count_known(spark):
+    # Two triangles sharing an edge: (1,2,3) and (2,3,4).
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src long, dst long")
+    assert graph_algos.triangle_count(edges).collect()[0]["n_triangles"] == 2
+    # No triangle in a path.
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert graph_algos.triangle_count(path).collect()[0]["n_triangles"] == 0
+
+
+@pytest.mark.parametrize("name", sorted(graph_queries.QUERIES))
+def test_graph_query_parity(spark, sf_dir, name):
+    df = graph_queries.QUERIES[name](spark, sf_dir)
+    assert_parity(df, graph_queries.ORACLES[name], sf_dir)
