@@ -1,0 +1,231 @@
+"""Deduplication operators (SURVEY.md §2.3): exact, n-gram Jaccard,
+MinHash+LSH banding, SimHash.
+
+Scale design:
+
+- **Exact dedup** is a hash-groupBy — one shuffle on the content hash,
+  map-side partial agg. At 100 TB the hash (not the text) shuffles:
+  group on ``md5(text)``, keep min doc_id.
+- **Near-dup (exact Jaccard)** uses an inverted shingle index:
+  doc×shingle exploded, self-joined on shingle — candidate pairs are
+  only docs sharing ≥1 shingle, then Jaccard is computed from exact
+  intersection counts. Shuffle is on the shingle hash; a hot shingle
+  (boilerplate) is the skew risk — AQE skew-join handles moderate
+  skew, and `max_shingle_freq` drops degenerate shingles entirely
+  (standard practice: a shingle shared by >X docs is boilerplate and
+  carries no dedup signal, only O(X²) join cost).
+- **MinHash+LSH** is the sub-quadratic scale path: constant-size
+  signatures (k hashes), banded into b buckets; only same-bucket pairs
+  are verified. All hashing is the portable md5-based scheme
+  (functions/hashing.py) so the pipeline is reproducible anywhere.
+- **SimHash** gives a constant-width bit fingerprint per doc;
+  near-dup = small Hamming distance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdatabase_spark.functions.hashing import (
+    MINHASH_PRIME,
+    md5_int44,
+    md5_int64,
+    md5_int64_sql_duckdb,
+    minhash_perm,
+)
+from graphdatabase_spark.functions.text import shingles_col, shingles_sql, tokens_col, tokens_sql
+from graphdatabase_spark.sources.tables import load_table
+
+NEAR_DUP_THRESHOLD = 0.5
+SHINGLE_K = 3
+
+# MinHash parameters: 32 hashes in 8 bands of 4 ⇒ candidate-pair
+# probability at Jaccard s is 1-(1-s^4)^8 (~0.99 at s=0.7, ~0.57 at s=0.4).
+MINHASH_K = 32
+LSH_BANDS = 8
+LSH_ROWS = MINHASH_K // LSH_BANDS
+# Deterministic permutation coefficients: a odd-ish < 2^20, b < P,
+# generated from a fixed linear recurrence (documented, reproducible).
+MINHASH_AB = [((17 + 13 * i) * 2 + 1, (101 + 997 * i) % MINHASH_PRIME) for i in range(MINHASH_K)]
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) — distinct k-token shingles per document."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id", F.explode(shingles_col(tokens_col("text"), k)).alias("shingle"))
+
+
+def _shingles_cte() -> str:
+    return (f"sh AS (SELECT doc_id, unnest({shingles_sql(tokens_sql('text'), SHINGLE_K)}) AS shingle "
+            f"FROM documents)")
+
+
+# --- dedup_exact -------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- dedup_near (exact shingle-Jaccard via inverted index) -------------------
+
+def near_dup_pairs(shingles: DataFrame, threshold: float = NEAR_DUP_THRESHOLD,
+                   max_shingle_freq: int | None = None) -> DataFrame:
+    """(doc1, doc2, jaccard) for all pairs with Jaccard ≥ threshold.
+
+    ``max_shingle_freq`` drops shingles shared by more than that many
+    docs before pairing (boilerplate guard; changes semantics from
+    exact to filtered-exact — leave None for oracle-checked runs).
+    """
+    sh = shingles
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+        sh = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "shingle", "left_semi")
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    c1 = counts.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    c2 = counts.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    return (
+        inter.join(c1, "doc1").join(c2, "doc2")
+        .select(
+            "doc1", "doc2",
+            (F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_pairs(doc_shingles(spark, sf_dir))
+
+
+ORACLE_DEDUP_NEAR = f"""
+WITH {_shingles_cte()},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) AS jaccard
+FROM pairs JOIN cnt c1 ON c1.doc_id = doc1 JOIN cnt c2 ON c2.doc_id = doc2
+WHERE CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+# --- dedup_minhash_lsh (the sub-quadratic scale path) ------------------------
+
+def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>) — k MinHash values per doc, from the
+    portable 44-bit shingle hash through k universal-hash permutations.
+    One shuffle (groupBy doc_id); permutations are computed map-side."""
+    h = shingles.select("doc_id", md5_int44(F.col("shingle")).alias("h"))
+    mins = h.groupBy("doc_id").agg(*[
+        F.min(minhash_perm(F.col("h"), a, b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:k])
+    ])
+    return mins.select("doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
+    """(doc1, doc2) candidates agreeing on at least one full band."""
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.concat_ws("_", *[F.col("sig")[b * rows + r] for r in range(rows)])
+            for b in range(bands)
+        ])).alias("band", "key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    No SQL oracle: LSH recall is probabilistic (a true pair can miss
+    every band), so the driver records a rows-only check; the unit
+    tests assert recall ≥ 0.9 against the exact operator at the
+    threshold and precision = 1.0 (verification is exact).
+    """
+    sh = doc_shingles(spark, sf_dir)
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    exact = near_dup_pairs(sh, NEAR_DUP_THRESHOLD)
+    return exact.join(cands, ["doc1", "doc2"], "left_semi")
+
+
+# --- dedup_simhash -----------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per doc over distinct shingle hashes: bit b is 1
+    iff more shingles have bit b set than not. Explodes shingle×bit
+    JVM-side; the per-(doc,bit) vote is a map-side-combined agg."""
+    sh = doc_shingles(spark, sf_dir).select("doc_id", md5_int64(F.col("shingle")).alias("h"))
+    votes = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        F.col("h"),
+    ).select(
+        "doc_id", "b",
+        (F.expr("shiftright(h, b)") % 2 * 2 - 1).alias("vote"),
+    )
+    bits = votes.groupBy("doc_id", "b").agg(F.sum("vote").alias("v"))
+    return (
+        bits.withColumn("bitval", F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0)))
+        .groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH {_shingles_cte()},
+h AS (SELECT doc_id, {md5_int64_sql_duckdb('shingle')} AS h FROM sh),
+votes AS (
+  SELECT doc_id, b, SUM(((h >> b) % 2) * 2 - 1) AS v
+  FROM h, unnest(range(0, {SIMHASH_BITS})) AS t(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_near": q_dedup_near,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_near": ORACLE_DEDUP_NEAR,
+    # dedup_minhash_lsh: intentionally no oracle (probabilistic recall);
+    # covered by recall/precision unit tests instead.
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+}

@@ -23,38 +23,41 @@ from pyspark.sql import functions as F
 HASH_BITS = 60
 HASH_SPACE = 1 << HASH_BITS
 
-# A Mersenne-ish prime > 2^60 for MinHash permutations (a*h+b mod P).
-MINHASH_PRIME = 1152921504606847009  # smallest prime > 2^60
+# MinHash runs in a 44-bit hash space (11 hex chars) so one universal
+# hash ``a*h + b`` stays inside int64 without split arithmetic under
+# ANSI overflow checking: a ≤ 2^17, h < 2^44 ⇒ a*h < 2^61.
+MINHASH_BITS = 44
+MINHASH_PRIME = 17_592_186_044_423  # smallest prime > 2^44
+MINHASH_MAX_A = 1 << 17
 
 
-def md5_int64(col: Column | str, salt: str = "") -> Column:
-    """Deterministic 60-bit non-negative int64 of a string column.
+def md5_int64(col: Column | str, salt: str = "", hex_chars: int = 15) -> Column:
+    """Deterministic non-negative int64 from the md5 prefix of a string
+    column (60-bit with the default 15 hex chars).
 
     DuckDB equivalent: ``('0x' || substr(md5(salt || x), 1, 15))::BIGINT``.
     """
     c = F.col(col) if isinstance(col, str) else col
     if salt:
         c = F.concat(F.lit(salt), c)
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    return F.conv(F.substring(F.md5(c), 1, hex_chars), 16, 10).cast("long")
 
 
-def md5_int64_sql_duckdb(expr: str, salt: str = "") -> str:
+def md5_int64_sql_duckdb(expr: str, salt: str = "", hex_chars: int = 15) -> str:
     """The DuckDB-side expression matching :func:`md5_int64`."""
     inner = f"'{salt}' || {expr}" if salt else expr
-    return f"(('0x' || substr(md5({inner}), 1, 15))::BIGINT)"
+    return f"(('0x' || substr(md5({inner}), 1, {hex_chars}))::BIGINT)"
+
+
+def md5_int44(col: Column | str, salt: str = "") -> Column:
+    """44-bit variant used by MinHash permutations."""
+    return md5_int64(col, salt, hex_chars=MINHASH_BITS // 4)
 
 
 def minhash_perm(hash_col: Column, a: int, b: int) -> Column:
-    """One universal-hash permutation ``(a*h + b) mod P`` of a 60-bit hash.
-
-    Multiplying two 60-bit ints overflows int64, so the permutation is
-    computed in split arithmetic that stays within int64 — identical
-    expressions are used in the DuckDB oracle. a is kept < 2^20 so
-    ``a * h < 2^80`` splits cleanly into hi/lo 30-bit halves.
-    """
-    # h = hi*2^30 + lo ; a*h mod P = (a*hi mod P * 2^30 mod P + a*lo) mod P
-    hi = (hash_col / F.lit(1 << 30)).cast("long")
-    lo = hash_col % F.lit(1 << 30)
-    p = F.lit(MINHASH_PRIME)
-    term_hi = ((hi * F.lit(a)) % p * F.lit(1 << 30)) % p
-    return (term_hi + lo * F.lit(a) + F.lit(b)) % p
+    """One universal-hash permutation ``(a*h + b) mod P`` of a 44-bit
+    hash. Same expression shape in DuckDB:
+    ``(a * h + b) % 17592186044423``."""
+    if not 0 < a < MINHASH_MAX_A:
+        raise ValueError(f"a must be in (0, 2^17) to avoid int64 overflow, got {a}")
+    return (hash_col * F.lit(a) + F.lit(b % MINHASH_PRIME)) % F.lit(MINHASH_PRIME)

@@ -1,0 +1,209 @@
+"""Similarity search (SURVEY.md §2.3; top-k patterns per the EDBT'20 /
+ICDE'21 top-k literature in PAPERS.md).
+
+- ``similarity_topk``: text top-k by shingle Jaccard against a query
+  document — inverted-index candidates, exact scores, window top-k.
+- ``embedding_cosine_topk``: brute-force cosine top-k — the exact
+  baseline. The dot products run on *quantized* int64 components
+  (round(x·10⁶)): integer arithmetic is exact and associative, so
+  Spark and DuckDB produce bit-identical cosines (float folds would
+  differ in the last ulp and break the driver's value hash). At 100 TB
+  this is one broadcast of the query vector + a map-side fold per row
+  + a top-k (TakeOrdered) — no shuffle of the embedding table.
+- ``embedding_ann_lsh``: the scale path — random-hyperplane LSH into
+  2^P buckets; only the query's bucket is scanned. Hyperplane signs
+  are derived from md5 (deterministic, reproducible in SQL), so even
+  the ANN query is oracle-checkable: the bucketing is exact integer
+  math, not a race.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdatabase_spark.functions.dedup import doc_shingles, near_dup_pairs
+from graphdatabase_spark.functions.text import shingles_sql, tokens_sql
+from graphdatabase_spark.sources.tables import load_table
+
+QUERY_DOC_ID = 0
+QUERY_VEC_ID = 0
+TOPK = 10
+
+EMB_DIM = 64
+QUANT = 1_000_000  # fixed-point scale for exact integer dot products
+
+ANN_PLANES = 8  # 2^8 = 256 buckets
+
+
+def _plane_sign(p: int, d: int) -> int:
+    """Deterministic ±1 from md5 — the same derivation is inlined into
+    the SQL oracle as literals, so both engines share the planes."""
+    h = hashlib.md5(f"plane{p}_{d}".encode()).hexdigest()
+    return 1 if int(h[:15], 16) % 2 == 0 else -1
+
+
+PLANE_SIGNS = [[_plane_sign(p, d) for d in range(EMB_DIM)] for p in range(ANN_PLANES)]
+
+
+def quantized(col) -> F.Column:
+    """array<float> → array<bigint>: round(x·10⁶). float32→double is
+    exact and both engines round half away from zero, so the ints are
+    identical everywhere."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
+
+
+QUANTIZED_SQL = f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _norm_sq(a) -> F.Column:
+    return F.aggregate(F.transform(a, lambda x: x * x),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+# --- similarity_topk (text) --------------------------------------------------
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(spark, sf_dir)
+    pairs = near_dup_pairs(sh, threshold=0.0)
+    mine = (
+        pairs.filter((F.col("doc1") == QUERY_DOC_ID) | (F.col("doc2") == QUERY_DOC_ID))
+        .select(
+            F.when(F.col("doc1") == QUERY_DOC_ID, F.col("doc2")).otherwise(F.col("doc1")).alias("doc_id"),
+            "jaccard",
+        )
+    )
+    return mine.orderBy(F.desc("jaccard"), F.asc("doc_id")).limit(TOPK)
+
+
+ORACLE_SIMILARITY_TOPK = f"""
+WITH sh AS (SELECT doc_id, unnest({shingles_sql(tokens_sql('text'), 3)}) AS shingle FROM documents),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT b.doc_id AS doc_id, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND b.doc_id <> {QUERY_DOC_ID}
+  WHERE a.doc_id = {QUERY_DOC_ID}
+  GROUP BY b.doc_id
+)
+SELECT p.doc_id, CAST(inter AS DOUBLE) / (cq.n + c2.n - inter) AS jaccard
+FROM pairs p
+JOIN cnt c2 ON c2.doc_id = p.doc_id
+CROSS JOIN (SELECT n FROM cnt WHERE doc_id = {QUERY_DOC_ID}) cq
+ORDER BY jaccard DESC, p.doc_id ASC
+LIMIT {TOPK}
+"""
+
+
+# --- embedding_cosine_topk (exact brute force) -------------------------------
+
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        quantized(F.col("embedding")).alias("qv"))
+    others = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", "label", quantized(F.col("embedding")).alias("v"))
+    scored = others.crossJoin(F.broadcast(qv)).select(
+        "vec_id", "label",
+        (_dot(F.col("qv"), F.col("v")).cast("double")
+         / (F.sqrt(_norm_sq(F.col("qv")).cast("double")) * F.sqrt(_norm_sq(F.col("v")).cast("double")))
+         ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOPK)
+
+
+ORACLE_EMBEDDING_COSINE_TOPK = f"""
+WITH q AS (SELECT {QUANTIZED_SQL} AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+e AS (SELECT vec_id, label, {QUANTIZED_SQL} AS v FROM embeddings WHERE vec_id <> {QUERY_VEC_ID})
+SELECT vec_id, label,
+       CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> qv[i] * v[i])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE))) AS cos_sim
+FROM e CROSS JOIN q
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+# --- embedding_ann_lsh (bucketed approximate path) ---------------------------
+
+def _bucket_col(v) -> F.Column:
+    """LSH bucket id: bit p = (signed projection onto plane p) ≥ 0.
+    Projections are exact int64 sums of quantized components."""
+    bucket = F.lit(0).cast("long")
+    for p in range(ANN_PLANES):
+        signs = F.array(*[F.lit(s) for s in PLANE_SIGNS[p]]).cast("array<bigint>")
+        proj = _dot(signs, v)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: scan only the query's hyperplane bucket, exact cosine
+    within it. Deterministic (md5-derived planes + integer projections)
+    ⇒ fully oracle-checkable despite being approximate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select("vec_id", "label", quantized(F.col("embedding")).alias("v"))
+    bucketed = quant.select("vec_id", "label", "v", _bucket_col(F.col("v")).alias("bucket"))
+    qrow = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket"))
+    cands = bucketed.filter(F.col("vec_id") != QUERY_VEC_ID).join(
+        F.broadcast(qrow), F.col("bucket") == F.col("qbucket"))
+    scored = cands.select(
+        "vec_id", "label", "bucket",
+        (_dot(F.col("qv"), F.col("v")).cast("double")
+         / (F.sqrt(_norm_sq(F.col("qv")).cast("double")) * F.sqrt(_norm_sq(F.col("v")).cast("double")))
+         ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOPK)
+
+
+def _plane_proj_sql(p: int) -> str:
+    signs = ", ".join(str(s) for s in PLANE_SIGNS[p])
+    return (f"(list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+            f"i -> ([{signs}]::BIGINT[])[i] * v[i])) >= 0)")
+
+
+def _bucket_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_plane_proj_sql(p)} THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p in range(ANN_PLANES))
+    return f"({terms})"
+
+
+ORACLE_EMBEDDING_ANN_LSH = f"""
+WITH quant AS (
+  SELECT vec_id, label, {QUANTIZED_SQL} AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, label, v, {_bucket_sql()} AS bucket FROM quant
+),
+q AS (SELECT v AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label, bucket,
+       CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> qv[i] * v[i])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE))) AS cos_sim
+FROM bucketed CROSS JOIN q
+WHERE bucket = qbucket AND vec_id <> {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+QUERIES = {
+    "similarity_topk": q_similarity_topk,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
+}
+
+ORACLES = {
+    "similarity_topk": ORACLE_SIMILARITY_TOPK,
+    "embedding_cosine_topk": ORACLE_EMBEDDING_COSINE_TOPK,
+    "embedding_ann_lsh": ORACLE_EMBEDDING_ANN_LSH,
+}

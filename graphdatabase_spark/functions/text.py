@@ -1,0 +1,281 @@
+"""Text analytics over the ``documents`` table (SURVEY.md §2.3
+"LLM-data-pipeline extensions"; generalizes the reference's word-count
+and file-search ops, ``Assignment1/server.c:179-252`` / ``:88-172``).
+
+Everything here is built-in Catalyst expressions (split / explode /
+higher-order array functions) — JVM-side, whole-stage codegen, no
+Python in the hot path. Tokenization is a shared convention reproduced
+verbatim in the DuckDB oracles: lowercase, split on ``[^a-z0-9]+``,
+drop empties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdatabase_spark.sources.tables import load_table
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+TOKEN_SPLIT_SQL = "'[^a-z0-9]+'"
+
+# Marker stopword sets for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "is", "of", "to", "in", "it"),
+    "es": ("el", "la", "los", "las", "es", "y", "un", "una"),
+    "fr": ("le", "les", "et", "est", "un", "une", "des", "du"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "nicht"),
+}
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda x: x != F.lit(""))
+
+
+def tokens_sql(expr: str) -> str:
+    """DuckDB expression equivalent to :func:`tokens_col`."""
+    return f"list_filter(string_split_regex(lower({expr}), {TOKEN_SPLIT_SQL}), x -> x <> '')"
+
+
+def shingles_col(toks: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (space-joined); [] when < k tokens.
+
+    NB: Spark's ``sequence(1, 0)`` yields a *descending* [1, 0], not [],
+    so the short-doc case needs an explicit empty-array guard.
+    """
+    idx = F.when(F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    parts = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])  # noqa: E731
+    return F.array_distinct(F.transform(idx, parts))
+
+
+def shingles_sql(toks_expr: str, k: int = 3) -> str:
+    joined = " || ' ' || ".join(f"__T__[i+{j}]" if j else "__T__[i]" for j in range(k))
+    # DuckDB range(a, b) is end-exclusive: range(1, n-k+2) = 1 .. n-k+1
+    sql = (f"list_distinct(list_transform(range(1, greatest(len(__T__) - {k - 1}, 0) + 1), "
+           f"i -> {joined}))")
+    return sql.replace("__T__", f"({toks_expr})")
+
+
+# --- wordcount_docs (generalizes A1-3 `wc -w`, server.c:179-252) -----------
+
+def q_wordcount_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return (
+        docs.select(F.explode(tokens_col("text")).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+ORACLE_WORDCOUNT_DOCS = f"""
+SELECT w AS word, COUNT(*) AS cnt
+FROM (SELECT unnest({tokens_sql('text')}) AS w FROM documents)
+GROUP BY w
+"""
+
+
+# --- file_search (generalizes A1-2 `find`, server.c:88-172) ----------------
+
+def q_file_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("source").isin("src1", "src3"))
+        .filter(F.col("text").like("%spark%"))
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+ORACLE_FILE_SEARCH = """
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE source IN ('src1', 'src3') AND text LIKE '%spark%'
+"""
+
+
+# --- text_stats -------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens_col("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_txt"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+         / F.nullif(F.size(toks), F.lit(0))).alias("avg_token_len"),
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars_txt,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         / NULLIF(len(toks), 0) AS avg_token_len
+FROM (SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents)
+"""
+
+
+# --- token_count (whitespace + BPE-ish regex, SURVEY §2.3) ------------------
+
+BPE_PATTERN = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0)).alias("n_bpe_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNT = rf"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+# --- lang_id (marker-stopword heuristic; deterministic argmax) --------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens_col("text")
+    # NB: the predicate must be a 1-arg lambda — a second (default) arg
+    # makes F.filter pass the element *index* as that arg.
+    def marker_score(words):
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    scores = {lang: marker_score(words) for lang, words in LANG_MARKERS.items()}
+    pred = (
+        F.when((scores["en"] >= F.greatest(scores["es"], scores["fr"], scores["de"])) & (scores["en"] > 0), "en")
+        .when((scores["es"] >= F.greatest(scores["fr"], scores["de"])) & (scores["es"] > 0), "es")
+        .when((scores["fr"] >= scores["de"]) & (scores["fr"] > 0), "fr")
+        .when(scores["de"] > 0, "de")
+        .otherwise("und")
+    )
+    out = docs.select("doc_id", *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS], pred.alias("pred_lang"))
+    return out
+
+
+def _markers_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+
+
+ORACLE_LANG_ID = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, x -> x IN ({_markers_sql('en')}))) AS INT) AS score_en,
+         CAST(len(list_filter(toks, x -> x IN ({_markers_sql('es')}))) AS INT) AS score_es,
+         CAST(len(list_filter(toks, x -> x IN ({_markers_sql('fr')}))) AS INT) AS score_fr,
+         CAST(len(list_filter(toks, x -> x IN ({_markers_sql('de')}))) AS INT) AS score_de
+  FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+)
+SELECT doc_id, score_en, score_es, score_fr, score_de,
+       CASE WHEN score_en >= greatest(score_es, score_fr, score_de) AND score_en > 0 THEN 'en'
+            WHEN score_es >= greatest(score_fr, score_de) AND score_es > 0 THEN 'es'
+            WHEN score_fr >= score_de AND score_fr > 0 THEN 'fr'
+            WHEN score_de > 0 THEN 'de'
+            ELSE 'und' END AS pred_lang
+FROM scored
+"""
+
+
+# --- quality_score -----------------------------------------------------------
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic doc-quality score: stopword ratio + length shape +
+    alnum density, combined left-to-right so the double arithmetic is
+    bit-identical to the oracle's."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens_col("text")
+    n_toks = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    stop_ratio = n_stop.cast("double") / F.nullif(n_toks, F.lit(0))
+    avg_len = sum_len.cast("double") / F.nullif(n_toks, F.lit(0))
+    alnum_ratio = (F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")).cast("double")
+                   / F.nullif(F.length("text"), F.lit(0)))
+    score = stop_ratio * 0.4 + F.least(avg_len / 10.0, F.lit(1.0)) * 0.4 + alnum_ratio * 0.2
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        avg_len.alias("avg_token_len"),
+        alnum_ratio.alias("alnum_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+ORACLE_QUALITY_SCORE = f"""
+WITH base AS (
+  SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> x IN ({_markers_sql('en')}))) AS DOUBLE) / NULLIF(len(toks), 0) AS stop_ratio,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / NULLIF(len(toks), 0) AS avg_token_len,
+         CAST(LENGTH(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / NULLIF(LENGTH(text), 0) AS alnum_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens, stop_ratio, avg_token_len, alnum_ratio,
+       stop_ratio * 0.4 + least(avg_token_len / 10.0, 1.0) * 0.4 + alnum_ratio * 0.2 AS quality_score
+FROM m
+"""
+
+
+# --- doc_fingerprint (rolling-hash winnow: min char-5-gram hash) -------------
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphdatabase_spark.functions.hashing import md5_int64
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.expr("transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))")).alias("gram"),
+    )
+    return (
+        grams.select("doc_id", md5_int64(F.col("gram")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fingerprint"), F.countDistinct("h").alias("n_grams_distinct"))
+    )
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT doc_id,
+       MIN(('0x' || substr(md5(g), 1, 15))::BIGINT) AS fingerprint,
+       COUNT(DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT) AS n_grams_distinct
+FROM (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                                       i -> substr(text, i, 5))) AS g
+  FROM documents
+)
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "wordcount_docs": q_wordcount_docs,
+    "file_search": q_file_search,
+    "text_stats": q_text_stats,
+    "token_count": q_token_count,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLES = {
+    "wordcount_docs": ORACLE_WORDCOUNT_DOCS,
+    "file_search": ORACLE_FILE_SEARCH,
+    "text_stats": ORACLE_TEXT_STATS,
+    "token_count": ORACLE_TOKEN_COUNT,
+    "lang_id": ORACLE_LANG_ID,
+    "quality_score": ORACLE_QUALITY_SCORE,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+}

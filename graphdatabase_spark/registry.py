@@ -13,9 +13,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from graphdatabase_spark.functions import dedup, similarity, text
 from graphdatabase_spark.operators import graph_queries, relational
 
-_MODULES = [relational, graph_queries]
+_MODULES = [relational, graph_queries, text, dedup, similarity]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
