@@ -1,0 +1,54 @@
+"""Per-round benchmark: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries": {id: sec},
+"sf"}.
+
+Timing = full wall-clock per query including plan build and collect to
+the driver (what a user of the engine experiences). One warm-up action
+runs first so JVM/codegen startup is not charged to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from graphdatabase_spark import get_spark, registry
+
+    spark = get_spark("graphdatabase-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM, codegen, and parquet footer cache.
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(registry.queries().items()):
+        t0 = time.perf_counter()
+        rows = fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf
+    print(json.dumps({
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+    }))
+
+
+if __name__ == "__main__":
+    main()

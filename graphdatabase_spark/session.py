@@ -22,6 +22,10 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONF: dict[str, str] = {
+    # local[N] runs driver+executors in ONE JVM whose default heap is
+    # 1g — far too small for 32 concurrent task threads. On a real
+    # cluster this is spark.executor.memory instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
