@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 
 from graphdatabase_spark.functions.hashing import (
     MINHASH_PRIME,
-    md5_int44,
     md5_int64,
     md5_int64_sql_duckdb,
     minhash_perm,
@@ -52,14 +51,41 @@ MINHASH_AB = [((17 + 13 * i) * 2 + 1, (101 + 997 * i) % MINHASH_PRIME) for i in 
 
 def doc_shingles(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, shingle) — distinct k-token shingles per document."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return docs.select(
         "doc_id", F.explode(shingles_col(tokens_col("text"), k)).alias("shingle"))
+
+
+def shingle_hashes(shingles: DataFrame) -> DataFrame:
+    """(doc_id, h) — the 60-bit md5 int of each shingle. Every join and
+    set operation downstream runs on the 8-byte int, never the shingle
+    string: at 100 TB that's the difference between shuffling ~25-byte
+    keys and 8-byte keys, and both engines derive the identical int so
+    oracle parity survives the substitution."""
+    return shingles.select("doc_id", md5_int64(F.col("shingle")).alias("h"))
+
+
+def cached_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, h) inverted-index input, persisted.
+
+    Every near-dup/similarity operator references this relation 2-3
+    times (pair join sides + per-doc counts); without persistence Spark
+    re-runs the full tokenize→shingle→md5 pipeline per reference — the
+    dominant cost. Persisting the compact post-hash form (16 bytes/row,
+    the strings are already gone) is exactly what a production pipeline
+    does with its shingle index at 100 TB: materialize once, feed every
+    downstream consumer."""
+    return shingle_hashes(doc_shingles(spark, sf_dir)).persist()
 
 
 def _shingles_cte() -> str:
     return (f"sh AS (SELECT doc_id, unnest({shingles_sql(tokens_sql('text'), SHINGLE_K)}) AS shingle "
             f"FROM documents)")
+
+
+def _hashes_cte() -> str:
+    return (f"{_shingles_cte()}, "
+            f"sh_h AS (SELECT doc_id, {md5_int64_sql_duckdb('shingle')} AS h FROM sh)")
 
 
 # --- dedup_exact -------------------------------------------------------------
@@ -81,23 +107,25 @@ FROM documents GROUP BY md5(text)
 
 # --- dedup_near (exact shingle-Jaccard via inverted index) -------------------
 
-def near_dup_pairs(shingles: DataFrame, threshold: float = NEAR_DUP_THRESHOLD,
+def near_dup_pairs(hashes: DataFrame, threshold: float = NEAR_DUP_THRESHOLD,
                    max_shingle_freq: int | None = None) -> DataFrame:
-    """(doc1, doc2, jaccard) for all pairs with Jaccard ≥ threshold.
+    """(doc1, doc2, jaccard) for all pairs with Jaccard ≥ threshold,
+    from a ``(doc_id, h)`` shingle-hash relation (pass it persisted —
+    it is referenced three times).
 
     ``max_shingle_freq`` drops shingles shared by more than that many
     docs before pairing (boilerplate guard; changes semantics from
     exact to filtered-exact — leave None for oracle-checked runs).
     """
-    sh = shingles
+    sh = hashes
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
-        sh = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "shingle", "left_semi")
+        freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("f"))
+        sh = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "h", "left_semi")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -114,15 +142,15 @@ def near_dup_pairs(shingles: DataFrame, threshold: float = NEAR_DUP_THRESHOLD,
 
 
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return near_dup_pairs(doc_shingles(spark, sf_dir))
+    return near_dup_pairs(cached_shingle_hashes(spark, sf_dir))
 
 
 ORACLE_DEDUP_NEAR = f"""
-WITH {_shingles_cte()},
-cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+WITH {_hashes_cte()},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh_h GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh_h a JOIN sh_h b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc1, doc2, CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) AS jaccard
@@ -133,11 +161,13 @@ WHERE CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) >= {NEAR_DUP_THRESHOLD}
 
 # --- dedup_minhash_lsh (the sub-quadratic scale path) ------------------------
 
-def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, sig ARRAY<BIGINT>) — k MinHash values per doc, from the
-    portable 44-bit shingle hash through k universal-hash permutations.
-    One shuffle (groupBy doc_id); permutations are computed map-side."""
-    h = shingles.select("doc_id", md5_int44(F.col("shingle")).alias("h"))
+def minhash_signatures(hashes: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>) — k MinHash values per doc, from a
+    ``(doc_id, h)`` 60-bit shingle-hash relation: the top 44 bits feed
+    k universal-hash permutations (44-bit so ``a*h+b`` stays inside
+    int64 under ANSI overflow checks). One shuffle (groupBy doc_id);
+    permutations are computed map-side."""
+    h = hashes.select("doc_id", F.shiftright("h", 16).alias("h"))
     mins = h.groupBy("doc_id").agg(*[
         F.min(minhash_perm(F.col("h"), a, b)).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_AB[:k])
@@ -166,15 +196,32 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
 
+    Verification joins each candidate pair against per-doc *hash-set
+    arrays* (collect_set of the 60-bit shingle hash) and computes exact
+    Jaccard with array_intersect — cost O(candidates), never the full
+    O(docs²) pair expansion the exact operator pays. That's the whole
+    point of LSH at 100 TB: the quadratic stage only ever sees
+    same-bucket survivors.
+
     No SQL oracle: LSH recall is probabilistic (a true pair can miss
     every band), so the driver records a rows-only check; the unit
     tests assert recall ≥ 0.9 against the exact operator at the
     threshold and precision = 1.0 (verification is exact).
     """
-    sh = doc_shingles(spark, sf_dir)
-    cands = lsh_candidate_pairs(minhash_signatures(sh))
-    exact = near_dup_pairs(sh, NEAR_DUP_THRESHOLD)
-    return exact.join(cands, ["doc1", "doc2"], "left_semi")
+    hs = cached_shingle_hashes(spark, sf_dir)
+    cands = lsh_candidate_pairs(minhash_signatures(hs))
+    sets = hs.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
+    s1 = sets.select(F.col("doc_id").alias("doc1"), F.col("hs").alias("hs1"))
+    s2 = sets.select(F.col("doc_id").alias("doc2"), F.col("hs").alias("hs2"))
+    return (
+        cands.join(s1, "doc1").join(s2, "doc2")
+        .select(
+            "doc1", "doc2",
+            (F.size(F.array_intersect("hs1", "hs2")).cast("double")
+             / F.size(F.array_union("hs1", "hs2"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+    )
 
 
 # --- dedup_simhash -----------------------------------------------------------
@@ -184,22 +231,23 @@ SIMHASH_BITS = 60
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per doc over distinct shingle hashes: bit b is 1
-    iff more shingles have bit b set than not. Explodes shingle×bit
-    JVM-side; the per-(doc,bit) vote is a map-side-combined agg."""
-    sh = doc_shingles(spark, sf_dir).select("doc_id", md5_int64(F.col("shingle")).alias("h"))
-    votes = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        F.col("h"),
-    ).select(
-        "doc_id", "b",
-        (F.expr("shiftright(h, b)") % 2 * 2 - 1).alias("vote"),
+    iff more shingles have bit b set than not.
+
+    Single hash-aggregate: 60 conditional sums (one per bit) in ONE
+    groupBy — no 60× row explode, one map-side-combined shuffle of
+    (doc_id, 60 longs), then the bits fold into the fingerprint
+    expression-side."""
+    sh = cached_shingle_hashes(spark, sf_dir)
+    votes = sh.groupBy("doc_id").agg(*[
+        F.sum(F.shiftright("h", b) % 2 * 2 - 1).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ])
+    fingerprint = sum(
+        (F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+         for b in range(SIMHASH_BITS)),
+        start=F.lit(0).cast("long"),
     )
-    bits = votes.groupBy("doc_id", "b").agg(F.sum("vote").alias("v"))
-    return (
-        bits.withColumn("bitval", F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0)))
-        .groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
-    )
+    return votes.select("doc_id", fingerprint.alias("simhash"))
 
 
 ORACLE_DEDUP_SIMHASH = f"""

@@ -24,8 +24,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graphdatabase_spark.functions.dedup import doc_shingles, near_dup_pairs
-from graphdatabase_spark.functions.text import shingles_sql, tokens_sql
+from graphdatabase_spark.functions.dedup import _hashes_cte, cached_shingle_hashes
 from graphdatabase_spark.sources.tables import load_table
 
 QUERY_DOC_ID = 0
@@ -71,24 +70,38 @@ def _norm_sq(a) -> F.Column:
 # --- similarity_topk (text) --------------------------------------------------
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = doc_shingles(spark, sf_dir)
-    pairs = near_dup_pairs(sh, threshold=0.0)
-    mine = (
-        pairs.filter((F.col("doc1") == QUERY_DOC_ID) | (F.col("doc2") == QUERY_DOC_ID))
-        .select(
-            F.when(F.col("doc1") == QUERY_DOC_ID, F.col("doc2")).otherwise(F.col("doc1")).alias("doc_id"),
-            "jaccard",
-        )
+    """Top-k docs by shingle Jaccard against one query document.
+
+    Plan shape for 100 TB: the query doc's shingle-hash set is tiny →
+    broadcast it against the inverted index (map-side semi join, no
+    shuffle of the corpus), partial-agg the intersection counts, then a
+    TakeOrdered top-k. The corpus is never self-joined — cost is
+    O(docs sharing ≥1 shingle with the query), not O(pairs)."""
+    sh = cached_shingle_hashes(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    q = sh.filter(F.col("doc_id") == QUERY_DOC_ID).select("h")
+    inter = (
+        sh.filter(F.col("doc_id") != QUERY_DOC_ID)
+        .join(F.broadcast(q), "h")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("inter"))
     )
-    return mine.orderBy(F.desc("jaccard"), F.asc("doc_id")).limit(TOPK)
+    nq = counts.filter(F.col("doc_id") == QUERY_DOC_ID).select(F.col("n").alias("nq"))
+    return (
+        inter.join(counts, "doc_id").crossJoin(F.broadcast(nq))
+        .select(
+            "doc_id",
+            (F.col("inter").cast("double") / (F.col("nq") + F.col("n") - F.col("inter"))).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("doc_id")).limit(TOPK)
+    )
 
 
 ORACLE_SIMILARITY_TOPK = f"""
-WITH sh AS (SELECT doc_id, unnest({shingles_sql(tokens_sql('text'), 3)}) AS shingle FROM documents),
-cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+WITH {_hashes_cte()},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh_h GROUP BY doc_id),
 pairs AS (
   SELECT b.doc_id AS doc_id, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND b.doc_id <> {QUERY_DOC_ID}
+  FROM sh_h a JOIN sh_h b ON a.h = b.h AND b.doc_id <> {QUERY_DOC_ID}
   WHERE a.doc_id = {QUERY_DOC_ID}
   GROUP BY b.doc_id
 )

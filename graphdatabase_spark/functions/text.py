@@ -235,7 +235,7 @@ FROM m
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphdatabase_spark.functions.hashing import md5_int64
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     grams = docs.select(
         "doc_id",
         F.explode(F.expr("transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))")).alias("gram"),

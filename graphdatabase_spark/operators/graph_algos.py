@@ -33,19 +33,28 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
     Degree-ordered orientation ("compact-forward"): each edge is
     re-oriented from the lower-degree endpoint to the higher-degree
-    endpoint (ties by id) before the wedge join. This bounds every
-    vertex's forward-degree by O(sqrt(m)), so the wedge intermediate is
-    O(m^1.5) instead of O(m * max_degree) — the difference between a
-    plan that survives a skewed 100TB co-occurrence graph and one that
-    doesn't. The count is orientation-invariant, so the oracle can use
-    the naive a<b<c formulation.
+    endpoint (ties by id), which bounds every vertex's forward-degree
+    by O(sqrt(m)). Triangles are then counted per *edge* as
+    ``|N⁺(u) ∩ N⁺(v)|`` against collected forward-adjacency arrays —
+    each triangle a<b<c (rank order) is found exactly once, on its
+    (a, b) edge. Unlike the naive wedge self-join, the O(m·sqrt(m))
+    wedge set is never materialized or shuffled: the only shuffles are
+    the degree agg and the adjacency collect, both map-side combined,
+    and the adjacency table (one row per vertex, ≤O(sqrt(m)) longs)
+    joins back edge-side — broadcast when it fits, shuffle otherwise
+    (AQE decides from runtime stats). The count is
+    orientation-invariant, so the oracle can use the naive a<b<c
+    formulation.
     """
-    e = edges.select("src", "dst")
+    # The edge derivation can itself be a join (e.g. co-purchase); it
+    # feeds the degree count, the rank join, and the adjacency collect —
+    # persist it.
+    e = edges.select("src", "dst").persist()
     deg = (
         e.select(F.col("src").alias("vid")).unionAll(e.select(F.col("dst").alias("vid")))
         .groupBy("vid").agg(F.count(F.lit(1)).alias("deg"))
     )
-    # rank = (deg, vid) lexicographic, encoded as a single orderable struct
+    # rank = (deg, vid) lexicographic
     ranked = (
         e.join(deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "deg_src"), "src")
         .join(deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "deg_dst"), "dst")
@@ -55,13 +64,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     oriented = ranked.select(
         F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    ).persist()
+    adj = oriented.groupBy(F.col("u").alias("vid")).agg(F.collect_set("v").alias("nbrs"))
+    return (
+        oriented
+        .join(adj.select(F.col("vid").alias("u"), F.col("nbrs").alias("nu")), "u")
+        .join(adj.select(F.col("vid").alias("v"), F.col("nbrs").alias("nv")), "v")
+        .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles"))
     )
-    w1 = oriented.alias("e1")
-    w2 = oriented.alias("e2")
-    wedges = w1.join(w2, F.col("e1.v") == F.col("e2.u")).select(
-        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
-    # close the wedge with an edge a–c in either orientation
-    closing = oriented.select(F.col("u").alias("a"), F.col("v").alias("c")).unionAll(
-        oriented.select(F.col("v").alias("a"), F.col("u").alias("c")))
-    tris = wedges.join(closing, ["a", "c"], "left_semi")
-    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -29,6 +29,10 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # 10m default is conservative for modern executor memory; 64m lets
+    # AQE broadcast mid-size dimension/adjacency tables and skip full
+    # shuffles (e.g. triangle counting's per-vertex adjacency arrays).
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Parquet writers: zstd is the right default at 100 TB (better ratio
@@ -38,6 +42,10 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     # The iterative (Pregel) operators checkpoint to truncate lineage.
     "spark.checkpoint.compress": "true",
+    # Dozens of distinct queries per session generate a lot of
+    # whole-stage-codegen classes; the JVM default 240m code cache can
+    # fill and silently disable the JIT for everything after.
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
     "spark.ui.enabled": "false",
 }
 

@@ -25,10 +25,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               spread: bool = False) -> DataFrame:
+    """Load one catalog table.
+
+    ``spread=True`` repartitions the scan to the session's default
+    parallelism. Use it for pipelines whose per-row compute dwarfs the
+    scan (shingling, hashing, per-char n-grams): a small parquet file is
+    one row group ⇒ one task, which serializes the whole pipeline on a
+    single core no matter how wide the cluster. The reshuffle moves only
+    the raw rows (cheap) and buys full-width execution of the expensive
+    expressions. Plain scans skip it — Catalyst's split planning already
+    parallelizes IO-bound work.
+    """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:

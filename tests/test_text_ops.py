@@ -29,7 +29,7 @@ def test_minhash_lsh_recall_precision(spark, sf_dir_mid):
     construction; recall vs the exact operator must be high at the
     threshold (32 hashes / 8 bands ⇒ pair-capture prob ≈ 0.99+ at
     s ≥ 0.5... measured here against planted near-dups)."""
-    sh = dedup.doc_shingles(spark, sf_dir_mid).cache()
+    sh = dedup.shingle_hashes(dedup.doc_shingles(spark, sf_dir_mid)).cache()
     exact = {(r["doc1"], r["doc2"]) for r in
              dedup.near_dup_pairs(sh, dedup.NEAR_DUP_THRESHOLD).collect()}
     got = {(r["doc1"], r["doc2"]) for r in
@@ -45,7 +45,7 @@ def test_simhash_near_dups_are_hamming_close(spark, sf_dir_mid):
     """Near-identical docs (exact Jaccard ≥ 0.8) must land within small
     Hamming distance; random doc pairs must be far — the property that
     makes SimHash usable as a dedup prefilter."""
-    sh = dedup.doc_shingles(spark, sf_dir_mid).cache()
+    sh = dedup.shingle_hashes(dedup.doc_shingles(spark, sf_dir_mid)).cache()
     sims = {r["doc_id"]: r["simhash"] for r in
             dedup.q_dedup_simhash(spark, sf_dir_mid).collect()}
     close = dedup.near_dup_pairs(sh, 0.8).collect()
