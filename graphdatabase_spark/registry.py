@@ -15,8 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from graphdatabase_spark.functions import dedup, similarity, text
 from graphdatabase_spark.operators import graph_queries, relational
+from graphdatabase_spark.streaming import streamops
 
-_MODULES = [relational, graph_queries, text, dedup, similarity]
+_MODULES = [relational, graph_queries, text, dedup, similarity, streamops]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

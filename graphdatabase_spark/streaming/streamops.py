@@ -1,0 +1,231 @@
+"""Streaming operators over the ``events`` table (SURVEY.md §2.3
+"streaming variants"; §7 step 7).
+
+Design: every windowed aggregation is ONE transformation function that
+takes an events DataFrame — batch or streaming — and returns the same
+logical plan. The registry exposes the batch application (that is what
+the DuckDB oracle checks: late-data-free ground truth); the unit tests
+apply the identical function to a ``readStream`` source with an
+``availableNow`` trigger and a memory sink and assert the results
+converge to the batch answer. Watermark semantics (late-row dropping)
+are pinned by a separate fixed-input test, not by the oracle — the
+reference has no streaming surface at all (SURVEY.md §2.3), so these
+are north-star extensions.
+
+Scale notes: tumbling/sliding aggregations are hash aggs keyed on
+(window, event_type) — map-side combined, one shuffle, and state in a
+real stream is bounded by watermark eviction. ``session_window`` uses
+Spark's native session-merging state store; the batch equivalent is the
+gaps-and-islands plan (lag + running flag-sum), whose shuffle is one
+repartition by user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphdatabase_spark.sources.tables import load_table, table_path
+
+SESSION_GAP = "15 minutes"
+SESSION_GAP_SEC = 15 * 60
+WATERMARK = "1 hour"
+
+
+def _with_event_ts(events_raw: DataFrame) -> DataFrame:
+    """The events table stores ts as TIMESTAMP(NANOS), which Spark's
+    parquet reader only surfaces as a nanosecond long
+    (``spark.sql.legacy.parquet.nanosAsLong``, set in session.py).
+    Truncate to microseconds — exactly what DuckDB's TIMESTAMP does on
+    the oracle side, so both engines see identical instants."""
+    return events_raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_event_ts(load_table(spark, sf_dir, "events"))
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same table as an unbounded source (file stream; each parquet
+    file is one micro-batch input split)."""
+    raw_schema = load_table(spark, sf_dir, "events").schema
+    # The file source wants a directory; point it at sf_dir and glob
+    # the one table (a production layout is a directory of files).
+    return _with_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+
+
+# --- tumbling window -------------------------------------------------------
+
+def tumbling_counts(events: DataFrame, size: str = "1 hour",
+                    watermark: str | None = None) -> DataFrame:
+    """Count + decimal-exact value sum per (1h tumbling window, type)."""
+    ev = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        ev.groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             # decimal accumulation (exact, order-independent), double out
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def q_events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(events_batch(spark, sf_dir))
+
+
+ORACLE_EVENTS_TUMBLING_COUNTS = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- sliding window --------------------------------------------------------
+
+def sliding_avg(events: DataFrame, size: str = "1 hour", slide: str = "30 minutes",
+                watermark: str | None = None) -> DataFrame:
+    """Per (sliding window, type): event count and decimal-exact mean."""
+    ev = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        ev.groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events",
+            # exact decimal sum → double, then IEEE division: identical
+            # in both engines (decimal division precision rules differ)
+            (F.col("sv").cast("double") / F.col("n_events")).alias("avg_value"),
+        )
+    )
+
+
+def q_events_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_avg(events_batch(spark, sf_dir))
+
+
+# An event at t belongs to the two 1h/30m windows starting at
+# time_bucket_30m(t) and 30 minutes earlier.
+ORACLE_EVENTS_SLIDING_AVG = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' AS window_start,
+         event_type, value
+  FROM events, unnest([0, 1]) AS t(o)
+)
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
+# --- session windows -------------------------------------------------------
+
+def session_stats_stream(events: DataFrame, gap: str = SESSION_GAP,
+                         watermark: str = WATERMARK) -> DataFrame:
+    """Native streaming session windows (merge-on-gap state store)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+    )
+
+
+def session_stats_batch(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
+    """Batch gaps-and-islands equivalent of ``session_window``: a new
+    session starts when the gap to the previous event of the same user
+    exceeds ``gap_sec``; session_end = last event + gap (Spark's
+    definition). One shuffle (repartition by user for the lag window),
+    then a hash agg on (user, session id)."""
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = gap_sec * 1_000_000
+    flagged = events.select(
+        "user_id", "ts",
+        (F.coalesce(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(by_user))) > gap_us,
+            F.lit(True),
+        )).cast("int").alias("is_new"),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(
+        by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"),
+             F.timestamp_micros(F.unix_micros(F.max("ts")) + gap_us).alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_stats_batch(events_batch(spark, sf_dir))
+
+
+ORACLE_EVENTS_SESSIONIZATION = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > {SESSION_GAP_SEC * 1_000_000}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       make_timestamp(epoch_us(MAX(ts)) + {SESSION_GAP_SEC * 1_000_000}) AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+# --- JSON props extraction (scalar streaming transform) --------------------
+
+def enriched_events(events: DataFrame) -> DataFrame:
+    """Stateless enrichment usable identically in batch and streaming:
+    JSON prop extraction + derived columns (stays whole-stage codegen)."""
+    return events.select(
+        "event_id", "user_id", "event_type", "ts",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+        (F.col("value") > 10.0).alias("high_value"),
+    )
+
+
+def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enriched_events(events_batch(spark, sf_dir))
+
+
+ORACLE_EVENTS_ENRICHED = """
+SELECT event_id, user_id, event_type, ts,
+       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+       date_trunc('hour', ts) AS ts_hour,
+       value > 10.0 AS high_value
+FROM events
+"""
+
+
+QUERIES = {
+    "events_tumbling_counts": q_events_tumbling_counts,
+    "events_sliding_avg": q_events_sliding_avg,
+    "events_sessionization": q_events_sessionization,
+    "events_enriched": q_events_enriched,
+}
+
+ORACLES = {
+    "events_tumbling_counts": ORACLE_EVENTS_TUMBLING_COUNTS,
+    "events_sliding_avg": ORACLE_EVENTS_SLIDING_AVG,
+    "events_sessionization": ORACLE_EVENTS_SESSIONIZATION,
+    "events_enriched": ORACLE_EVENTS_ENRICHED,
+}
