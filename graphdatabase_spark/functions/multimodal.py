@@ -1,0 +1,229 @@
+"""Multimodal (binary) columns: opaque payload + typed metadata +
+Arrow-batched decode/feature plumbing (SURVEY.md §2.3
+``multimodal_cols``).
+
+The pattern a 100 TB training-data pipeline needs:
+
+- **Storage**: media as an opaque ``BinaryType`` column with a typed
+  metadata struct alongside (length, content hash, sniffed format) —
+  not files on a side-channel filesystem. Parquet stores the bytes
+  inline (or via external-reference columns at the PB scale); schema
+  travels with the data.
+- **Metadata extraction** stays JVM-side (built-in functions over the
+  binary column — whole-stage codegen, oracle-checkable).
+- **Decode / feature-extract** is Python-library territory →
+  ``mapInPandas`` with an explicit result schema: Arrow moves the
+  bytes in columnar batches, pandas sees ``bytes`` objects, and the
+  batch size is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  so a partition of large blobs never materializes at once.
+
+This container has no image/audio codecs, so the *codec* step is
+stubbed (``NotImplementedError`` behind an import-try, exactly as a
+deploy without libs would fail) while everything Spark-owned — schema,
+partitioning, UDF signature, Arrow batch shape, deterministic fake
+decode for tests — is real and tested.
+
+Payloads here are deterministically synthesized from the ``documents``
+table (text bytes + a fake RIFF-ish header), since the driver testdata
+has no binary table; the plumbing is payload-agnostic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graphdatabase_spark.sources.tables import load_table
+
+# Fake container format for tests: magic + 1-byte "kind" + payload.
+MAGIC = b"GDBF"
+KINDS = ("image", "audio", "video")
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("mean_byte", T.DoubleType()),
+    T.StructField("max_byte", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_bytes", T.BinaryType()),
+])
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, kind, payload BINARY, meta STRUCT).
+
+    Payload = MAGIC ‖ kind-byte ‖ utf8(text). Metadata is extracted
+    JVM-side from the binary itself (as it would be from real media
+    headers): total length, 60-bit md5 content id, sniffed kind.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in KINDS]),
+        (F.col("doc_id") % len(KINDS) + 1).cast("int"))
+    kind_byte = (F.col("doc_id") % len(KINDS) + 48).cast("int")  # '0'+i, ascii
+    payload = F.concat(F.lit(MAGIC), F.expr("chr(kind_byte)").cast("binary"),
+                       F.encode("text", "UTF-8"))
+    base = docs.withColumn("kind_byte", kind_byte).select(
+        "doc_id", kind.alias("kind"), payload.alias("payload"))
+    return base.select(
+        "doc_id", "kind", "payload",
+        F.struct(
+            F.octet_length("payload").alias("n_bytes"),
+            F.conv(F.substring(F.md5("payload"), 1, 15), 16, 10).cast("long").alias("content_id"),
+            (F.substring("payload", 1, 4) == F.lit(MAGIC)).alias("magic_ok"),
+        ).alias("meta"),
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flattened metadata view (flat for the driver's value-hash)."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id", "kind",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_id").alias("content_id"),
+        F.col("meta.magic_ok").alias("magic_ok"),
+    )
+
+
+# The payload is pure ASCII (verified for the corpus), so the oracle
+# works on the VARCHAR form: length == octet_length and md5 sees the
+# identical bytes.
+ORACLE_MULTIMODAL_META = f"""
+WITH m AS (
+  SELECT doc_id,
+         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+         '{MAGIC.decode()}' || chr((doc_id % 3 + 48)::INT) || text AS pv
+  FROM documents
+)
+SELECT doc_id, kind,
+       length(pv)::INT AS n_bytes,
+       ('0x' || substr(md5(pv), 1, 15))::BIGINT AS content_id,
+       substr(pv, 1, 4) = '{MAGIC.decode()}' AS magic_ok
+FROM m
+"""
+
+
+# --- decode / feature extraction (Arrow-batched Python) ---------------------
+
+
+def _decode_with_codec(payload: bytes, kind: str) -> object:
+    """The real-codec hook. This container ships no media libraries, so
+    this raises; a deployment with PIL/librosa/av plugs in here."""
+    try:
+        import PIL.Image  # noqa: F401  # pragma: no cover
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            f"no codec available for {kind!r} payloads in this environment"
+        ) from exc
+    raise NotImplementedError("codec wiring reserved for deployments with media libs")
+
+
+def _fake_decode(payload: bytes) -> tuple[str, bytes]:
+    """Deterministic structural decode of the GDBF container: returns
+    (kind, body). Mirrors what a header parse does for real media."""
+    if payload[:4] != MAGIC:
+        raise ValueError("bad magic")
+    kind = KINDS[int(chr(payload[4]))]
+    return kind, payload[5:]
+
+
+def extract_features(media: DataFrame, frame_size: int = 64) -> DataFrame:
+    """Per-payload features via ``mapInPandas``: bytes arrive in Arrow
+    batches, features leave as a typed struct — the exact shape a real
+    embedding/decode stage has. Runs fully parallel per partition; no
+    shuffle (narrow transformation)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                kind, body = _fake_decode(bytes(payload))
+                n = len(body)
+                rows.append({
+                    "doc_id": doc_id,
+                    "kind": kind,
+                    "n_bytes": n,
+                    "mean_byte": (sum(body) / n) if n else 0.0,
+                    "max_byte": max(body) if n else 0,
+                    "n_frames": (n + frame_size - 1) // frame_size,
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 64, every: int = 4) -> DataFrame:
+    """Frame sampling: emit every ``every``-th fixed-size slice of each
+    payload body as its own row (what video frame-sampling does to a
+    container stream). 1→N row fan-out inside ``mapInPandas`` — still
+    narrow, no shuffle; downstream repartition decides distribution."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, body = _fake_decode(bytes(payload))
+                for idx in range(0, (len(body) + frame_size - 1) // frame_size, every):
+                    rows.append({
+                        "doc_id": doc_id,
+                        "frame_idx": idx,
+                        "frame_bytes": body[idx * frame_size:(idx + 1) * frame_size],
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the media table.
+
+    DuckDB can't run mapInPandas, but the *features themselves* are
+    byte arithmetic, so the oracle recomputes them in SQL over the same
+    payload construction — checking the whole Arrow round trip
+    end-to-end, not just row counts.
+    """
+    return extract_features(media_table(spark, sf_dir))
+
+
+# The documents corpus is pure ASCII (verified), so bytes == codepoints
+# and ascii(substr(...)) enumerates the utf8 bytes exactly.
+ORACLE_MULTIMODAL_FEATURES = """
+WITH m AS (
+  SELECT doc_id,
+         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+         text AS body
+  FROM documents
+),
+b AS (
+  SELECT doc_id, kind, length(body)::INT AS n,
+         list_transform(range(1, length(body) + 1), i -> ascii(substr(body, i, 1))) AS bl
+  FROM m
+)
+SELECT doc_id, kind, n AS n_bytes,
+       CASE WHEN n = 0 THEN 0.0 ELSE CAST(list_sum(bl) AS DOUBLE) / n END AS mean_byte,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE list_max(bl) END AS INT) AS max_byte,
+       CAST(ceil(n / 64.0) AS INT) AS n_frames
+FROM b
+"""
+
+
+QUERIES = {
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "multimodal_meta": ORACLE_MULTIMODAL_META,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+}
