@@ -23,4 +23,5 @@ rules, no JVM code.
 
 __version__ = "0.1.0"
 
+from graphdatabase_spark.engine import GraphEngine  # noqa: F401
 from graphdatabase_spark.session import get_spark  # noqa: F401

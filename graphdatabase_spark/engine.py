@@ -1,0 +1,176 @@
+"""User-facing engine facade mirroring the reference's operation
+surface (SURVEY.md §7 step 8).
+
+The reference exposes, via its client menu (``client.c:385-400``):
+op 1 add graph, op 2 modify graph (identical code path,
+``primary_server.c:223``), op 3 DFS-forest leaves, op 4 BFS level
+order, op 5 terminate — plus Assignment1's ping / file-search /
+word-count (``Assignment1/server.c:384-398``). Everything the
+reference does with message queues, shared memory, semaphore RW locks
+and replica routing collapses into Spark's own scheduler + storage
+semantics (SURVEY.md §3.3, §4.1):
+
+- **Write atomicity** (the reference's per-file named-semaphore RW
+  lock, ``primary_server.c:110-146``): dynamic partition overwrite on
+  a ``graph``-partitioned Parquet table — readers see the old or the
+  new snapshot of a graph, never a torn one, and other graphs'
+  partitions are untouched.
+- **Full-overwrite semantics** (op 1 ≡ op 2): both map to
+  ``add_graph``; the partition is replaced wholesale.
+- **1-indexed vertices** user-facing, exactly as the reference
+  (``client.c:185`` subtracts 1 on the way in; we skip the dance and
+  store 1-indexed ids end to end).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdatabase_spark.functions.text import tokens_col
+from graphdatabase_spark.operators import dfs as dfs_mod
+from graphdatabase_spark.operators import graph_algos, pregel
+from graphdatabase_spark.sources import matrix as matrix_mod
+
+EDGES_SCHEMA = "src int, dst int, graph string"
+VERTICES_SCHEMA = "vid int, graph string"
+META_SCHEMA = "n int, graph string"
+
+
+class GraphEngine:
+    """Named-graph store + traversal queries over a Parquet-backed
+    edge/vertex catalog, one pair of tables for the whole corpus of
+    graphs (that layout — not a file per graph — is what scales;
+    SURVEY.md §1.4)."""
+
+    def __init__(self, spark: SparkSession, store_path: str):
+        self.spark = spark
+        self.store = store_path
+        self.edges_path = os.path.join(store_path, "edges")
+        self.vertices_path = os.path.join(store_path, "vertices")
+        self.meta_path = os.path.join(store_path, "meta")
+
+    # -- op 1 / op 2: add / modify (full overwrite of one graph) ---------
+
+    def add_graph(self, name: str, matrix_text: str) -> None:
+        """Ingest one adjacency-matrix text (the reference's exchange
+        format) and atomically replace that graph's partition."""
+        self._write(matrix_mod.lines_from_text(self.spark, name, matrix_text))
+
+    # op 2 routes to the same implementation as op 1 — faithfully
+    # mirroring the reference's dispatch (primary_server.c:223,
+    # load_balancer.c:170).
+    modify_graph = add_graph
+
+    def ingest_dir(self, path: str) -> None:
+        """Bulk ingest a directory of matrix files (distributed read)."""
+        self._write(matrix_mod.read_matrix_files(self.spark, path))
+
+    def _write(self, lines: DataFrame) -> None:
+        # Dynamic partition overwrite = replace exactly the graphs
+        # present in this write, atomically per partition; concurrent
+        # readers keep the prior snapshot (immutable files). The meta
+        # table records every graph — including N=0 graphs, whose edge/
+        # vertex partitions are legitimately empty (the reference's
+        # G12.txt edge case).
+        meta = lines.filter(F.col("line_no") == 0).select(
+            F.trim(F.col("line")).cast("int").alias("n"), "graph")
+        writes = (
+            (matrix_mod.melt_matrix_lines(lines), self.edges_path),
+            (matrix_mod.matrix_vertices(lines), self.vertices_path),
+            (meta, self.meta_path),
+        )
+        for df, path in writes:
+            (df.select(*[c for c in df.columns if c != "graph"], "graph")
+               .write.mode("overwrite")
+               .option("partitionOverwriteMode", "dynamic")
+               .partitionBy("graph").parquet(path))
+
+    # -- catalog ----------------------------------------------------------
+
+    def _read(self, path: str, schema: str) -> DataFrame:
+        # Explicit schema: correct result even when a table has no
+        # partitions yet (e.g. only empty graphs written).
+        return self.spark.read.schema(schema).parquet(path)
+
+    def graphs(self) -> list[str]:
+        if not os.path.exists(self.meta_path):
+            return []
+        return [r["graph"] for r in
+                self._read(self.meta_path, META_SCHEMA)
+                .select("graph").distinct().orderBy("graph").collect()]
+
+    def edges(self, name: str | None = None) -> DataFrame:
+        df = self._read(self.edges_path, EDGES_SCHEMA)
+        # graph is the partition column → partition pruning, no scan of
+        # other graphs' files.
+        return df.filter(F.col("graph") == name) if name else df
+
+    def vertices(self, name: str | None = None) -> DataFrame:
+        df = self._read(self.vertices_path, VERTICES_SCHEMA)
+        return df.filter(F.col("graph") == name) if name else df
+
+    # -- op 4: BFS level order -------------------------------------------
+
+    def bfs(self, name: str, start: int) -> DataFrame:
+        """``(vertex, level)`` for every vertex reachable from
+        ``start`` (1-indexed). Level-sets match the reference's own
+        oracle (``utils/bfs_checker.py:75-76``); within-level order is
+        unspecified, exactly as in the reference (SURVEY §2.2)."""
+        levels = pregel.bfs_levels(self.edges(name).select("src", "dst"), [start])
+        return levels.select(F.col("vid").cast("int").alias("vertex"), "level")
+
+    # -- op 3: DFS-forest leaves ------------------------------------------
+
+    def dfs_leaves(self, name: str, start: int) -> DataFrame:
+        """Deterministic canonical-DFS respec of the reference's racy
+        concurrent DFS (SURVEY §2.1 A2-3): ``(leaf)``, 1-indexed."""
+        starts = self.spark.createDataFrame([(name, start)], "graph string, start long")
+        out = dfs_mod.dfs_leaves(self.edges(name).select("graph", "src", "dst"), starts)
+        return out.select(F.col("leaf").cast("int").alias("leaf"))
+
+    # -- derived analytics --------------------------------------------------
+
+    def reachable(self, name: str, start: int) -> DataFrame:
+        return pregel.reachability(self.edges(name).select("src", "dst"), [start]) \
+            .select(F.col("vid").cast("int").alias("vertex"))
+
+    def degrees(self, name: str) -> DataFrame:
+        return graph_algos.degrees(self.edges(name).select("src", "dst"))
+
+    def connected_components(self, name: str) -> DataFrame:
+        return pregel.connected_components(
+            self.edges(name).select("src", "dst"),
+            self.vertices(name).select("vid"))
+
+    # -- Assignment1 surface ----------------------------------------------
+
+    def ping(self) -> str:
+        """A1 op '1' (``server.c:54-82``) as a real liveness probe: one
+        trivial distributed job, then the literal reply."""
+        self.spark.range(1).count()
+        return "Hello"
+
+    @staticmethod
+    def file_search(docs: DataFrame, name: str) -> bool:
+        """A1 op '2' (``server.c:88-172``): does a document with this
+        source name exist? Predicate over the catalog, pushed to scan."""
+        return not docs.filter(F.col("source") == name).isEmpty()
+
+    @staticmethod
+    def word_count(docs: DataFrame, doc_id: int) -> int:
+        """A1 op '3' (``server.c:179-252``, `wc -w`): token count of one
+        document."""
+        rows = docs.filter(F.col("doc_id") == doc_id) \
+            .select(F.size(tokens_col("text")).alias("n")).collect()
+        return int(rows[0]["n"]) if rows else 0
+
+    # -- op 5: terminate ----------------------------------------------------
+
+    def shutdown(self) -> None:
+        """Op 5 (``load_balancer.c:50-117``): Spark already waits for
+        in-flight jobs; no message broadcast or semaphore teardown to
+        mirror."""
+        self.spark.stop()
