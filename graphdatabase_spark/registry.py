@@ -14,10 +14,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from graphdatabase_spark.functions import dedup, multimodal, similarity, text
-from graphdatabase_spark.operators import graph_queries, relational
+from graphdatabase_spark.operators import graph_queries, relational, temporal
 from graphdatabase_spark.streaming import streamops
 
-_MODULES = [relational, graph_queries, text, dedup, similarity, streamops, multimodal]
+_MODULES = [relational, graph_queries, text, dedup, similarity, streamops, multimodal, temporal]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

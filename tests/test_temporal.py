@@ -1,0 +1,51 @@
+"""As-of / range join: oracle parity + hand-computed semantics on
+literal frames (tie-at-same-instant, no-match-null, bucket boundaries)."""
+
+import datetime as dt
+
+import pytest
+
+from graphdatabase_spark.operators import temporal
+
+from tests.parity import assert_parity
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(sec):
+    return T0 + dt.timedelta(seconds=sec)
+
+
+@pytest.mark.parametrize("name", sorted(temporal.QUERIES))
+def test_temporal_parity(spark, sf_dir, name):
+    assert_parity(temporal.QUERIES[name](spark, sf_dir), temporal.ORACLES[name], sf_dir)
+
+
+def test_asof_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(20)), (1, _ts(5)), (2, _ts(10))],
+        "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(15), 200.0), (3, _ts(1), 999.0)],
+        "k int, ts timestamp, v double")
+    out = {(r["k"], r["ts"]): r["v_asof"] for r in
+           temporal.asof_join(left, right, "k", "ts", ["v"]).collect()}
+    assert out[(1, _ts(10))] == 100.0   # same-instant right row matches (inclusive)
+    assert out[(1, _ts(20))] == 200.0   # latest preceding
+    assert out[(1, _ts(5))] is None     # nothing at-or-before
+    assert out[(2, _ts(10))] is None    # key with no right rows
+
+
+def test_range_join_bucket_boundaries(spark):
+    """Pairs straddling a bucket boundary must still be found (the ±1
+    bucket fan-out), and pairs just outside the width must not."""
+    width = 10
+    left = spark.createDataFrame([(1, 1, _ts(19))], "event_id int, k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, 1, _ts(21)), (11, 1, _ts(29)), (12, 1, _ts(30)), (13, 2, _ts(19))],
+        "rid int, k int, ts timestamp")
+    out = temporal.range_join(left, right, "k", "ts", width, ["rid"]).collect()
+    got = sorted(r["r_rid"] for r in out)
+    # 21 and 29 are within ±10s of 19 (29 crosses the bucket boundary);
+    # 30 is outside (|30-19| = 11); key 2 never joins
+    assert got == [10, 11]
