@@ -209,14 +209,71 @@ LIMIT {TOPK}
 """
 
 
+# --- dedup_embedding (embedding-cosine near-dup pairs) -----------------------
+
+# The synthetic corpus has no planted vector near-dups (max in-bucket
+# cosine ≈ 0.45 at every SF); 0.25 keeps the result set non-trivial at
+# all scale factors so the correctness check actually checks values.
+# Production near-dup thresholds sit at 0.9+.
+EMB_DUP_THRESHOLD = 0.25
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vector pairs: cosine ≥ threshold among vectors
+    sharing a hyperplane-LSH bucket.
+
+    The scale path for embedding dedup at 100 TB: the all-pairs O(n²)
+    comparison collapses to per-bucket self-joins (2^P buckets shrink
+    each join side ~2^P-fold; near-identical vectors agree on every
+    hyperplane sign, so true near-dups co-bucket with high
+    probability). Bucketing + cosine are exact integer/IEEE math on
+    quantized components — deterministic, so the whole approximate
+    operator is still value-checkable in SQL.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
+    bucketed = quant.select("vec_id", "v", _bucket_col(F.col("v")).alias("bucket")).persist()
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+    scored = pairs.select(
+        F.col("a.vec_id").alias("vec1"), F.col("b.vec_id").alias("vec2"),
+        (_dot(F.col("a.v"), F.col("b.v")).cast("double")
+         / (F.sqrt(_norm_sq(F.col("a.v")).cast("double"))
+            * F.sqrt(_norm_sq(F.col("b.v")).cast("double")))).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
+
+
+ORACLE_DEDUP_EMBEDDING = f"""
+WITH quant AS (
+  SELECT vec_id, {QUANTIZED_SQL} AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v, {_bucket_sql()} AS bucket FROM quant
+)
+SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+       CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> a.v[i] * b.v[i])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE))) AS cos_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> a.v[i] * b.v[i])) AS DOUBLE)
+        / (sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE))
+           * sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE))) >= {EMB_DUP_THRESHOLD}
+"""
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,
+    "dedup_embedding": q_dedup_embedding,
 }
 
 ORACLES = {
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
     "embedding_cosine_topk": ORACLE_EMBEDDING_COSINE_TOPK,
     "embedding_ann_lsh": ORACLE_EMBEDDING_ANN_LSH,
+    "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
 }
