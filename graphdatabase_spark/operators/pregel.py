@@ -56,8 +56,13 @@ def bfs_levels(edges: DataFrame, start_vids: list[int],
     e = _prepare_edges(edges)
     frontier = spark.createDataFrame([(int(v),) for v in start_vids], "vid long").distinct()
     frontier = frontier.localCheckpoint(eager=True)
-    visited = frontier.withColumn("level", F.lit(0))
-    visited = visited.localCheckpoint(eager=True)
+    # One checkpointed frontier per level; `visited` is their lazy
+    # union. Each union leaf is already materialized, so lineage depth
+    # stays 1 and — unlike checkpointing the cumulative set per level —
+    # nothing re-materializes O(V) rows at every superstep (that costs
+    # O(V·depth) total; this costs O(V)).
+    frontiers: list[DataFrame] = [frontier.withColumn("level", F.lit(0))]
+    visited_vids = frontier
 
     level = 0
     while level < max_iterations:
@@ -70,16 +75,19 @@ def bfs_levels(edges: DataFrame, start_vids: list[int],
             frontier.join(e, frontier.vid == e.src)
             .select(F.col("dst").alias("vid"))
             .distinct()
-            .join(visited, "vid", "left_anti")
+            .join(visited_vids, "vid", "left_anti")
         )
         nxt = nxt.localCheckpoint(eager=True)  # also truncates lineage
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt.withColumn("level", F.lit(level)))
-        visited = visited.localCheckpoint(eager=True)
+        frontiers.append(nxt.withColumn("level", F.lit(level)))
+        visited_vids = visited_vids.unionByName(nxt)
         frontier = nxt
     e.unpersist()
-    return visited
+    out = frontiers[0]
+    for f in frontiers[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def reachability(edges: DataFrame, start_vids: list[int],
