@@ -15,9 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from graphdatabase_spark.functions import dedup, multimodal, similarity, text
 from graphdatabase_spark.operators import graph_queries, relational, temporal
-from graphdatabase_spark.streaming import streamops
+from graphdatabase_spark.streaming import stateful, streamops
 
-_MODULES = [relational, graph_queries, text, dedup, similarity, streamops, multimodal, temporal]
+_MODULES = [relational, graph_queries, text, dedup, similarity, streamops, multimodal,
+            temporal, stateful]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
