@@ -1,0 +1,102 @@
+"""SQL-text interface: the engine's tables as temp views + queries
+expressed as SQL strings through ``spark.sql`` (same Catalyst plans as
+the DataFrame API — this module exists to prove the SQL surface works
+end to end, reference has no SQL at all, SURVEY.md §2.3).
+
+Also home of the skew-salted join: the deterministic-salt pattern for
+keys hot enough that AQE's skew splitting isn't enough. Semantics are
+identical to the plain equi-join (the oracle *is* the plain join);
+only the physical distribution changes — the hot key's rows spread
+over ``SALT`` reducers instead of one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdatabase_spark.sources.tables import TABLE_NAMES, load_table
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TABLE_NAMES) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# TPC-H Q6-shaped forecast-revenue query, written as SQL text. Decimal
+# accumulation for cross-engine exactness (relational.py convention).
+SQL_FORECAST_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(SQL_FORECAST_REVENUE)
+
+
+# The oracle is the *same SQL text* modulo the timestamp-literal
+# dialect — by construction, because spark.sql and DuckDB both speak
+# ANSI over identical views.
+ORACLE_SQL_FORECAST_REVENUE = SQL_FORECAST_REVENUE
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                salt: int = 16) -> DataFrame:
+    """Inner equi-join on ``key`` with the left side's rows spread over
+    ``salt`` sub-keys and the right side replicated ``salt``× — the
+    classic fix when one key holds so many rows that a single reducer
+    (even after AQE skew splitting) becomes the stage's tail.
+
+    The left salt is derived from the whole row (xxhash64 of all
+    columns), so the spread is deterministic: same data → same
+    partitioning → reproducible runs. Result set is EXACTLY the plain
+    join's (the oracle states it as one).
+    """
+    lsalt = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int"))
+    rsalt = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    return lsalt.join(rsalt, [key, "__salt"]).drop("__salt")
+
+
+def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority through the salted join (orders ⋈
+    lineitem on the fact key), proving salting preserves semantics."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)")
+         * F.col("l_discount").cast("decimal(18,2)")).alias("disc"))
+    joined = salted_join(li, orders, "l_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("disc").cast("double").alias("disc_revenue"))
+
+
+ORACLE_SALTED_JOIN_ORDERS = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "sql_forecast_revenue": q_sql_forecast_revenue,
+    "salted_join_orders": q_salted_join_orders,
+}
+
+ORACLES = {
+    "sql_forecast_revenue": ORACLE_SQL_FORECAST_REVENUE,
+    "salted_join_orders": ORACLE_SALTED_JOIN_ORDERS,
+}

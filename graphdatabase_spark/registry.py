@@ -14,11 +14,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from graphdatabase_spark.functions import dedup, multimodal, similarity, text
-from graphdatabase_spark.operators import graph_queries, relational, temporal
+from graphdatabase_spark.operators import graph_queries, relational, sqlapi, temporal
 from graphdatabase_spark.streaming import stateful, streamops
 
 _MODULES = [relational, graph_queries, text, dedup, similarity, streamops, multimodal,
-            temporal, stateful]
+            temporal, stateful, sqlapi]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -84,3 +84,15 @@ def test_agg_is_partial_before_shuffle(spark, sf_dir):
     plan = _formatted_plan(df)
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting changes distribution, never the result set."""
+    from graphdatabase_spark.operators.sqlapi import salted_join
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_linenumber")
+    got = sorted(map(tuple, salted_join(li, orders, "k").collect()))
+    want = sorted(map(tuple, li.join(orders, "k").collect()))
+    assert got == want
