@@ -216,11 +216,49 @@ FROM events
 """
 
 
+# --- hypertable-style rollup (continuous aggregate) -------------------------
+
+def hourly_partials(events: DataFrame) -> DataFrame:
+    """The materialized hourly aggregate a hypertable keeps: decimal
+    partials so any coarser rollup re-aggregates exactly."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_dec")
+    )
+
+
+def q_events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily aggregate computed FROM the hourly partials — the
+    continuous-aggregate/hypertable pattern: the day query reads 24
+    partial rows per (day, type), never the raw events. Decimal
+    partials make the two-level re-aggregation exactly equal to a
+    direct daily aggregation (the oracle computes it directly)."""
+    hourly = hourly_partials(events_batch(spark, sf_dir))
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour_start").alias("day_start"), "event_type")
+        .agg(F.sum("n_events").alias("n_events"),
+             F.sum("sum_dec").cast("double").alias("sum_value"))
+    )
+
+
+ORACLE_EVENTS_ROLLUP_DAILY = """
+SELECT time_bucket(INTERVAL '1 day', ts) AS day_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_tumbling_counts": q_events_tumbling_counts,
     "events_sliding_avg": q_events_sliding_avg,
     "events_sessionization": q_events_sessionization,
     "events_enriched": q_events_enriched,
+    "events_rollup_daily": q_events_rollup_daily,
 }
 
 ORACLES = {
@@ -228,4 +266,5 @@ ORACLES = {
     "events_sliding_avg": ORACLE_EVENTS_SLIDING_AVG,
     "events_sessionization": ORACLE_EVENTS_SESSIONIZATION,
     "events_enriched": ORACLE_EVENTS_ENRICHED,
+    "events_rollup_daily": ORACLE_EVENTS_ROLLUP_DAILY,
 }
