@@ -189,7 +189,22 @@ WHERE vid NOT IN (SELECT src FROM graph_edges)
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the community graph (10 iterations, d=0.85).
+
+    No SQL oracle: per-vertex float sums are order-sensitive across
+    engines, so the driver records a rows-only check; correctness is
+    pinned by unit tests (regular-graph fixed point exactly 1.0,
+    python power-iteration replica within 1e-9, total mass == n).
+    """
+    edges = dg.community_edges(spark, sf_dir)
+    vertices = edges.select(F.col("src").alias("vid")).unionByName(
+        edges.select(F.col("dst").alias("vid"))).distinct()
+    return pregel.pagerank(edges, vertices)
+
+
 QUERIES = {
+    "pagerank": q_pagerank,
     "graph_ingest_matrix": q_graph_ingest_matrix,
     "graph_degree": q_graph_degree,
     "bfs_levels": q_bfs_levels,

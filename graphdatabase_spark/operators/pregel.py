@@ -106,6 +106,55 @@ def shortest_path_hops(edges: DataFrame, start_vids: list[int], target_pred,
     return levels.filter(target_pred).select("vid", F.col("level").alias("hops"))
 
 
+def pagerank(edges: DataFrame, vertices: DataFrame, damping: float = 0.85,
+             iterations: int = 10) -> DataFrame:
+    """Fixed-iteration PageRank: ``(vid, rank)``, ranks summing to the
+    vertex count (the standard 1.0-per-vertex normalization).
+
+    Each iteration is one superstep: every vertex sends rank/out_degree
+    along its out-edges (a join + map-side-combined sum shuffle), and
+    dangling vertices' mass redistributes uniformly (one scalar agg) —
+    without that term the total mass leaks and ranks drift from the
+    power-iteration fixed point. Per-iteration cost at scale: one join
+    against the persisted pre-partitioned edges + one groupBy — the
+    same shuffle shape as the BFS kernel, with a double instead of a
+    frontier."""
+    spark = edges.sparkSession
+    e = _prepare_edges(edges)
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    ev = e.join(out_deg, "src").select("src", "dst", "odeg").persist()
+    verts = vertices.select(F.col("vid").cast("long")).distinct().persist()
+    n = verts.count()
+    ranks = verts.withColumn("rank", F.lit(1.0))
+    ranks = ranks.localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(ev, ranks.vid == ev.src)
+            .select(F.col("dst").alias("vid"), (F.col("rank") / F.col("odeg")).alias("c"))
+            .groupBy("vid").agg(F.sum("c").alias("recv"))
+        )
+        # mass held by dangling vertices (no out-edges) this iteration —
+        # a 1-row aggregate broadcast into the plan, NOT collected: one
+        # materialization per iteration (the checkpoint), no extra
+        # driver round trip.
+        dangling = (
+            ranks.join(out_deg, ranks.vid == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__m"))
+        )
+        base = F.lit(1.0 - damping) + F.lit(damping) * F.col("__m") / F.lit(float(n))
+        ranks = (
+            verts.join(contribs, "vid", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select("vid", (base + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))).alias("rank"))
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    ev.unpersist()
+    verts.unpersist()
+    e.unpersist()
+    return ranks
+
+
 def connected_components(edges: DataFrame, vertices: DataFrame,
                          max_iterations: int = DEFAULT_MAX_ITERATIONS) -> DataFrame:
     """HashMin label propagation: ``(vid, component)`` where component =

@@ -139,7 +139,45 @@ def test_triangle_count_known(spark):
     assert graph_algos.triangle_count(path).collect()[0]["n_triangles"] == 0
 
 
-@pytest.mark.parametrize("name", sorted(graph_queries.QUERIES))
+@pytest.mark.parametrize("name", sorted(graph_queries.ORACLES))
 def test_graph_query_parity(spark, sf_dir, name):
     df = graph_queries.QUERIES[name](spark, sf_dir)
     assert_parity(df, graph_queries.ORACLES[name], sf_dir)
+
+
+def test_pagerank_regular_graph_fixed_point(spark):
+    """On a k-regular strongly-connected graph the uniform vector is the
+    exact fixed point: every rank stays exactly 1.0 (no float drift —
+    base + d*(1/1) telescopes)."""
+    from graphdatabase_spark.operators import pregel
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,), (3,)], "vid long")
+    ranks = {r["vid"]: r["rank"] for r in pregel.pagerank(edges, verts).collect()}
+    assert ranks == {1: 1.0, 2: 1.0, 3: 1.0}
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """Star-with-dangling graph vs a literal python replica of the same
+    iteration (same damping, dangling redistribution, iteration count)."""
+    from graphdatabase_spark.operators import pregel
+    e = [(1, 2), (1, 3), (2, 3), (4, 1)]  # 3 is dangling
+    edges = spark.createDataFrame(e, "src long, dst long")
+    verts = spark.createDataFrame([(v,) for v in (1, 2, 3, 4)], "vid long")
+    got = {r["vid"]: r["rank"] for r in pregel.pagerank(edges, verts).collect()}
+
+    d, n = 0.85, 4
+    out = {1: [2, 3], 2: [3], 4: [1]}
+    rank = {v: 1.0 for v in (1, 2, 3, 4)}
+    for _ in range(10):
+        recv = {v: 0.0 for v in rank}
+        for s, dsts in out.items():
+            for t in dsts:
+                recv[t] += rank[s] / len(dsts)
+        dangling = sum(rank[v] for v in rank if v not in out)
+        base = (1 - d) + d * dangling / n
+        rank = {v: base + d * recv[v] for v in rank}
+
+    assert got.keys() == rank.keys()
+    for v in rank:
+        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+    assert abs(sum(got.values()) - n) < 1e-9  # mass conservation
