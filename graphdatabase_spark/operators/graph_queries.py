@@ -189,6 +189,32 @@ WHERE vid NOT IN (SELECT src FROM graph_edges)
 """
 
 
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP from region 0 over the full derived graph with
+    deterministic weights ((src+dst) % 7 + 1). The order→part layer
+    gives real relaxation competition: a part is reachable through many
+    orders at different accumulated costs."""
+    e = dg.full_edges(spark, sf_dir).select(
+        "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("weight"))
+    return pregel.sssp_weighted(e, [0])
+
+
+# Hop bound 6 > the derived DAG's depth (5 levels), so the bounded
+# recursion reaches every minimal path.
+ORACLE_SSSP_WEIGHTED = f"""
+WITH RECURSIVE {dg.EDGES_CTE},
+we(src, dst, w) AS (SELECT src, dst, (src + dst) % 7 + 1 FROM graph_edges),
+sp(vid, dist, hops) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+  UNION
+  SELECT we.dst, sp.dist + we.w, sp.hops + 1
+  FROM sp JOIN we ON we.src = sp.vid
+  WHERE sp.hops < 6
+)
+SELECT vid, MIN(dist) AS dist FROM sp GROUP BY vid
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the community graph (10 iterations, d=0.85).
 
@@ -205,6 +231,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "pagerank": q_pagerank,
+    "sssp_weighted": q_sssp_weighted,
     "graph_ingest_matrix": q_graph_ingest_matrix,
     "graph_degree": q_graph_degree,
     "bfs_levels": q_bfs_levels,
@@ -217,6 +244,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sssp_weighted": ORACLE_SSSP_WEIGHTED,
     "graph_ingest_matrix": ORACLE_GRAPH_INGEST_MATRIX,
     "graph_degree": ORACLE_GRAPH_DEGREE,
     "bfs_levels": ORACLE_BFS_LEVELS,

@@ -106,6 +106,49 @@ def shortest_path_hops(edges: DataFrame, start_vids: list[int], target_pred,
     return levels.filter(target_pred).select("vid", F.col("level").alias("hops"))
 
 
+def sssp_weighted(edges: DataFrame, start_vids: list[int],
+                  max_iterations: int = DEFAULT_MAX_ITERATIONS) -> DataFrame:
+    """Weighted single-source shortest paths (non-negative weights):
+    ``(vid, dist)`` by Bellman-Ford-style relaxation — each superstep
+    relaxes every edge out of vertices whose distance improved last
+    round (the "active" frontier), exactly the delta-stepping-without-
+    buckets formulation that maps onto the BFS kernel's shuffle shape.
+    Converges in ≤ |V| supersteps; terminates as soon as no distance
+    improves. Input: ``(src, dst, weight)``."""
+    spark = edges.sparkSession
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"),
+                     F.col("weight").cast("long"))
+    e = e.repartition("src").persist()
+    dist = spark.createDataFrame([(int(v), 0) for v in start_vids], "vid long, dist long")
+    dist = dist.localCheckpoint(eager=True)
+    active = dist
+
+    for _ in range(max_iterations):
+        cand = (
+            active.join(e, active.vid == e.src)
+            .select(F.col("dst").alias("vid"), (F.col("dist") + F.col("weight")).alias("d"))
+            .groupBy("vid").agg(F.min("d").alias("d"))
+        )
+        # improvements: candidate strictly better than current (or new)
+        improved = (
+            cand.join(dist.withColumnRenamed("dist", "cur"), "vid", "left")
+            .filter(F.col("cur").isNull() | (F.col("d") < F.col("cur")))
+            .select("vid", F.col("d").alias("dist"))
+        )
+        improved = improved.localCheckpoint(eager=True)
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.withColumnRenamed("dist", "nd"), "vid", "left")
+            .select("vid", F.coalesce("nd", "dist").alias("dist"))
+            .unionByName(improved.join(dist, "vid", "left_anti"))
+        )
+        dist = dist.localCheckpoint(eager=True)
+        active = improved
+    e.unpersist()
+    return dist
+
+
 def pagerank(edges: DataFrame, vertices: DataFrame, damping: float = 0.85,
              iterations: int = 10) -> DataFrame:
     """Fixed-iteration PageRank: ``(vid, rank)``, ranks summing to the

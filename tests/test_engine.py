@@ -96,3 +96,16 @@ def test_a1_surface(engine, spark, sf_dir):
     did, text = docs.select("doc_id", "text").first()
     n = engine.word_count(docs, did)
     assert n == len([t for t in __import__("re").split(r"[^a-z0-9]+", text.lower()) if t])
+
+
+def test_ingest_dir_bulk(engine, spark, tmp_path):
+    """Bulk matrix-file ingest: a directory of graph files lands as one
+    distributed write, every graph addressable afterwards."""
+    d = tmp_path / "graphs"
+    d.mkdir()
+    (d / "GA.txt").write_text("2\n0 1\n0 0\n")
+    (d / "GB.txt").write_text("3\n0 1 0\n0 0 1\n1 0 0\n")
+    engine.ingest_dir(str(d))
+    assert engine.graphs() == ["GA", "GB"]
+    assert {(r["src"], r["dst"]) for r in engine.edges("GB").collect()} == {(1, 2), (2, 3), (3, 1)}
+    assert {r["vid"] for r in engine.vertices("GA").collect()} == {1, 2}
