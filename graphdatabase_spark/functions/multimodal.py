@@ -185,6 +185,32 @@ def sample_frames(media: DataFrame, frame_size: int = 64, every: int = 4) -> Dat
     return media.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
 
 
+def resize_payloads(media: DataFrame, factor: int = 4) -> DataFrame:
+    """Resize/downsample step: emits a payload 1/``factor`` the size.
+
+    With a codec present this is the image-resize / audio-resample
+    hook (`_decode_with_codec`); the shipped deterministic stand-in
+    keeps every ``factor``-th body byte — enough to test the Spark
+    contract that matters: binary in → smaller binary out, schema
+    preserved, narrow (no shuffle), Arrow both ways."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                kind, body = _fake_decode(bytes(payload))
+                out.append({"doc_id": doc_id, "kind": kind,
+                            "payload_small": body[::factor]})
+            yield pd.DataFrame(out, columns=["doc_id", "kind", "payload_small"])
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload_small", T.BinaryType()),
+    ])
+    return media.select("doc_id", "payload").mapInPandas(run, schema)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over the media table.
 

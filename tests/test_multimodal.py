@@ -53,3 +53,15 @@ def test_fake_decode_roundtrip():
     assert kind == "video" and body == b"hello"
     with pytest.raises(ValueError):
         mm._fake_decode(b"XXXX0abc")
+
+
+def test_resize_downsamples_deterministically(spark, sf_dir):
+    m = mm.media_table(spark, sf_dir).filter(F.col("doc_id") < 10).cache()
+    small = {r["doc_id"]: bytes(r["payload_small"])
+             for r in mm.resize_payloads(m, factor=4).collect()}
+    bodies = {r["doc_id"]: bytes(r["payload"])[5:] for r in m.collect()}
+    m.unpersist()
+    assert small.keys() == bodies.keys()
+    for d, body in bodies.items():
+        assert small[d] == body[::4]
+        assert len(small[d]) <= len(body) // 4 + 1
