@@ -209,7 +209,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold and precision = 1.0 (verification is exact).
     """
     hs = cached_shingle_hashes(spark, sf_dir)
-    cands = lsh_candidate_pairs(minhash_signatures(hs))
+    # Signatures feed both sides of the band self-join; persist so the
+    # 32 min-aggregations run once.
+    cands = lsh_candidate_pairs(minhash_signatures(hs).persist())
     sets = hs.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
     s1 = sets.select(F.col("doc_id").alias("doc1"), F.col("hs").alias("hs1"))
     s2 = sets.select(F.col("doc_id").alias("doc2"), F.col("hs").alias("hs2"))
