@@ -205,6 +205,35 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 
 # ---------------------------------------------------------------------------
+# q_returns_cube — CUBE: all 2^k grouping sets in one pass (the other
+# half of the grouping-sets family; same expand-then-aggregate plan).
+# ---------------------------------------------------------------------------
+
+def q_returns_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(_dec("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+ORACLE_RETURNS_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_top_orders_per_customer — window functions: partitioned row_number
 # top-k (the scalable per-group top-k: one shuffle on the partition key,
 # no global sort).
@@ -424,6 +453,7 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "customers_without_orders": q_customers_without_orders,
     "order_priority_rollup": q_order_priority_rollup,
+    "returns_cube": q_returns_cube,
     "top_orders_per_customer": q_top_orders_per_customer,
     "running_revenue": q_running_revenue,
     "top_expensive_orders": q_top_expensive_orders,
@@ -439,6 +469,7 @@ ORACLES = {
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     "order_priority_rollup": ORACLE_ORDER_PRIORITY_ROLLUP,
+    "returns_cube": ORACLE_RETURNS_CUBE,
     "top_orders_per_customer": ORACLE_TOP_ORDERS_PER_CUSTOMER,
     "running_revenue": ORACLE_RUNNING_REVENUE,
     "top_expensive_orders": ORACLE_TOP_EXPENSIVE_ORDERS,
