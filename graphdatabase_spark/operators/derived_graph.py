@@ -40,6 +40,17 @@ OFF_PART = 1_000_000_000
 OFF_CUSTOMER = 100_000_000
 OFF_ORDER = 10_000_000_000
 
+# Depth of the derived DAG defined by EDGES_CTE below: the longest
+# path region→nation→customer→order→part has 4 edges. Every bounded
+# recursive oracle (BFS levels, hop counts, weighted SSSP — on a DAG no
+# minimal path exceeds the edge depth) recurses to MAX_ORACLE_HOPS,
+# kept strictly above the depth so the bound can never truncate a
+# minimal path; tests/test_graph.py asserts the Spark frontier is empty
+# at the bound, so a future deeper derivation fails loudly instead of
+# silently under-counting.
+FULL_GRAPH_DEPTH = 4
+MAX_ORACLE_HOPS = FULL_GRAPH_DEPTH + 2
+
 
 def full_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete derived edge list ``(src, dst)`` (both long)."""

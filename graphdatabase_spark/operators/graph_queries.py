@@ -71,7 +71,7 @@ bfs(vid, level) AS (
   UNION
   SELECT e.dst, b.level + 1
   FROM bfs b JOIN graph_edges e ON e.src = b.vid
-  WHERE b.level < 10
+  WHERE b.level < {dg.MAX_ORACLE_HOPS}
 )
 SELECT vid, MIN(level) AS level FROM bfs GROUP BY vid
 """
@@ -106,7 +106,7 @@ bfs(vid, level) AS (
   UNION
   SELECT e.dst, b.level + 1
   FROM bfs b JOIN graph_edges e ON e.src = b.vid
-  WHERE b.level < 10
+  WHERE b.level < {dg.MAX_ORACLE_HOPS}
 )
 SELECT vid, MIN(level) AS hops FROM bfs
 WHERE vid >= {dg.OFF_SUPPLIER} AND vid < {dg.OFF_CUSTOMER}
@@ -196,11 +196,14 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders at different accumulated costs."""
     e = dg.full_edges(spark, sf_dir).select(
         "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("weight"))
-    return pregel.sssp_weighted(e, [0])
+    # Weights are integral, so the double-accumulated distances are
+    # exact and the cast back to long is lossless (oracle sums BIGINT).
+    return pregel.sssp_weighted(e, [0]).select(
+        "vid", F.col("dist").cast("long").alias("dist"))
 
 
-# Hop bound 6 > the derived DAG's depth (5 levels), so the bounded
-# recursion reaches every minimal path.
+# On a DAG no minimal path exceeds the edge depth, so MAX_ORACLE_HOPS
+# (> FULL_GRAPH_DEPTH) reaches every minimal path.
 ORACLE_SSSP_WEIGHTED = f"""
 WITH RECURSIVE {dg.EDGES_CTE},
 we(src, dst, w) AS (SELECT src, dst, (src + dst) % 7 + 1 FROM graph_edges),
@@ -209,24 +212,66 @@ sp(vid, dist, hops) AS (
   UNION
   SELECT we.dst, sp.dist + we.w, sp.hops + 1
   FROM sp JOIN we ON we.src = sp.vid
-  WHERE sp.hops < 6
+  WHERE sp.hops < {dg.MAX_ORACLE_HOPS}
 )
 SELECT vid, MIN(dist) AS dist FROM sp GROUP BY vid
 """
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the community graph (10 iterations, d=0.85).
+    """PageRank over the community graph (10 iterations, d=85/100),
+    computed in scaled-int64 arithmetic (``rank_q ≈ rank * 1e9``).
 
-    No SQL oracle: per-vertex float sums are order-sensitive across
-    engines, so the driver records a rows-only check; correctness is
-    pinned by unit tests (regular-graph fixed point exactly 1.0,
-    python power-iteration replica within 1e-9, total mass == n).
+    The integer formulation makes every step bit-exact regardless of
+    partitioning or engine, so the DuckDB oracle (the same 10 iterations
+    unrolled as a CTE chain) hash-matches — float PageRank can't be
+    oracled this way because per-vertex sums are association-order-
+    sensitive. The float variant (:func:`pregel.pagerank`) remains the
+    user API; unit tests pin the two within truncation tolerance plus
+    the float fixed-point/replica properties.
     """
     edges = dg.community_edges(spark, sf_dir)
     vertices = edges.select(F.col("src").alias("vid")).unionByName(
         edges.select(F.col("dst").alias("vid"))).distinct()
-    return pregel.pagerank(edges, vertices)
+    return pregel.pagerank_quantized(edges, vertices)
+
+
+def _pagerank_oracle_sql(iterations: int = 10, scale: int = 10**9) -> str:
+    """Unrolled power iteration mirroring pregel.pagerank_quantized
+    integer-for-integer: r0..r{k} CTEs, each one iteration (contribs =
+    SUM(rank_q // odeg) per dst, dangling mass redistributed uniformly,
+    damping as the exact rational 85/100). No recursive-CTE aggregates
+    needed — the iteration count is a compile-time constant."""
+    base_const = (15 * scale) // 100
+    parts = [
+        dg.COMMUNITY_EDGES_CTE.strip(),
+        ("verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM graph_edges"
+         " UNION ALL SELECT dst AS vid FROM graph_edges))"),
+        "odeg AS (SELECT src AS vid, COUNT(*) AS odeg FROM graph_edges GROUP BY 1)",
+        "nn AS (SELECT COUNT(*) AS n FROM verts)",
+        f"r0 AS MATERIALIZED (SELECT vid, CAST({scale} AS BIGINT) AS rank_q FROM verts)",
+    ]
+    # MATERIALIZED is load-bearing: each r{i} is referenced by c/m/r of
+    # the next iteration, so inlined CTEs re-evaluate the whole prefix
+    # ~3× per level (3^10 blowup by r10).
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS vid, SUM(r.rank_q // o.odeg) AS recv"
+            f" FROM r{p} r JOIN odeg o ON r.vid = o.vid"
+            f" JOIN graph_edges e ON e.src = r.vid GROUP BY e.dst)")
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank_q), 0) AS m FROM r{p} r"
+            f" LEFT JOIN odeg o ON r.vid = o.vid WHERE o.vid IS NULL)")
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT v.vid, CAST({base_const}"
+            f" + (85 * ((SELECT m FROM m{i}) // (SELECT n FROM nn))) // 100"
+            f" + (85 * COALESCE(c.recv, 0)) // 100 AS BIGINT) AS rank_q"
+            f" FROM verts v LEFT JOIN c{i} c ON v.vid = c.vid)")
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vid, rank_q FROM r{iterations}"
+
+
+ORACLE_PAGERANK = _pagerank_oracle_sql()
 
 
 QUERIES = {
@@ -244,6 +289,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pagerank": ORACLE_PAGERANK,
     "sssp_weighted": ORACLE_SSSP_WEIGHTED,
     "graph_ingest_matrix": ORACLE_GRAPH_INGEST_MATRIX,
     "graph_degree": ORACLE_GRAPH_DEGREE,

@@ -114,12 +114,15 @@ def sssp_weighted(edges: DataFrame, start_vids: list[int],
     round (the "active" frontier), exactly the delta-stepping-without-
     buckets formulation that maps onto the BFS kernel's shuffle shape.
     Converges in ≤ |V| supersteps; terminates as soon as no distance
-    improves. Input: ``(src, dst, weight)``."""
+    improves. Input: ``(src, dst, weight)`` with non-negative weights —
+    fractional weights are honored (distances accumulate in double;
+    for integral weights every sum below 2^53 is still exact, so
+    integer-weighted callers can safely cast the result back)."""
     spark = edges.sparkSession
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"),
-                     F.col("weight").cast("long"))
+                     F.col("weight").cast("double"))
     e = e.repartition("src").persist()
-    dist = spark.createDataFrame([(int(v), 0) for v in start_vids], "vid long, dist long")
+    dist = spark.createDataFrame([(int(v), 0.0) for v in start_vids], "vid long, dist double")
     dist = dist.localCheckpoint(eager=True)
     active = dist
 
@@ -190,6 +193,65 @@ def pagerank(edges: DataFrame, vertices: DataFrame, damping: float = 0.85,
             verts.join(contribs, "vid", "left")
             .crossJoin(F.broadcast(dangling))
             .select("vid", (base + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))).alias("rank"))
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    ev.unpersist()
+    verts.unpersist()
+    e.unpersist()
+    return ranks
+
+
+def pagerank_quantized(edges: DataFrame, vertices: DataFrame,
+                       iterations: int = 10, scale: int = 10**9) -> DataFrame:
+    """PageRank in scaled-int64 arithmetic: ``(vid, rank_q)`` where
+    ``rank_q ≈ rank * scale`` and damping is the exact rational 85/100.
+
+    Same superstep structure as :func:`pagerank` (contribution join +
+    map-side-combined sum + dangling-mass redistribution), but every
+    operation is integer — per-edge contribution is ``rank_q div odeg``
+    and the damping multiply-divide is ``(85 * x) div 100`` — so the
+    result is BIT-EXACT regardless of execution order, partitioning, or
+    engine. That makes it cross-engine oracle-able (float PageRank is
+    not: per-vertex sums are association-order-sensitive). Truncation
+    error vs the float fixed point is ≤ odeg/scale per vertex per
+    iteration — ~1e-9 at the default scale, far below any ranking use.
+
+    Overflow envelope: total mass is n*scale and the hottest intermediate
+    is ``85 * recv_q ≤ 85 * n * scale``; with scale=1e9 that stays under
+    2^63 for n up to ~1e8 vertices. Beyond that, drop ``scale`` one
+    decade per 10× vertices (resolution degrades gracefully).
+
+    Reference anchor: flagship Pregel instantiation of the BSP kernel
+    (``secondary_server.c:588-618``).
+    """
+    e = _prepare_edges(edges)
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    ev = e.join(out_deg, "src").select("src", "dst", "odeg").persist()
+    verts = vertices.select(F.col("vid").cast("long")).distinct().persist()
+    n = verts.count()
+    base_const = (15 * scale) // 100
+    ranks = verts.withColumn("rank_q", F.lit(scale).cast("long"))
+    ranks = ranks.localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(ev, ranks.vid == ev.src)
+            .select(F.col("dst").alias("vid"), F.expr("rank_q div odeg").alias("c"))
+            .groupBy("vid").agg(F.sum("c").alias("recv"))
+        )
+        dangling = (
+            ranks.join(out_deg, ranks.vid == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).cast("long").alias("__m"))
+        )
+        ranks = (
+            verts.join(contribs, "vid", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "vid",
+                (F.lit(base_const)
+                 + F.expr(f"(85 * (__m div {n})) div 100")
+                 + F.expr("(85 * coalesce(recv, 0L)) div 100")
+                 ).cast("long").alias("rank_q"))
         )
         ranks = ranks.localCheckpoint(eager=True)
     ev.unpersist()

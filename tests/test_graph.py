@@ -181,3 +181,46 @@ def test_pagerank_matches_python_power_iteration(spark):
     for v in rank:
         assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
     assert abs(sum(got.values()) - n) < 1e-9  # mass conservation
+
+
+def test_oracle_hop_bound_exceeds_actual_depth(spark, sf_dir):
+    """The recursive oracles bound recursion at MAX_ORACLE_HOPS; if the
+    derived graph ever grows deeper than FULL_GRAPH_DEPTH the oracles
+    would silently truncate — this test makes that failure loud."""
+    from graphdatabase_spark.operators import derived_graph as dg
+    levels = graph_queries.QUERIES["bfs_levels"](spark, sf_dir)
+    max_level = levels.agg(F.max("level").alias("m")).collect()[0]["m"]
+    assert max_level == dg.FULL_GRAPH_DEPTH, \
+        f"derived DAG depth changed ({max_level}); update FULL_GRAPH_DEPTH"
+    assert max_level < dg.MAX_ORACLE_HOPS
+
+
+def test_sssp_honors_fractional_weights(spark):
+    """Fractional weights must not be silently truncated: with w=0.5 on
+    the long path and w=2 on the direct edge, the 3-hop path (1.5) must
+    beat the 1-hop path (2.0)."""
+    from graphdatabase_spark.operators import pregel
+    edges = spark.createDataFrame(
+        [(0, 1, 0.5), (1, 2, 0.5), (2, 3, 0.5), (0, 3, 2.0)],
+        "src long, dst long, weight double")
+    dist = {r["vid"]: r["dist"] for r in pregel.sssp_weighted(edges, [0]).collect()}
+    assert dist[3] == 1.5
+
+
+def test_pagerank_quantized_tracks_float(spark):
+    """The scaled-int64 variant (the oracle-able query path) stays
+    within integer-truncation tolerance of the float PageRank on the
+    star-with-dangling graph: |rank_q/1e9 - rank| bounded by the
+    accumulated per-iteration div-truncation (≪ 1e-6 here)."""
+    from graphdatabase_spark.operators import pregel
+    e = [(1, 2), (1, 3), (2, 3), (4, 1)]  # 3 is dangling
+    edges = spark.createDataFrame(e, "src long, dst long")
+    verts = spark.createDataFrame([(v,) for v in (1, 2, 3, 4)], "vid long")
+    flt = {r["vid"]: r["rank"] for r in pregel.pagerank(edges, verts).collect()}
+    qnt = {r["vid"]: r["rank_q"] for r in
+           pregel.pagerank_quantized(edges, verts).collect()}
+    assert qnt.keys() == flt.keys()
+    for v in flt:
+        assert abs(qnt[v] / 1e9 - flt[v]) < 1e-6, (v, qnt[v], flt[v])
+    # truncation only ever loses mass, never invents it
+    assert sum(qnt.values()) <= 4 * 10**9
