@@ -24,6 +24,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphdatabase_spark.cache import shared_persist
 from graphdatabase_spark.functions.dedup import _hashes_cte, cached_shingle_hashes
 from graphdatabase_spark.sources.tables import load_table
 
@@ -34,17 +35,34 @@ TOPK = 10
 EMB_DIM = 64
 QUANT = 1_000_000  # fixed-point scale for exact integer dot products
 
-ANN_PLANES = 8  # 2^8 = 256 buckets
+# Default hyperplane count for the registered queries (2^8 = 256
+# buckets — sized for the synthetic testdata's 500-5e4 vectors).
+#
+# Sizing rule at scale: planes ≈ ceil(log2(N / B)) where B is the
+# target bucket population; per-bucket self-join work is O(B²) and
+# bucket count is 2^planes, so e.g. N = 1e9 vectors with B ≈ 4k wants
+# planes ≈ 18. Every helper below takes ``num_planes`` so callers dial
+# this per corpus; recall at high plane counts is recovered by OR-ing
+# several independent tables (``seed`` parameter) rather than by
+# shrinking planes.
+ANN_PLANES = 8
 
 
-def _plane_sign(p: int, d: int) -> int:
+def _plane_sign(p: int, d: int, seed: str = "plane") -> int:
     """Deterministic ±1 from md5 — the same derivation is inlined into
     the SQL oracle as literals, so both engines share the planes."""
-    h = hashlib.md5(f"plane{p}_{d}".encode()).hexdigest()
+    h = hashlib.md5(f"{seed}{p}_{d}".encode()).hexdigest()
     return 1 if int(h[:15], 16) % 2 == 0 else -1
 
 
-PLANE_SIGNS = [[_plane_sign(p, d) for d in range(EMB_DIM)] for p in range(ANN_PLANES)]
+def plane_signs(num_planes: int = ANN_PLANES, dim: int = EMB_DIM,
+                seed: str = "plane") -> list[list[int]]:
+    """Sign matrix for ``num_planes`` random hyperplanes. Distinct
+    ``seed`` values give independent tables for OR-amplified recall."""
+    return [[_plane_sign(p, d, seed) for d in range(dim)] for p in range(num_planes)]
+
+
+PLANE_SIGNS = plane_signs()
 
 
 def quantized(col) -> F.Column:
@@ -146,24 +164,28 @@ LIMIT {TOPK}
 
 # --- embedding_ann_lsh (bucketed approximate path) ---------------------------
 
-def _bucket_col(v) -> F.Column:
+def _bucket_col(v, num_planes: int = ANN_PLANES, seed: str = "plane") -> F.Column:
     """LSH bucket id: bit p = (signed projection onto plane p) ≥ 0.
     Projections are exact int64 sums of quantized components."""
+    signs_all = plane_signs(num_planes, seed=seed)
     bucket = F.lit(0).cast("long")
-    for p in range(ANN_PLANES):
-        signs = F.array(*[F.lit(s) for s in PLANE_SIGNS[p]]).cast("array<bigint>")
+    for p in range(num_planes):
+        signs = F.array(*[F.lit(s) for s in signs_all[p]]).cast("array<bigint>")
         proj = _dot(signs, v)
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
 
 
-def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str,
+                        num_planes: int = ANN_PLANES) -> DataFrame:
     """ANN top-k: scan only the query's hyperplane bucket, exact cosine
     within it. Deterministic (md5-derived planes + integer projections)
-    ⇒ fully oracle-checkable despite being approximate."""
+    ⇒ fully oracle-checkable despite being approximate. ``num_planes``
+    sizes the bucket grid (see the ANN_PLANES sizing rule)."""
     emb = load_table(spark, sf_dir, "embeddings")
     quant = emb.select("vec_id", "label", quantized(F.col("embedding")).alias("v"))
-    bucketed = quant.select("vec_id", "label", "v", _bucket_col(F.col("v")).alias("bucket"))
+    bucketed = quant.select("vec_id", "label", "v",
+                            _bucket_col(F.col("v"), num_planes).alias("bucket"))
     qrow = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qbucket"))
     cands = bucketed.filter(F.col("vec_id") != QUERY_VEC_ID).join(
@@ -177,25 +199,26 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOPK)
 
 
-def _plane_proj_sql(p: int) -> str:
-    signs = ", ".join(str(s) for s in PLANE_SIGNS[p])
+def _plane_proj_sql(p: int, num_planes: int = ANN_PLANES, seed: str = "plane") -> str:
+    signs = ", ".join(str(s) for s in plane_signs(num_planes, seed=seed)[p])
     return (f"(list_sum(list_transform(range(1, {EMB_DIM} + 1), "
             f"i -> ([{signs}]::BIGINT[])[i] * v[i])) >= 0)")
 
 
-def _bucket_sql() -> str:
+def _bucket_sql(num_planes: int = ANN_PLANES, seed: str = "plane") -> str:
     terms = " + ".join(
-        f"(CASE WHEN {_plane_proj_sql(p)} THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
-        for p in range(ANN_PLANES))
+        f"(CASE WHEN {_plane_proj_sql(p, num_planes, seed)} THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p in range(num_planes))
     return f"({terms})"
 
 
-ORACLE_EMBEDDING_ANN_LSH = f"""
+def oracle_embedding_ann_lsh(num_planes: int = ANN_PLANES) -> str:
+    return f"""
 WITH quant AS (
   SELECT vec_id, label, {QUANTIZED_SQL} AS v FROM embeddings
 ),
 bucketed AS (
-  SELECT vec_id, label, v, {_bucket_sql()} AS bucket FROM quant
+  SELECT vec_id, label, v, {_bucket_sql(num_planes)} AS bucket FROM quant
 ),
 q AS (SELECT v AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = {QUERY_VEC_ID})
 SELECT vec_id, label, bucket,
@@ -209,6 +232,9 @@ LIMIT {TOPK}
 """
 
 
+ORACLE_EMBEDDING_ANN_LSH = oracle_embedding_ann_lsh()
+
+
 # --- dedup_embedding (embedding-cosine near-dup pairs) -----------------------
 
 # The synthetic corpus has no planted vector near-dups (max in-bucket
@@ -218,7 +244,8 @@ LIMIT {TOPK}
 EMB_DUP_THRESHOLD = 0.25
 
 
-def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_embedding(spark: SparkSession, sf_dir: str,
+                      num_planes: int = ANN_PLANES) -> DataFrame:
     """Near-duplicate vector pairs: cosine ≥ threshold among vectors
     sharing a hyperplane-LSH bucket.
 
@@ -232,7 +259,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
-    bucketed = quant.select("vec_id", "v", _bucket_col(F.col("v")).alias("bucket")).persist()
+    bucketed = shared_persist(
+        spark, ("emb_bucketed", sf_dir, num_planes),
+        lambda: quant.select("vec_id", "v",
+                             _bucket_col(F.col("v"), num_planes).alias("bucket")))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -245,12 +275,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
 
 
-ORACLE_DEDUP_EMBEDDING = f"""
+def oracle_dedup_embedding(num_planes: int = ANN_PLANES) -> str:
+    return f"""
 WITH quant AS (
   SELECT vec_id, {QUANTIZED_SQL} AS v FROM embeddings
 ),
 bucketed AS (
-  SELECT vec_id, v, {_bucket_sql()} AS bucket FROM quant
+  SELECT vec_id, v, {_bucket_sql(num_planes)} AS bucket FROM quant
 )
 SELECT a.vec_id AS vec1, b.vec_id AS vec2,
        CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> a.v[i] * b.v[i])) AS DOUBLE)
@@ -262,6 +293,9 @@ WHERE CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> a.v[i] * b.v[i]
         / (sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE))
            * sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE))) >= {EMB_DUP_THRESHOLD}
 """
+
+
+ORACLE_DEDUP_EMBEDDING = oracle_dedup_embedding()
 
 
 QUERIES = {

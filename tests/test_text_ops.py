@@ -74,6 +74,50 @@ def test_ann_lsh_finds_near_neighbors(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_near_dup_boilerplate_guard(spark, sf_dir_mid):
+    """max_shingle_freq is the 100 TB skew escape hatch: a shingle
+    shared by more than X docs is boilerplate — dropping it must (a)
+    kill the hot-key candidate pairs it generated while (b) keeping
+    genuinely near-identical pairs, whose overlap spans many rare
+    shingles."""
+    sh = dedup.cached_shingle_hashes(spark, sf_dir_mid)
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("f"))
+    max_f = freq.agg(F.max("f").alias("m")).collect()[0]["m"]
+    assert max_f > 2, "corpus must contain a shared (boilerplate-like) shingle"
+    guard = max(2, max_f // 2)
+
+    unguarded = {(r["doc1"], r["doc2"]) for r in
+                 dedup.near_dup_pairs(sh, threshold=0.0).collect()}
+    guarded = {(r["doc1"], r["doc2"]) for r in
+               dedup.near_dup_pairs(sh, threshold=0.0,
+                                    max_shingle_freq=guard).collect()}
+    # dropping shingles only removes candidates, never invents them
+    assert guarded <= unguarded
+    assert guarded < unguarded, "guard had no effect — hot shingles survived"
+    # planted near-dups (high full-set Jaccard) still pair up post-guard
+    strong = {(r["doc1"], r["doc2"]) for r in
+              dedup.near_dup_pairs(sh, threshold=0.8).collect()}
+    assert strong, "corpus must contain strong near-dup pairs"
+    assert strong <= guarded, "guard dropped true near-duplicate pairs"
+
+
+def test_ann_lsh_16_planes_matches_oracle(spark, sf_dir):
+    """The plane count is a real parameter, not a baked-in 8: at 16
+    planes (65536 buckets) the Spark bucketing still matches the
+    DuckDB oracle generated for the same plane count, and buckets use
+    all 16 bits."""
+    assert_parity(
+        similarity.q_embedding_ann_lsh(spark, sf_dir, num_planes=16),
+        similarity.oracle_embedding_ann_lsh(num_planes=16), sf_dir)
+    from graphdatabase_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = emb.select(
+        similarity._bucket_col(
+            similarity.quantized(F.col("embedding")), 16).alias("b"))
+    hi = buckets.filter(F.col("b") >= (1 << 8)).count()
+    assert hi > 0, "high planes never set — parameter not actually in effect"
+
+
 def test_tokens_convention(spark):
     df = spark.createDataFrame([("Hello, World2  x!",)], "text string")
     toks = df.select(text.tokens_col("text").alias("t")).collect()[0]["t"]
