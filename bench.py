@@ -36,6 +36,10 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
 
+    # Free the session-shared operator caches (shingle index, LSH
+    # buckets, …) so back-to-back bench runs in one process start cold.
+    registry.release()
+
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:
         sf_num = float(sf)

@@ -29,6 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphdatabase_spark import cache
 from graphdatabase_spark.functions.text import tokens_col
 from graphdatabase_spark.operators import dfs as dfs_mod
 from graphdatabase_spark.operators import graph_algos, pregel
@@ -75,6 +76,16 @@ class GraphEngine:
         # table records every graph — including N=0 graphs, whose edge/
         # vertex partitions are legitimately empty (the reference's
         # G12.txt edge case).
+        #
+        # The three tables are three independent per-partition-atomic
+        # writes, NOT one cross-table transaction (the reference's
+        # per-graph RW lock covers all state at once). Meta is
+        # deliberately written LAST as the commit marker: a reader that
+        # takes `graphs()` membership from meta before touching edges/
+        # vertices never observes a half-written new graph. A reader
+        # that races a *modify* of a graph it already knows can still
+        # see new edges with old vertices during the window — callers
+        # needing full snapshot isolation should version the store path.
         meta = lines.filter(F.col("line_no") == 0).select(
             F.trim(F.col("line")).cast("int").alias("n"), "graph")
         writes = (
@@ -172,5 +183,8 @@ class GraphEngine:
     def shutdown(self) -> None:
         """Op 5 (``load_balancer.c:50-117``): Spark already waits for
         in-flight jobs; no message broadcast or semaphore teardown to
-        mirror."""
+        mirror. Shared operator caches are released first so a
+        long-lived session that stops this engine frees its storage
+        memory."""
+        cache.release_caches()
         self.spark.stop()

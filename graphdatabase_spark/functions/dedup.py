@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphdatabase_spark.cache import shared_persist
 from graphdatabase_spark.functions.hashing import (
     MINHASH_PRIME,
     md5_int64,
@@ -66,7 +67,8 @@ def shingle_hashes(shingles: DataFrame) -> DataFrame:
 
 
 def cached_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The (doc_id, h) inverted-index input, persisted.
+    """The (doc_id, h) inverted-index input, persisted ONCE per session
+    via the shared-cache registry.
 
     Every near-dup/similarity operator references this relation 2-3
     times (pair join sides + per-doc counts); without persistence Spark
@@ -74,8 +76,9 @@ def cached_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant cost. Persisting the compact post-hash form (16 bytes/row,
     the strings are already gone) is exactly what a production pipeline
     does with its shingle index at 100 TB: materialize once, feed every
-    downstream consumer."""
-    return shingle_hashes(doc_shingles(spark, sf_dir)).persist()
+    downstream consumer. ``cache.release_caches()`` frees it."""
+    return shared_persist(spark, ("shingle_hashes", sf_dir),
+                          lambda: shingle_hashes(doc_shingles(spark, sf_dir)))
 
 
 def _shingles_cte() -> str:
@@ -210,8 +213,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     hs = cached_shingle_hashes(spark, sf_dir)
     # Signatures feed both sides of the band self-join; persist so the
-    # 32 min-aggregations run once.
-    cands = lsh_candidate_pairs(minhash_signatures(hs).persist())
+    # 32 min-aggregations run once (session-shared, released via
+    # cache.release_caches()).
+    sigs = shared_persist(spark, ("minhash_sigs", sf_dir),
+                          lambda: minhash_signatures(hs))
+    cands = lsh_candidate_pairs(sigs)
     sets = hs.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
     s1 = sets.select(F.col("doc_id").alias("doc1"), F.col("hs").alias("hs1"))
     s2 = sets.select(F.col("doc_id").alias("doc2"), F.col("hs").alias("hs2"))

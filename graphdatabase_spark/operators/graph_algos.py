@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphdatabase_spark.cache import track_persist
+
 
 def degrees(edges: DataFrame) -> DataFrame:
     """``(vid, out_degree, in_degree)`` per vertex appearing in any
@@ -48,8 +50,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     """
     # The edge derivation can itself be a join (e.g. co-purchase); it
     # feeds the degree count, the rank join, and the adjacency collect —
-    # persist it.
-    e = edges.select("src", "dst").persist()
+    # persist it. Tracked (not raw .persist()): the consumer
+    # materializes the returned 1-row aggregate after this function
+    # returns, so release happens via cache.release_caches().
+    e = track_persist(edges.select("src", "dst"))
     deg = (
         e.select(F.col("src").alias("vid")).unionAll(e.select(F.col("dst").alias("vid")))
         .groupBy("vid").agg(F.count(F.lit(1)).alias("deg"))
@@ -61,10 +65,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     lower_first = (F.col("deg_src") < F.col("deg_dst")) | (
         (F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst")))
-    oriented = ranked.select(
+    oriented = track_persist(ranked.select(
         F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
-    ).persist()
+    ))
     adj = oriented.groupBy(F.col("u").alias("vid")).agg(F.collect_set("v").alias("nbrs"))
     return (
         oriented

@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from graphdatabase_spark import cache
 from graphdatabase_spark.functions import dedup, multimodal, similarity, text
 from graphdatabase_spark.operators import graph_queries, relational, sqlapi, temporal
 from graphdatabase_spark.streaming import stateful, streamops
@@ -36,3 +37,11 @@ def oracle_sql() -> dict[str, str]:
     for mod in _MODULES:
         out.update(mod.ORACLES)
     return out
+
+
+def release() -> int:
+    """Free every session-shared / tracked cache the queries built
+    (shingle index, MinHash signatures, LSH buckets, triangle-count
+    temporaries). Returns the number of DataFrames unpersisted; queries
+    re-run after release rebuild what they need."""
+    return cache.release_caches()
