@@ -6,6 +6,7 @@ broadcast falling back to shuffle) fails CI, not a production run."""
 
 from pyspark.sql import functions as F
 
+from graphdatabase_spark import plans
 from graphdatabase_spark.operators import relational
 from graphdatabase_spark.sources import io as gio
 from graphdatabase_spark.sources.tables import load_table
@@ -50,18 +51,14 @@ def test_parquet_partitioned_sink(spark, tmp_path, sf_dir):
     assert "PartitionFilters: [isnotnull(lang" in pruned or "lang#" in pruned
 
 
-def _formatted_plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted")
-
-
 def test_pushdown_and_pruning_in_scan(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
-    plan = _formatted_plan(q)
-    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in plan
+    pushed = plans.pushed_filters(q)
+    assert "IsNotNull(l_quantity)" in pushed
+    assert any(p.startswith("GreaterThan(l_quantity") for p in pushed)
     # column pruning: the scan must read only the two referenced columns
-    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    read_schema = plans.read_schemas(q)[0]
     assert "l_orderkey" in read_schema and "l_quantity" in read_schema
     assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
 
@@ -71,19 +68,41 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
     shuffle the fact table against them."""
     df = relational.QUERIES["revenue_by_nation"](spark, sf_dir)
     df.collect()  # AQE: codegen ids only exist in the executed final plan
-    plan = _formatted_plan(df)
-    assert "BroadcastHashJoin" in plan
-    assert "isFinalPlan=true" in plan
-    assert "codegen id" in plan  # whole-stage codegen spans exist
+    assert plans.uses_broadcast_join(df)
+    assert "isFinalPlan=true" in plans.formatted_plan(df)
+    assert plans.codegen_span_count(df) >= 1  # whole-stage codegen spans exist
 
 
 def test_agg_is_partial_before_shuffle(spark, sf_dir):
     """Hash aggregates must have a map-side partial phase (two
     HashAggregate nodes around the exchange)."""
     df = relational.QUERIES["pricing_summary"](spark, sf_dir)
-    plan = _formatted_plan(df)
-    assert plan.count("HashAggregate") >= 2
-    assert "Exchange" in plan
+    assert plans.has_partial_aggregate(df)
+
+
+def test_release_caches_leaves_no_persistent_rdds(spark, sf_dir):
+    """Queries that persist shared intermediates (shingle index,
+    MinHash signatures, triangle-count temporaries) must free ALL of it
+    on registry.release() — a long-lived session's storage memory goes
+    back to where it started."""
+    from graphdatabase_spark import registry
+    from graphdatabase_spark.operators import graph_queries
+    from graphdatabase_spark.functions import dedup
+
+    def persistent_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    registry.release()  # start from a clean slate
+    before = persistent_ids()
+    dedup.QUERIES["dedup_near"](spark, sf_dir).collect()
+    graph_queries.QUERIES["triangle_count"](spark, sf_dir).collect()
+    assert persistent_ids() - before, "expected shared caches while in use"
+    released = registry.release()
+    assert released >= 2
+    assert persistent_ids() - before == set(), "caches leaked past release()"
+    # queries still work after release (caches rebuild transparently)
+    assert dedup.QUERIES["dedup_near"](spark, sf_dir).count() >= 0
+    registry.release()
 
 
 def test_salted_join_equals_plain_join(spark, sf_dir):
