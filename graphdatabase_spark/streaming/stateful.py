@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -46,8 +47,14 @@ def _update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iter
     n, cents, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        # round half-away-from-zero to integer cents: exact, associative
-        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        # Round half-AWAY-FROM-ZERO to integer cents, matching F.round
+        # in the batch ground truth and round() in the DuckDB oracle.
+        # (pandas .round() is banker's round-half-to-even: a value
+        # landing exactly on .5 cents would diverge from the batch
+        # answer.) Exact and associative once integral.
+        scaled = pdf["value"].mul(100)
+        cents += int(np.copysign(np.floor(np.abs(scaled) + 0.5), scaled)
+                     .astype("int64").sum())
         if len(pdf):
             last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
     state.update((n, cents, last_us))
