@@ -253,7 +253,69 @@ GROUP BY 1, 2
 """
 
 
+# --- stream-stream interval join -------------------------------------------
+
+ATTRIB_WINDOW_MIN = 30
+
+
+def purchases_with_views(purchases: DataFrame, views: DataFrame,
+                         watermark: str | None = None) -> DataFrame:
+    """Attribution join: every (purchase, view) pair of the same user
+    with the view at most 30 minutes before the purchase. ONE
+    transformation for batch and streaming — pass ``watermark`` for the
+    streaming application, where it (plus the two-sided time-range
+    predicate) lets Spark evict join state: view-side rows older than
+    purchase-watermark − 30 min can never match again and are dropped,
+    so state is bounded regardless of stream length.
+
+    Scale shape: both sides shuffle once on user_id; within a user the
+    range predicate is evaluated on co-partitioned rows. A skewed user
+    (bot traffic) is the known risk — the deterministic salted-join
+    pattern (operators/sqlapi.py) is the escape hatch."""
+    p = purchases.select(F.col("event_id").alias("purchase_id"), "user_id",
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("value").alias("purchase_value"))
+    v = views.select(F.col("user_id").alias("v_user_id"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+    if watermark:
+        p = p.withWatermark("purchase_ts", watermark)
+        v = v.withWatermark("view_ts", watermark)
+    return p.join(
+        v,
+        (p.user_id == v.v_user_id)
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts")
+           - F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")),
+    ).select("purchase_id", "user_id", "purchase_ts", "purchase_value",
+             "view_id", "view_ts")
+
+
+def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_batch(spark, sf_dir)
+    return purchases_with_views(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"))
+
+
+ORACLE_EVENTS_STREAM_JOIN = f"""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value,
+       v.event_id AS view_id,
+       v.ts AS view_ts
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL {ATTRIB_WINDOW_MIN} MINUTE
+"""
+
+
 QUERIES = {
+    "events_stream_join": q_events_stream_join,
     "events_tumbling_counts": q_events_tumbling_counts,
     "events_sliding_avg": q_events_sliding_avg,
     "events_sessionization": q_events_sessionization,
@@ -262,6 +324,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_stream_join": ORACLE_EVENTS_STREAM_JOIN,
     "events_tumbling_counts": ORACLE_EVENTS_TUMBLING_COUNTS,
     "events_sliding_avg": ORACLE_EVENTS_SLIDING_AVG,
     "events_sessionization": ORACLE_EVENTS_SESSIONIZATION,

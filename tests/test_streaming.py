@@ -51,6 +51,27 @@ def test_session_stream_equals_batch(spark, sf_dir):
     assert got == want
 
 
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join (purchase ⋈ views
+    within 30 min) drained with availableNow must produce exactly the
+    batch join's pairs — append mode: interval-join rows are final once
+    both watermarks pass them."""
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    ev_stream = streamops.events_stream(spark, sf_dir)
+    stream = streamops.purchases_with_views(
+        ev_stream.filter(F.col("event_type") == "purchase"),
+        ev_stream.filter(F.col("event_type") == "view"),
+        watermark="1 hour")
+    _run_stream_to_memory(stream, name, output_mode="append")
+    got = {tuple(r) for r in spark.table(name).collect()}
+    ev = streamops.events_batch(spark, sf_dir)
+    want = {tuple(r) for r in streamops.purchases_with_views(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view")).collect()}
+    assert got == want
+    assert want, "batch join must be non-trivial"
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Watermark semantics pinned with two availableNow runs sharing a
     checkpoint (the watermark is persisted in the offset log between
