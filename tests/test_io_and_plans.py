@@ -80,6 +80,38 @@ def test_agg_is_partial_before_shuffle(spark, sf_dir):
     assert plans.has_partial_aggregate(df)
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located join: both sides bucketed on the join key with the
+    same bucket count ⇒ the join plans with NO Exchange on either side
+    — the write-time shuffle replaces every query-time shuffle. This is
+    the layout decision that matters most at 100 TB for repeated
+    fact-fact joins."""
+    from graphdatabase_spark.sources import bucketing
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_quantity")
+    bucketing.write_bucketed(orders, "t_orders_bkt", str(tmp_path / "ob"), "k", 8)
+    bucketing.write_bucketed(li, "t_li_bkt", str(tmp_path / "lb"), "k", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so the exchange question is real
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketing.bucketed(spark, "t_orders_bkt").join(
+            bucketing.bucketed(spark, "t_li_bkt"), "k")
+        assert j.count() > 0
+        plan = plans.formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # contrast: the same join over plain parquet DOES shuffle
+        plain = orders.join(li, "k")
+        assert "Exchange" in plans.formatted_plan(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_li_bkt")
+
+
 def test_release_caches_leaves_no_persistent_rdds(spark, sf_dir):
     """Queries that persist shared intermediates (shingle index,
     MinHash signatures, triangle-count temporaries) must free ALL of it
