@@ -23,6 +23,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from graphdatabase_spark.cache import shared_persist
 from graphdatabase_spark.functions.dedup import _hashes_cte, cached_shingle_hashes
@@ -235,6 +236,91 @@ LIMIT {TOPK}
 ORACLE_EMBEDDING_ANN_LSH = oracle_embedding_ann_lsh()
 
 
+# --- embedding_ivf_topk (inverted-file ANN: the other scale path) ------------
+
+IVF_CELLS = 16   # coarse-quantizer cells (see sizing note below)
+IVF_NPROBE = 2   # cells scanned per query
+
+
+def _cell_assign(vectors: DataFrame, centroids: DataFrame, n_best: int) -> DataFrame:
+    """Assign each vector to its ``n_best`` nearest centroid cells by
+    exact integer squared-L2 (argmin of |c|² − 2c·v; |v|² is constant
+    per vector). Ties break by cell id, so assignment is total-ordered
+    and engine-portable."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "label", "v", "cell",
+        (_norm_sq(F.col("cv")) - F.lit(2) * _dot(F.col("cv"), F.col("v"))).alias("d2"))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= n_best).drop("d2", "rk"))
+
+
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str,
+                         n_cells: int = IVF_CELLS,
+                         nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF ANN top-k: a coarse quantizer partitions vectors into cells
+    (here: nearest of ``n_cells`` seed centroids — deterministically the
+    lowest vec_ids, the k-means-free variant); the query scans only its
+    ``nprobe`` nearest cells with exact cosine. The complementary scale
+    path to hyperplane LSH: cells adapt to the data distribution where
+    hyperplanes are data-oblivious.
+
+    Sizing at scale: cells ≈ sqrt(N) keeps (assign cost = N·cells dot
+    products at build, probe cost = nprobe·N/cells at query) balanced;
+    at N = 1e9 that's ~32k cells, built once and reused — here the
+    assignment is inline since the testdata build cost is trivial.
+    Everything is exact integer math on quantized components, so even
+    this approximate index is value-checkable in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select("vec_id", "label", quantized(F.col("embedding")).alias("v"))
+    centroids = quant.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    cells = _cell_assign(quant, centroids, 1)
+    qcells = (_cell_assign(quant.filter(F.col("vec_id") == QUERY_VEC_ID),
+                           centroids, nprobe)
+              .select(F.col("v").alias("qv"), F.col("cell").alias("qcell")))
+    cands = (cells.filter(F.col("vec_id") != QUERY_VEC_ID)
+             .join(F.broadcast(qcells), F.col("cell") == F.col("qcell")))
+    scored = cands.select(
+        "vec_id", "label", "cell",
+        (_dot(F.col("qv"), F.col("v")).cast("double")
+         / (F.sqrt(_norm_sq(F.col("qv")).cast("double"))
+            * F.sqrt(_norm_sq(F.col("v")).cast("double")))).alias("cos_sim"))
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOPK)
+
+
+_DOT_CV_SQL = f"list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> cv[i] * v[i]))"
+
+ORACLE_EMBEDDING_IVF_TOPK = f"""
+WITH quant AS (
+  SELECT vec_id, label, {QUANTIZED_SQL} AS v FROM embeddings
+),
+centroids AS (
+  SELECT vec_id AS cell, v AS cv FROM quant WHERE vec_id < {IVF_CELLS}
+),
+assigned AS (
+  SELECT vec_id, label, v, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY
+           (list_sum(list_transform(cv, x -> x * x)) - 2 * {_DOT_CV_SQL}) ASC,
+           cell ASC) AS rk
+  FROM quant CROSS JOIN centroids
+),
+cells AS (SELECT vec_id, label, v, cell FROM assigned WHERE rk = 1),
+qcells AS (
+  SELECT v AS qv, cell AS qcell FROM assigned
+  WHERE vec_id = {QUERY_VEC_ID} AND rk <= {IVF_NPROBE}
+)
+SELECT vec_id, label, cell,
+       CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> qv[i] * v[i])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE))) AS cos_sim
+FROM cells JOIN qcells ON cell = qcell
+WHERE vec_id <> {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOPK}
+"""
+
+
 # --- dedup_embedding (embedding-cosine near-dup pairs) -----------------------
 
 # The synthetic corpus has no planted vector near-dups (max in-bucket
@@ -302,6 +388,7 @@ QUERIES = {
     "similarity_topk": q_similarity_topk,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
     "dedup_embedding": q_dedup_embedding,
 }
 
@@ -309,5 +396,6 @@ ORACLES = {
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
     "embedding_cosine_topk": ORACLE_EMBEDDING_COSINE_TOPK,
     "embedding_ann_lsh": ORACLE_EMBEDDING_ANN_LSH,
+    "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
 }

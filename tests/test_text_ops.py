@@ -118,6 +118,19 @@ def test_ann_lsh_16_planes_matches_oracle(spark, sf_dir):
     assert hi > 0, "high planes never set — parameter not actually in effect"
 
 
+def test_ivf_exhaustive_probe_equals_brute_force(spark, sf_dir):
+    """With nprobe = n_cells the IVF index degenerates to an exhaustive
+    scan, so its top-k must equal the brute-force cosine top-k exactly —
+    the property that pins the cell partitioning as lossless (every
+    vector is in exactly one probed cell) and the scoring as exact."""
+    ivf = similarity.q_embedding_ivf_topk(
+        spark, sf_dir, n_cells=similarity.IVF_CELLS, nprobe=similarity.IVF_CELLS)
+    got = [(r["vec_id"], r["cos_sim"]) for r in ivf.collect()]
+    want = [(r["vec_id"], r["cos_sim"]) for r in
+            similarity.q_embedding_cosine_topk(spark, sf_dir).collect()]
+    assert got == want
+
+
 def test_tokens_convention(spark):
     df = spark.createDataFrame([("Hello, World2  x!",)], "text string")
     toks = df.select(text.tokens_col("text").alias("t")).collect()[0]["t"]
