@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from graphdatabase_spark.functions import text
 from graphdatabase_spark.functions.dedup import (
@@ -191,11 +192,62 @@ WHERE d.lang = 'en' AND q.quality_score >= {QUALITY_THRESHOLD}
 """
 
 
+# --- tfidf_top_terms (keyword extraction) ------------------------------------
+
+TFIDF_SCALE = 1_000_000
+TFIDF_TOP = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOP`` characteristic terms per document by an
+    INTEGER-exact TF-IDF proxy: ``score = tf * ((N * SCALE) // df)`` —
+    monotone in the real tf·idf ranking (idf_proxy is monotone
+    decreasing in df, exactly like log(N/df)) but all-integer, so both
+    engines rank identically with no float-log ulp risk. Ties break by
+    term text: total order, oracle-stable.
+
+    Plan shape at scale: one explode + (doc, term) count shuffle, one
+    term-keyed df aggregate joined back (term dictionary ≪ corpus —
+    AQE broadcasts it), one per-doc window top-k. No Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    terms = docs.select("doc_id", F.explode(text.tokens_col("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id", "term", "tf", "df",
+        (F.col("tf") * F.expr(f"({n_docs}L * {TFIDF_SCALE}L) div df")).alias("score"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TFIDF_TOP)
+            .select("doc_id", "term", "tf", "df", "score", "rk"))
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({text.tokens_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         tf * (((SELECT n_docs FROM n) * {TFIDF_SCALE}) // df) AS score
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, term, tf, df, CAST(score AS BIGINT) AS score, CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+      FROM scored)
+WHERE rk <= {TFIDF_TOP}
+"""
+
+
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "sample_split": q_sample_split,
     "top_ngrams": q_top_ngrams,
     "corpus_prep": q_corpus_prep,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLES = {
@@ -203,4 +255,5 @@ ORACLES = {
     "sample_split": ORACLE_SAMPLE_SPLIT,
     "top_ngrams": ORACLE_TOP_NGRAMS,
     "corpus_prep": ORACLE_CORPUS_PREP,
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
 }
