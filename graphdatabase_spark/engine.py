@@ -156,6 +156,23 @@ class GraphEngine:
             self.edges(name).select("src", "dst"),
             self.vertices(name).select("vid"))
 
+    def pagerank(self, name: str, iterations: int = 10) -> DataFrame:
+        """``(vid, rank)`` over one stored graph (float API; the
+        registry's oracle-checked path is the quantized variant)."""
+        return pregel.pagerank(self.edges(name).select("src", "dst"),
+                               self.vertices(name).select("vid"),
+                               iterations=iterations)
+
+    def triangle_count(self, name: str) -> DataFrame:
+        """Triangle count of the stored graph viewed as undirected
+        (symmetrize, then canonical src < dst edges — the orientation
+        the counting kernel expects; self-loops contribute nothing)."""
+        e = self.edges(name).select("src", "dst")
+        und = e.unionByName(e.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+        canon = und.filter(F.col("src") < F.col("dst")).distinct()
+        return graph_algos.triangle_count(canon)
+
     # -- Assignment1 surface ----------------------------------------------
 
     def ping(self) -> str:

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphdatabase_spark.cache import shared_persist
 from graphdatabase_spark.sources.tables import load_table
 
 OFF_NATION = 100
@@ -70,6 +71,35 @@ def full_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_e(orders, F.col("o_custkey") + OFF_CUSTOMER, F.col("o_orderkey") + OFF_ORDER))
         .unionByName(_e(lineitem, F.col("l_orderkey") + OFF_ORDER, F.col("l_partkey") + OFF_PART).distinct())
     )
+
+
+def full_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived edge list, materialized ONCE per session: the
+    5-table scan + union + lineitem-distinct feeds several registry
+    queries (degrees, SSSP, and via :func:`full_edges_prepared` every
+    traversal); at 100 TB this materialize-once is the difference
+    between one distinct-shuffle and one per query."""
+    return shared_persist(spark, ("derived_full_edges", sf_dir),
+                          lambda: full_edges(spark, sf_dir))
+
+
+def full_edges_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The edge list additionally hash-partitioned on src — the layout
+    every Pregel superstep joins against. Shared so BFS, reachability
+    and hop queries reuse ONE partitioning instead of re-shuffling the
+    edges each (pass ``prepared=True`` to the pregel kernels)."""
+    return shared_persist(
+        spark, ("derived_full_edges_src", sf_dir),
+        lambda: (full_edges_cached(spark, sf_dir)
+                 .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+                 .repartition("src")))
+
+
+def community_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached community subgraph (feeds pagerank + connected
+    components, each of which also derives its vertex set from it)."""
+    return shared_persist(spark, ("community_edges", sf_dir),
+                          lambda: community_edges(spark, sf_dir))
 
 
 # The same derivation for DuckDB oracles. Every graph oracle starts with

@@ -46,7 +46,7 @@ SELECT * FROM (VALUES
 
 
 def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return graph_algos.degrees(dg.full_edges(spark, sf_dir))
+    return graph_algos.degrees(dg.full_edges_cached(spark, sf_dir))
 
 
 ORACLE_GRAPH_DEGREE = f"""
@@ -61,7 +61,8 @@ FROM o FULL OUTER JOIN i ON o.vid = i.vid
 
 
 def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pregel.bfs_levels(dg.full_edges(spark, sf_dir), [0])
+    return pregel.bfs_levels(dg.full_edges_prepared(spark, sf_dir), [0],
+                             prepared=True)
 
 
 ORACLE_BFS_LEVELS = f"""
@@ -78,7 +79,8 @@ SELECT vid, MIN(level) AS level FROM bfs GROUP BY vid
 
 
 def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pregel.reachability(dg.full_edges(spark, sf_dir), [dg.OFF_NATION + 3])
+    return pregel.reachability(dg.full_edges_prepared(spark, sf_dir),
+                               [dg.OFF_NATION + 3], prepared=True)
 
 
 ORACLE_REACHABILITY = f"""
@@ -95,8 +97,9 @@ SELECT vid FROM reach
 def q_shortest_path_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hops from region 0 to every supplier vertex
     return pregel.shortest_path_hops(
-        dg.full_edges(spark, sf_dir), [0],
-        (F.col("vid") >= dg.OFF_SUPPLIER) & (F.col("vid") < dg.OFF_CUSTOMER))
+        dg.full_edges_prepared(spark, sf_dir), [0],
+        (F.col("vid") >= dg.OFF_SUPPLIER) & (F.col("vid") < dg.OFF_CUSTOMER),
+        prepared=True)
 
 
 ORACLE_SHORTEST_PATH_HOPS = f"""
@@ -115,7 +118,7 @@ GROUP BY vid
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = dg.community_edges(spark, sf_dir)
+    edges = dg.community_edges_cached(spark, sf_dir)
     vertices = edges.select(F.col("src").alias("vid")).unionByName(
         edges.select(F.col("dst").alias("vid"))).distinct()
     return pregel.connected_components(edges, vertices)
@@ -194,7 +197,7 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic weights ((src+dst) % 7 + 1). The order→part layer
     gives real relaxation competition: a part is reachable through many
     orders at different accumulated costs."""
-    e = dg.full_edges(spark, sf_dir).select(
+    e = dg.full_edges_cached(spark, sf_dir).select(
         "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("weight"))
     # Weights are integral, so the double-accumulated distances are
     # exact and the cast back to long is lossless (oracle sums BIGINT).
@@ -230,7 +233,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     user API; unit tests pin the two within truncation tolerance plus
     the float fixed-point/replica properties.
     """
-    edges = dg.community_edges(spark, sf_dir)
+    edges = dg.community_edges_cached(spark, sf_dir)
     vertices = edges.select(F.col("src").alias("vid")).unionByName(
         edges.select(F.col("dst").alias("vid"))).distinct()
     return pregel.pagerank_quantized(edges, vertices)

@@ -44,16 +44,22 @@ def _prepare_edges(edges: DataFrame, num_partitions: int | None = None) -> DataF
 
 
 def bfs_levels(edges: DataFrame, start_vids: list[int],
-               max_iterations: int = DEFAULT_MAX_ITERATIONS) -> DataFrame:
+               max_iterations: int = DEFAULT_MAX_ITERATIONS,
+               prepared: bool = False) -> DataFrame:
     """Level-synchronous BFS: ``(vid, level)`` for every vertex
     reachable from ``start_vids`` (level = minimum hop count; the start
     vertices are level 0, matching ``secondary_server.c:577-585``).
 
     Within-level order is intentionally unspecified — the reference's
     own oracle compares level-*sets* (``utils/bfs_checker.py:75-76``).
+
+    ``prepared=True`` declares the input already (src, dst)-long,
+    src-partitioned and persisted by the caller (e.g. a session-shared
+    materialization reused across traversals); the kernel then neither
+    re-shuffles nor unpersists it.
     """
     spark = edges.sparkSession
-    e = _prepare_edges(edges)
+    e = edges if prepared else _prepare_edges(edges)
     frontier = spark.createDataFrame([(int(v),) for v in start_vids], "vid long").distinct()
     frontier = frontier.localCheckpoint(eager=True)
     # One checkpointed frontier per level; `visited` is their lazy
@@ -83,7 +89,8 @@ def bfs_levels(edges: DataFrame, start_vids: list[int],
         frontiers.append(nxt.withColumn("level", F.lit(level)))
         visited_vids = visited_vids.unionByName(nxt)
         frontier = nxt
-    e.unpersist()
+    if not prepared:
+        e.unpersist()
     out = frontiers[0]
     for f in frontiers[1:]:
         out = out.unionByName(f)
@@ -91,18 +98,20 @@ def bfs_levels(edges: DataFrame, start_vids: list[int],
 
 
 def reachability(edges: DataFrame, start_vids: list[int],
-                 max_iterations: int = DEFAULT_MAX_ITERATIONS) -> DataFrame:
+                 max_iterations: int = DEFAULT_MAX_ITERATIONS,
+                 prepared: bool = False) -> DataFrame:
     """Reachable set ``(vid)`` from the start vertices (BFS minus
     levels — ``secondary_server.c:588-619`` with the output dropped)."""
-    return bfs_levels(edges, start_vids, max_iterations).select("vid")
+    return bfs_levels(edges, start_vids, max_iterations, prepared).select("vid")
 
 
 def shortest_path_hops(edges: DataFrame, start_vids: list[int], target_pred,
-                       max_iterations: int = DEFAULT_MAX_ITERATIONS) -> DataFrame:
+                       max_iterations: int = DEFAULT_MAX_ITERATIONS,
+                       prepared: bool = False) -> DataFrame:
     """Unweighted shortest-path length from the source set to every
     vertex satisfying ``target_pred`` (a Column predicate over ``vid``):
     exactly the BFS level of the target (SURVEY §2.3)."""
-    levels = bfs_levels(edges, start_vids, max_iterations)
+    levels = bfs_levels(edges, start_vids, max_iterations, prepared)
     return levels.filter(target_pred).select("vid", F.col("level").alias("hops"))
 
 
