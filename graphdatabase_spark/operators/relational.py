@@ -447,6 +447,221 @@ GROUP BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# q_promo_revenue — TPC-H Q14 shape: conditional aggregation (promo share of
+# one month's revenue). part is broadcast; the shipdate band pushes into the
+# lineitem scan; ratio of two decimal-exact sums, divided once in double.
+# ---------------------------------------------------------------------------
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).alias("rev"))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+    return joined.agg(
+        (F.lit(100.0) * promo / _dsum(F.col("rev"))).alias("promo_pct"),
+        promo.alias("promo_revenue"),
+        _dsum(F.col("rev")).alias("total_revenue"),
+    )
+
+
+ORACLE_PROMO_REVENUE = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct,
+       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_top_supplier — TPC-H Q15 shape: aggregate-then-max-scalar-subquery,
+# decorrelated to agg → window-max filter (one shuffle on suppkey, the max
+# is a single-pass window over the tiny per-supplier aggregate).
+# ---------------------------------------------------------------------------
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    ).select("l_suppkey", (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).alias("rev"))
+    rev = li.groupBy("l_suppkey").agg(_dsum(F.col("rev")).alias("total_revenue"))
+    top = rev.withColumn("mx", F.max("total_revenue").over(Window.partitionBy())) \
+             .filter(F.col("total_revenue") == F.col("mx")).drop("mx")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey) \
+              .select("s_suppkey", "s_name", "total_revenue")
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_small_qty_revenue — TPC-H Q17 shape: correlated scalar subquery (per-part
+# average quantity) decorrelated into an aggregate + equi-join; both engines
+# compute the threshold from the identical decimal-sum/count double, so the
+# float comparison is deterministic.
+# ---------------------------------------------------------------------------
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li_brand = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = li.groupBy("l_partkey").agg(
+        (_dsum(_dec("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")).withColumnRenamed("l_partkey", "a_partkey")
+    return (
+        li_brand.join(avg_qty, li_brand.l_partkey == avg_qty.a_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((_dsum(_dec("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+ORACLE_SMALL_QTY_REVENUE = """
+WITH avg_qty AS (
+  SELECT l_partkey AS a_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
+JOIN avg_qty ON l_partkey = a_partkey
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_large_volume_customers — TPC-H Q18 shape: GROUP BY + HAVING feeding a
+# semi-join back against the fact (big-order keys), then customer enrich +
+# deterministic top-k. The HAVING aggregate is map-side-combined; the
+# orderkey list re-joins lineitem on its natural key (no second scan shape
+# change at scale — AQE picks SMJ when the key list outgrows broadcast).
+# ---------------------------------------------------------------------------
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = li.groupBy("l_orderkey").agg(_dsum(_dec("l_quantity")).alias("sum_qty")) \
+            .filter(F.col("sum_qty") > 120)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                F.col("o_totalprice").alias("total_price"), "sum_qty")
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+ORACLE_LARGE_VOLUME_CUSTOMERS = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice AS total_price, sum_qty
+FROM (SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 120) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_price DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_disjunctive_revenue — TPC-H Q19 shape: OR-of-ANDs predicate across both
+# join sides. Catalyst extracts the common `l_partkey = p_partkey` equi-key
+# so this stays a hash join (not BNLJ) with the disjunction evaluated as a
+# post-join filter, and pushes the per-side prunable conjuncts
+# (quantity/size bands) into the scans.
+# ---------------------------------------------------------------------------
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity",
+        (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).alias("rev"))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#21") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(_dsum(F.col("rev")).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+
+
+ORACLE_DISJUNCTIVE_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_sales_opportunity — TPC-H Q22 shape: scalar subquery (global average
+# balance) + anti join (no recent orders; the date band keeps the result
+# non-empty — every synthetic customer has *some* order), grouped by nation.
+# The scalar average is a one-row broadcast; the anti join is the same
+# null-safe shape as customers_without_orders.
+# ---------------------------------------------------------------------------
+
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg((_dsum(_dec("c_acctbal")) / F.count(F.lit(1))).alias("ab")))
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"),
+             _dsum(_dec("c_acctbal")).alias("total_acctbal"))
+    )
+
+
+ORACLE_SALES_OPPORTUNITY = """
+SELECT c_nationkey, COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_custkey IS NOT NULL
+                          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -461,6 +676,12 @@ QUERIES = {
     "set_ops": q_set_ops,
     "scalar_functions": q_scalar_functions,
     "local_supplier_volume": q_local_supplier_volume,
+    "promo_revenue": q_promo_revenue,
+    "top_supplier": q_top_supplier,
+    "small_qty_revenue": q_small_qty_revenue,
+    "large_volume_customers": q_large_volume_customers,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "sales_opportunity": q_sales_opportunity,
 }
 
 ORACLES = {
@@ -477,4 +698,10 @@ ORACLES = {
     "set_ops": ORACLE_SET_OPS,
     "scalar_functions": ORACLE_SCALAR_FUNCTIONS,
     "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
+    "promo_revenue": ORACLE_PROMO_REVENUE,
+    "top_supplier": ORACLE_TOP_SUPPLIER,
+    "small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
+    "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
+    "disjunctive_revenue": ORACLE_DISJUNCTIVE_REVENUE,
+    "sales_opportunity": ORACLE_SALES_OPPORTUNITY,
 }
