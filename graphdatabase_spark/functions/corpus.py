@@ -242,12 +242,149 @@ WHERE rk <= {TFIDF_TOP}
 """
 
 
+# --- contamination_check (benchmark decontamination scan) --------------------
+
+# The "benchmark" here is a deterministic corpus slice (doc_id % 100 ==
+# BENCH_MOD); in production it's the eval sets the training corpus must
+# not leak. A doc is contaminated when ≥ CONTAM_THRESHOLD of its
+# shingles appear anywhere in the benchmark — the n-gram-overlap
+# decontamination rule used by large-corpus pipelines.
+BENCH_MOD = 7
+CONTAM_THRESHOLD = 0.1
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shingles, n_shared, overlap, contaminated) for every
+    corpus doc sharing ≥ 1 shingle hash with the benchmark slice.
+
+    Plan shape at 100 TB: the benchmark shingle set is tiny relative to
+    the corpus → distinct once and broadcast; the corpus side is the
+    session-shared shingle index (no re-tokenization), so the scan is
+    one broadcast-hash semi join + two map-side-combined aggregates —
+    the corpus is never self-joined and never shuffled on text."""
+    hashes = cached_shingle_hashes(spark, sf_dir)
+    corpus = hashes.filter(F.col("doc_id") % 100 != BENCH_MOD)
+    bench_h = (hashes.filter(F.col("doc_id") % 100 == BENCH_MOD)
+               .select("h").distinct())
+    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (corpus.join(F.broadcast(bench_h), "h")
+              .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared")))
+    overlap = F.col("n_shared").cast("double") / F.col("n_shingles")
+    return (shared.join(totals, "doc_id")
+            .select("doc_id", "n_shingles", "n_shared", overlap.alias("overlap"),
+                    (overlap >= CONTAM_THRESHOLD).cast("int").alias("contaminated")))
+
+
+ORACLE_CONTAMINATION_CHECK = f"""
+WITH {_hashes_cte()},
+bench AS (SELECT DISTINCT h FROM sh_h WHERE doc_id % 100 = {BENCH_MOD}),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh_h
+        WHERE doc_id % 100 <> {BENCH_MOD} GROUP BY doc_id),
+shr AS (SELECT s.doc_id, COUNT(*) AS n_shared FROM sh_h s JOIN bench USING (h)
+        WHERE s.doc_id % 100 <> {BENCH_MOD} GROUP BY s.doc_id)
+SELECT doc_id, n_shingles, n_shared,
+       CAST(n_shared AS DOUBLE) / n_shingles AS overlap,
+       CAST(CAST(n_shared AS DOUBLE) / n_shingles >= {CONTAM_THRESHOLD} AS INT) AS contaminated
+FROM shr JOIN tot USING (doc_id)
+"""
+
+
+# --- quality_repetition (Gopher-style repetition signals) --------------------
+
+REP_K = 3  # n-gram order for the repetition scan
+
+
+def _raw_grams_col(toks: F.Column, k: int = REP_K) -> F.Column:
+    """NON-distinct k-gram list (unlike text.shingles_col, duplicates
+    are the signal here)."""
+    idx = F.when(F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + j) for j in range(k)]))
+
+
+def _raw_grams_sql(toks_expr: str, k: int = REP_K) -> str:
+    joined = " || ' ' || ".join(f"__T__[i+{j}]" if j else "__T__[i]" for j in range(k))
+    sql = (f"list_transform(range(1, greatest(len(__T__) - {k - 1}, 0) + 1), "
+           f"i -> {joined})")
+    return sql.replace("__T__", f"({toks_expr})")
+
+
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition quality signals (the Gopher/MassiveText
+    repetition filters): duplicate-3-gram fraction and the top
+    3-gram's share of all 3-grams. High values flag boilerplate,
+    templated spam, and decode loops.
+
+    All-integer counts divided once in double (identical IEEE result in
+    both engines). Plan: explode + one (doc, gram) count shuffle + one
+    per-doc aggregate — same shape as TF-IDF's tf stage; no Python."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    grams = docs.select("doc_id", F.explode(
+        _raw_grams_col(text.tokens_col("text"))).alias("gram"))
+    tf = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (tf.groupBy("doc_id")
+            .agg(F.sum("c").alias("n_grams"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.max("c").alias("top_gram_n"))
+            .select("doc_id", "n_grams", "n_distinct", "top_gram_n",
+                    (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams")).alias("dup_gram_frac"),
+                    (F.col("top_gram_n").cast("double") / F.col("n_grams")).alias("top_gram_frac")))
+
+
+ORACLE_QUALITY_REPETITION = f"""
+WITH e AS (
+  SELECT doc_id, unnest({_raw_grams_sql(text.tokens_sql('text'))}) AS gram
+  FROM documents
+),
+tf AS (SELECT doc_id, gram, COUNT(*) AS c FROM e GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, COUNT(*) AS n_distinct, MAX(c) AS top_gram_n,
+       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS dup_gram_frac,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_gram_frac
+FROM tf GROUP BY doc_id
+"""
+
+
+# --- corpus_histogram (corpus composition report) ----------------------------
+
+HIST_BUCKET_CHARS = 50
+
+
+def q_corpus_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition: doc counts + char/token mass per (source,
+    lang, length bucket) — the reporting rollup every corpus build
+    publishes alongside the data. One map-side-combined aggregate over
+    per-row expressions; no joins, no Python."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", "n_chars",
+        F.size(text.tokens_col("text")).alias("n_tokens"))
+    bucket = (F.floor(F.col("n_chars") / HIST_BUCKET_CHARS) * HIST_BUCKET_CHARS).cast("long")
+    return (docs.groupBy("source", "lang", bucket.alias("len_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum("n_tokens").alias("total_tokens")))
+
+
+ORACLE_CORPUS_HISTOGRAM = f"""
+SELECT source, lang,
+       CAST(FLOOR(n_chars / {HIST_BUCKET_CHARS}) * {HIST_BUCKET_CHARS} AS BIGINT) AS len_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len({text.tokens_sql('text')})) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "sample_split": q_sample_split,
     "top_ngrams": q_top_ngrams,
     "corpus_prep": q_corpus_prep,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "contamination_check": q_contamination_check,
+    "quality_repetition": q_quality_repetition,
+    "corpus_histogram": q_corpus_histogram,
 }
 
 ORACLES = {
@@ -256,4 +393,7 @@ ORACLES = {
     "top_ngrams": ORACLE_TOP_NGRAMS,
     "corpus_prep": ORACLE_CORPUS_PREP,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "contamination_check": ORACLE_CONTAMINATION_CHECK,
+    "quality_repetition": ORACLE_QUALITY_REPETITION,
+    "corpus_histogram": ORACLE_CORPUS_HISTOGRAM,
 }

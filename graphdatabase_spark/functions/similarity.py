@@ -384,12 +384,84 @@ WHERE CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> a.v[i] * b.v[i]
 ORACLE_DEDUP_EMBEDDING = oracle_dedup_embedding()
 
 
+# --- semdedup_ivf (semantic dedup decisions within IVF cells) ----------------
+
+# Cell-scoped semantic dedup (the SemDeDup recipe, Abbas et al. 2023,
+# PAPERS.md): cluster with a coarse quantizer, then drop every vector
+# that has a lower-id near-twin (cosine ≥ τ) in its own cell. The
+# threshold matches EMB_DUP_THRESHOLD's rationale: the synthetic
+# vectors have no planted dups, 0.25 keeps the decision set non-trivial
+# at every SF (production τ ≈ 0.95+).
+SEMDEDUP_THRESHOLD = EMB_DUP_THRESHOLD
+
+
+def q_semdedup_ivf(spark: SparkSession, sf_dir: str,
+                   n_cells: int = IVF_CELLS) -> DataFrame:
+    """(vec_id, cell, keep) for EVERY vector: keep = 0 iff a lower-id
+    vector in the same IVF cell is cosine-≥-τ similar.
+
+    The complementary scale path to the LSH-bucketed ``dedup_embedding``:
+    cells adapt to the data distribution, and the quadratic compare is
+    confined to one cell (N/cells per side — with cells ≈ sqrt(N) the
+    per-cell work stays flat as the corpus grows). Everything is exact
+    integer math on quantized components, so the approximate index is
+    still value-checked in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select("vec_id", F.lit(None).cast("int").alias("label"),
+                       quantized(F.col("embedding")).alias("v"))
+    centroids = quant.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    cells = shared_persist(
+        spark, ("ivf_cells", sf_dir, n_cells),
+        lambda: _cell_assign(quant, centroids, 1).drop("label"))
+    a, b = cells.alias("a"), cells.alias("b")
+    cos = (_dot(F.col("a.v"), F.col("b.v")).cast("double")
+           / (F.sqrt(_norm_sq(F.col("a.v")).cast("double"))
+              * F.sqrt(_norm_sq(F.col("b.v")).cast("double"))))
+    dropped = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                     & (F.col("a.vec_id") < F.col("b.vec_id")))
+               .filter(cos >= SEMDEDUP_THRESHOLD)
+               .select(F.col("b.vec_id").alias("vec_id")).distinct())
+    return (cells.join(dropped.withColumn("d", F.lit(1)), "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.when(F.col("d").isNull(), 1).otherwise(0).alias("keep")))
+
+
+ORACLE_SEMDEDUP_IVF = f"""
+WITH quant AS (
+  SELECT vec_id, {QUANTIZED_SQL} AS v FROM embeddings
+),
+centroids AS (
+  SELECT vec_id AS cell, v AS cv FROM quant WHERE vec_id < {IVF_CELLS}
+),
+assigned AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY
+           (list_sum(list_transform(cv, x -> x * x)) - 2 * {_DOT_CV_SQL}) ASC,
+           cell ASC) AS rk
+  FROM quant CROSS JOIN centroids
+),
+cells AS (SELECT vec_id, v, cell FROM assigned WHERE rk = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> a.v[i] * b.v[i])) AS DOUBLE)
+          / (sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE))
+             * sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE))) >= {SEMDEDUP_THRESHOLD}
+)
+SELECT c.vec_id, c.cell,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+"""
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "dedup_embedding": q_dedup_embedding,
+    "semdedup_ivf": q_semdedup_ivf,
 }
 
 ORACLES = {
@@ -398,4 +470,5 @@ ORACLES = {
     "embedding_ann_lsh": ORACLE_EMBEDDING_ANN_LSH,
     "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "semdedup_ivf": ORACLE_SEMDEDUP_IVF,
 }
