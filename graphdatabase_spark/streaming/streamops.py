@@ -314,8 +314,115 @@ JOIN events v
 """
 
 
+# --- stream dedup (retry collapse) ------------------------------------------
+
+# 30 minutes: wide enough that the sparse synthetic stream actually
+# has same-key copies to collapse at every SF (1-minute buckets are
+# collision-free there; production retry windows are seconds-to-minutes
+# and the operator is bucket-size-agnostic).
+DEDUP_BUCKET = "30 minutes"
+
+
+def dedup_events_batch(events: DataFrame) -> DataFrame:
+    """Retry/replay collapse: events of the same (user, type) within
+    the same minute bucket are one logical action; keep the
+    deterministic earliest ((ts, event_id)-min) and count the copies.
+    One map-side-combined shuffle on the dedup key.
+
+    Streaming twin: :func:`dedup_events_stream` —
+    ``dropDuplicatesWithinWatermark`` on the same key, which keeps the
+    FIRST ARRIVAL (arrival order, not event-time order) and evicts key
+    state past the watermark; the batch form here is the deterministic
+    ground truth on the same key set (the unit test pins key-set
+    equality, not row identity)."""
+    return (
+        events.groupBy(F.window("ts", DEDUP_BUCKET).alias("w"), "user_id", "event_type")
+        .agg(F.min(F.struct("ts", "event_id")).alias("first"),
+             F.count(F.lit(1)).alias("n_copies"))
+        .select(F.col("w.start").alias("bucket_start"), "user_id", "event_type",
+                F.col("first.event_id").alias("keep_event_id"),
+                F.col("first.ts").alias("first_ts"), "n_copies")
+    )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """Streaming retry collapse: first arrival per (minute bucket,
+    user, type) key; state bounded by watermark eviction."""
+    keyed = events.withColumn("bucket_start", F.window("ts", DEDUP_BUCKET).start)
+    return (keyed.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["bucket_start", "user_id", "event_type"])
+            .select("bucket_start", "user_id", "event_type",
+                    F.col("event_id").alias("keep_event_id"),
+                    F.col("ts").alias("first_ts")))
+
+
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_events_batch(events_batch(spark, sf_dir))
+
+
+ORACLE_EVENTS_STREAM_DEDUP = """
+WITH keyed AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket_start,
+         user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY time_bucket(INTERVAL '30 minutes', ts), user_id, event_type
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY time_bucket(INTERVAL '30 minutes', ts), user_id, event_type) AS n_copies
+  FROM events
+)
+SELECT bucket_start, user_id, event_type,
+       event_id AS keep_event_id, ts AS first_ts, n_copies
+FROM keyed WHERE rn = 1
+"""
+
+
+# --- per-window trending top-k ----------------------------------------------
+
+TRENDING_K = 3
+
+
+def trending_topk(events: DataFrame, size: str = "1 hour",
+                  k: int = TRENDING_K) -> DataFrame:
+    """Top-``k`` event types per tumbling window by count — the
+    "what's trending each hour" rollup. Ties break by event_type so the
+    result is total-ordered and oracle-stable.
+
+    Plan: one map-side-combined count shuffle + a per-window window-rank
+    over ≤ |types| rows per window (the rank input is the aggregate,
+    never the raw events). Streaming path: the aggregation runs
+    incrementally; the rank is applied per emitted micro-batch via
+    ``foreachBatch`` (rank-over-agg isn't incrementalizable in append
+    mode — the standard pattern for streaming top-k)."""
+    counts = (events.groupBy(F.window("ts", size).alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    rk = Window.partitionBy("w").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (counts.withColumn("rk", F.row_number().over(rk))
+            .filter(F.col("rk") <= k)
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", F.col("rk").cast("int").alias("rk")))
+
+
+def q_events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trending_topk(events_batch(spark, sf_dir))
+
+
+ORACLE_EVENTS_TRENDING = f"""
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n_events DESC, event_type ASC) AS rk
+      FROM counts)
+WHERE rk <= {TRENDING_K}
+"""
+
+
 QUERIES = {
     "events_stream_join": q_events_stream_join,
+    "events_stream_dedup": q_events_stream_dedup,
+    "events_trending": q_events_trending,
     "events_tumbling_counts": q_events_tumbling_counts,
     "events_sliding_avg": q_events_sliding_avg,
     "events_sessionization": q_events_sessionization,
@@ -325,6 +432,8 @@ QUERIES = {
 
 ORACLES = {
     "events_stream_join": ORACLE_EVENTS_STREAM_JOIN,
+    "events_stream_dedup": ORACLE_EVENTS_STREAM_DEDUP,
+    "events_trending": ORACLE_EVENTS_TRENDING,
     "events_tumbling_counts": ORACLE_EVENTS_TUMBLING_COUNTS,
     "events_sliding_avg": ORACLE_EVENTS_SLIDING_AVG,
     "events_sessionization": ORACLE_EVENTS_SESSIONIZATION,

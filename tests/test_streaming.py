@@ -72,6 +72,50 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     assert want, "batch join must be non-trivial"
 
 
+def test_stream_dedup_equals_batch_keys(spark, sf_dir):
+    """dropDuplicatesWithinWatermark keeps the first ARRIVAL per key
+    (arrival order isn't event-time order), so the streaming and batch
+    forms agree on the KEY SET — one surviving row per (bucket, user,
+    type) — while the batch form is the deterministic-row ground truth
+    the oracle checks."""
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    stream = streamops.dedup_events_stream(streamops.events_stream(spark, sf_dir))
+    _run_stream_to_memory(stream, name, output_mode="append")
+    got = {(r.bucket_start, r.user_id, r.event_type)
+           for r in spark.table(name).collect()}
+    want_rows = streamops.dedup_events_batch(
+        streamops.events_batch(spark, sf_dir)).collect()
+    want = {(r.bucket_start, r.user_id, r.event_type) for r in want_rows}
+    assert got == want
+    assert len(got) < sum(r.n_copies for r in want_rows), \
+        "dedup must actually collapse copies in this data"
+
+
+def test_trending_stream_foreachbatch_equals_batch(spark, sf_dir):
+    """Streaming top-k pattern: the COUNT aggregation runs
+    incrementally (complete mode drains to the final state); the rank
+    is applied to the emitted aggregate — here via the memory-sink
+    table, exactly what a foreachBatch sink does per micro-batch. Final
+    ranked rows must equal the batch trending_topk answer."""
+    from pyspark.sql.window import Window
+
+    name = f"tr_{uuid.uuid4().hex[:8]}"
+    counts = (streamops.events_stream(spark, sf_dir)
+              .withWatermark("ts", "1 hour")
+              .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    _run_stream_to_memory(counts, name)
+    rk = Window.partitionBy("w").orderBy(F.desc("n_events"), F.asc("event_type"))
+    ranked = (spark.table(name).withColumn("rk", F.row_number().over(rk))
+              .filter(F.col("rk") <= streamops.TRENDING_K)
+              .select(F.col("w.start").alias("window_start"), "event_type",
+                      "n_events", F.col("rk").cast("int").alias("rk")))
+    got = {tuple(r) for r in ranked.collect()}
+    want = {tuple(r) for r in
+            streamops.trending_topk(streamops.events_batch(spark, sf_dir)).collect()}
+    assert got == want
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Watermark semantics pinned with two availableNow runs sharing a
     checkpoint (the watermark is persisted in the offset log between
