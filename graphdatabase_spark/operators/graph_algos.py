@@ -1,8 +1,9 @@
-"""Non-iterative graph analytics: degree and triangle counting.
+"""Non-iterative graph analytics: degree, triangle counting, local
+clustering coefficients, and k-core decomposition.
 
 Degree generalizes the reference's implicit row/column scans
-(``secondary_server.c:459-467``); triangle counting is the GraphX-parity
-extension from SURVEY.md §2.3.
+(``secondary_server.c:459-467``); the rest are the GraphX-parity
+extensions from SURVEY.md §2.3.
 """
 
 from __future__ import annotations
@@ -11,6 +12,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphdatabase_spark.cache import track_persist
+
+# Peeling-round ceiling for k_core (and the unrolled oracle): the
+# observed fixpoint is ≤ 8 rounds on the derived graph at sf 0.001-0.1;
+# tests assert convergence strictly below this so the oracle's unroll
+# can never silently truncate (same pattern as dg.MAX_ORACLE_HOPS).
+KCORE_MAX_ROUNDS = 12
 
 
 def degrees(edges: DataFrame) -> DataFrame:
@@ -76,4 +83,92 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .join(adj.select(F.col("vid").alias("v"), F.col("nbrs").alias("nv")), "v")
         .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
         .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles"))
+    )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per vertex of an undirected graph
+    given as canonical ``src < dst`` edges: ``(vid, deg, n_tri,
+    coeff)`` with ``coeff = 2·n_tri / (deg·(deg−1))`` (0 for deg < 2).
+
+    Same compact-forward kernel as :func:`triangle_count`, but each
+    per-edge intersection is *exploded* so every triangle {u, v, w}
+    charges all three corners — the emitted row count is exactly the
+    triangle count (already ≪ the wedge count the orientation avoids),
+    then one map-side-combined per-vertex aggregate. The ints divide
+    once in double, so Spark and the SQL oracle agree bit-for-bit."""
+    e = track_persist(edges.select("src", "dst"))
+    deg = (
+        e.select(F.col("src").alias("vid")).unionAll(e.select(F.col("dst").alias("vid")))
+        .groupBy("vid").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        e.join(deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "deg_src"), "src")
+        .join(deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "deg_dst"), "dst")
+    )
+    lower_first = (F.col("deg_src") < F.col("deg_dst")) | (
+        (F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst")))
+    oriented = track_persist(ranked.select(
+        F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    ))
+    adj = oriented.groupBy(F.col("u").alias("vid")).agg(F.collect_set("v").alias("nbrs"))
+    corners = (
+        oriented
+        .join(adj.select(F.col("vid").alias("u"), F.col("nbrs").alias("nu")), "u")
+        .join(adj.select(F.col("vid").alias("v"), F.col("nbrs").alias("nv")), "v")
+        .select("u", "v", F.explode(F.array_intersect("nu", "nv")).alias("w"))
+    )
+    tri = (
+        corners.select(F.col("u").alias("vid"))
+        .unionAll(corners.select(F.col("v").alias("vid")))
+        .unionAll(corners.select(F.col("w").alias("vid")))
+        .groupBy("vid").agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    coeff = F.when(
+        F.col("deg") >= 2,
+        (F.lit(2.0) * F.col("n_tri")) / (F.col("deg") * (F.col("deg") - F.lit(1))),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri, "vid", "left")
+        .select("vid", "deg", F.coalesce("n_tri", F.lit(0)).alias("n_tri"))
+        .withColumn("coeff", coeff)
+    )
+
+
+def k_core(edges: DataFrame, k: int,
+           max_rounds: int = KCORE_MAX_ROUNDS) -> DataFrame:
+    """The k-core of a graph (edges undirected for degree purposes):
+    ``(vid, core_deg)`` for every vertex of the maximal subgraph where
+    all degrees are ≥ k, by synchronous iterative peeling — each round
+    drops every vertex whose remaining degree is < k, until a fixpoint.
+
+    Per round: one map-side-combined degree aggregate + two semi joins
+    of the shrinking edge set against the shrinking keep-list (AQE
+    broadcasts the keep-list once it's small). ``localCheckpoint``
+    truncates the growing lineage exactly like the Pregel kernels.
+    Raises if no fixpoint within ``max_rounds`` — the SQL oracle
+    unrolls the same bound, so a silent truncation is impossible."""
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    e = e.localCheckpoint(eager=True)
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("src").alias("vid")).unionAll(e.select(F.col("dst").alias("vid")))
+            .groupBy("vid").agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("vid")
+        e2 = (e.join(keep.withColumnRenamed("vid", "src"), "src", "left_semi")
+              .join(keep.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+              .select("src", "dst"))
+        e2 = e2.localCheckpoint(eager=True)
+        n2 = e2.count()
+        if n2 == n_edges:
+            break
+        e, n_edges = e2, n2
+    else:
+        raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
+    return (
+        e.select(F.col("src").alias("vid")).unionAll(e.select(F.col("dst").alias("vid")))
+        .groupBy("vid").agg(F.count(F.lit(1)).alias("core_deg"))
     )

@@ -154,6 +154,78 @@ JOIN graph_edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
 """
 
 
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the part co-purchase graph
+    (the triangle-count substrate — the classic "how cliquish is each
+    product's neighborhood" analytic)."""
+    return graph_algos.clustering_coefficient(dg.copurchase_edges(spark, sf_dir))
+
+
+ORACLE_CLUSTERING_COEFFICIENT = f"""
+WITH {dg.COPURCHASE_EDGES_CTE},
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM graph_edges e1
+  JOIN graph_edges e2 ON e1.dst = e2.src
+  JOIN graph_edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+tcnt AS (
+  SELECT vid, COUNT(*) AS n_tri
+  FROM (SELECT a AS vid FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY vid
+),
+deg AS (
+  SELECT vid, COUNT(*) AS deg
+  FROM (SELECT src AS vid FROM graph_edges UNION ALL SELECT dst FROM graph_edges)
+  GROUP BY vid
+)
+SELECT d.vid, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+       CASE WHEN d.deg >= 2
+            THEN (2.0 * COALESCE(t.n_tri, 0)) / (d.deg * (d.deg - 1))
+            ELSE 0.0 END AS coeff
+FROM deg d LEFT JOIN tcnt t ON d.vid = t.vid
+"""
+
+
+KCORE_K = 5
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5-core of the full derived graph (undirected degrees):
+    k = 5 leaves a non-trivial proper core at every test SF (probed:
+    ~58-92% of vertices survive, fixpoint in ≤ 8 peel rounds)."""
+    return graph_algos.k_core(dg.full_edges_cached(spark, sf_dir), KCORE_K)
+
+
+def _kcore_oracle_sql(k: int = KCORE_K,
+                      rounds: int = graph_algos.KCORE_MAX_ROUNDS) -> str:
+    """Unrolled synchronous peeling, one e{i} CTE per round — the
+    iteration count is a compile-time constant (same technique as the
+    PageRank oracle; tests assert Spark converges strictly within the
+    bound, so the unroll can't truncate). Extra rounds past the
+    fixpoint are no-ops, so over-unrolling is always safe."""
+    parts = [dg.EDGES_CTE.strip(),
+             "e0 AS MATERIALIZED (SELECT src, dst FROM graph_edges)"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT vid FROM"
+            f" (SELECT vid, COUNT(*) AS d FROM"
+            f" (SELECT src AS vid FROM e{p} UNION ALL SELECT dst FROM e{p})"
+            f" GROUP BY vid) WHERE d >= {k})")
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT src, dst FROM e{p}"
+            f" WHERE src IN (SELECT vid FROM k{i})"
+            f" AND dst IN (SELECT vid FROM k{i}))")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT vid, COUNT(*) AS core_deg FROM"
+            + f" (SELECT src AS vid FROM e{rounds} UNION ALL SELECT dst FROM e{rounds})"
+            + " GROUP BY vid")
+
+
+ORACLE_KCORE = _kcore_oracle_sql()
+
+
 def q_dfs_leaves_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dfs_mod.dfs_leaves_tree(dg.tree_edges(spark, sf_dir), [0])
 
@@ -287,6 +359,8 @@ QUERIES = {
     "shortest_path_hops": q_shortest_path_hops,
     "connected_components": q_connected_components,
     "triangle_count": q_triangle_count,
+    "clustering_coefficient": q_clustering_coefficient,
+    "kcore": q_kcore,
     "dfs_leaves_tree": q_dfs_leaves_tree,
     "dfs_leaves": q_dfs_leaves,
 }
@@ -301,6 +375,8 @@ ORACLES = {
     "shortest_path_hops": ORACLE_SHORTEST_PATH_HOPS,
     "connected_components": ORACLE_CONNECTED_COMPONENTS,
     "triangle_count": ORACLE_TRIANGLE_COUNT,
+    "clustering_coefficient": ORACLE_CLUSTERING_COEFFICIENT,
+    "kcore": ORACLE_KCORE,
     "dfs_leaves_tree": ORACLE_DFS_LEAVES_TREE,
     "dfs_leaves": ORACLE_DFS_LEAVES,
 }

@@ -145,6 +145,34 @@ def test_graph_query_parity(spark, sf_dir, name):
     assert_parity(df, graph_queries.ORACLES[name], sf_dir)
 
 
+def test_k_core_peels_tail_keeps_clique(spark):
+    """Triangle {1,2,3} with tail 3-4-5: the 2-core is exactly the
+    triangle (peeling must cascade — dropping 5 makes 4 degree-1)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long")
+    got = {(r["vid"], r["core_deg"]) for r in graph_algos.k_core(edges, 2).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_k_core_empty_when_k_exceeds_graph(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert graph_algos.k_core(edges, 3).count() == 0
+
+
+def test_clustering_coefficient_triangle_plus_tail(spark):
+    """Triangle + tail: vertex 3 has deg 3, one triangle among its 3
+    possible neighbor pairs → coeff 1/3; tail vertices have coeff 0."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long")
+    got = {r["vid"]: (r["deg"], r["n_tri"], r["coeff"])
+           for r in graph_algos.clustering_coefficient(edges).collect()}
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, pytest.approx(1 / 3))
+    assert got[4] == (2, 0, 0.0)
+    assert got[5] == (1, 0, 0.0)
+
+
 def test_pagerank_regular_graph_fixed_point(spark):
     """On a k-regular strongly-connected graph the uniform vector is the
     exact fixed point: every rank stays exactly 1.0 (no float drift —
