@@ -376,6 +376,56 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- sequence_pack (concat-and-chunk packing plan) ---------------------------
+
+SEQ_LEN = 512
+PACK_SHARDS = 8
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing plan a tokenizer job executes: docs are concatenated
+    in deterministic order within a shard and chunked into fixed
+    ``SEQ_LEN``-token training sequences; each doc's row says which
+    sequence it starts in and at what offset (GPT-style
+    concat-and-chunk, no padding).
+
+    Scale shape: the only ordering is WITHIN a shard (doc_id % shards)
+    — one window per shard partition, embarrassingly parallel across
+    shards, never a global sort. At 100 TB you raise ``PACK_SHARDS`` to
+    ~total_tokens/seq_len/1e6 so each shard's running sum stays a
+    single-task-friendly slice; packing stays reproducible because
+    shard assignment and intra-shard order are content-independent."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(text.tokens_col("text")).alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return docs.select(
+        "doc_id", "shard", "n_tokens",
+        (cum_before / SEQ_LEN).cast("long").alias("seq_id"),
+        (cum_before % SEQ_LEN).cast("long").alias("seq_offset"))
+
+
+ORACLE_SEQUENCE_PACK = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         len({text.tokens_sql('text')}) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       cum_before // {SEQ_LEN} AS seq_id,
+       cum_before % {SEQ_LEN} AS seq_offset
+FROM c
+"""
+
+
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "sample_split": q_sample_split,
@@ -385,6 +435,7 @@ QUERIES = {
     "contamination_check": q_contamination_check,
     "quality_repetition": q_quality_repetition,
     "corpus_histogram": q_corpus_histogram,
+    "sequence_pack": q_sequence_pack,
 }
 
 ORACLES = {
@@ -396,4 +447,5 @@ ORACLES = {
     "contamination_check": ORACLE_CONTAMINATION_CHECK,
     "quality_repetition": ORACLE_QUALITY_REPETITION,
     "corpus_histogram": ORACLE_CORPUS_HISTOGRAM,
+    "sequence_pack": ORACLE_SEQUENCE_PACK,
 }
