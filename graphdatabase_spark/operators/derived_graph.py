@@ -171,16 +171,23 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part co-purchase graph: undirected edge (p1, p2), p1 < p2, when
     both parts appear in the same order. Cyclic — the triangle-count
     substrate. The self-join shuffles on l_orderkey (already how
-    lineitem is naturally keyed)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .select(F.col("a.l_partkey").cast("long").alias("src"),
-                F.col("b.l_partkey").cast("long").alias("dst"))
-        .distinct()
-    )
+    lineitem is naturally keyed).
+
+    Session-cached: the self-join + distinct is the expensive part and
+    BOTH triangle_count and clustering_coefficient consume it —
+    materialize once (the m ≪ wedge-count edge list is the cheap thing
+    to keep; re-deriving it is the per-query O(Σ per-order k²) join)."""
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        a, b = li.alias("a"), li.alias("b")
+        return (
+            a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+            .select(F.col("a.l_partkey").cast("long").alias("src"),
+                    F.col("b.l_partkey").cast("long").alias("dst"))
+            .distinct()
+        )
+    return shared_persist(spark, ("copurchase_edges", sf_dir), build)
 
 
 COPURCHASE_EDGES_CTE = """

