@@ -163,15 +163,28 @@ class GraphEngine:
                                self.vertices(name).select("vid"),
                                iterations=iterations)
 
-    def triangle_count(self, name: str) -> DataFrame:
-        """Triangle count of the stored graph viewed as undirected
-        (symmetrize, then canonical src < dst edges — the orientation
-        the counting kernel expects; self-loops contribute nothing)."""
+    def _canonical_undirected(self, name: str) -> DataFrame:
+        """Stored graph viewed as undirected: symmetrize, then one
+        canonical ``src < dst`` row per edge (self-loops drop — they
+        contribute to no triangle/coefficient/core)."""
         e = self.edges(name).select("src", "dst")
         und = e.unionByName(e.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
-        canon = und.filter(F.col("src") < F.col("dst")).distinct()
-        return graph_algos.triangle_count(canon)
+        return und.filter(F.col("src") < F.col("dst")).distinct()
+
+    def triangle_count(self, name: str) -> DataFrame:
+        """Triangle count of the stored graph viewed as undirected."""
+        return graph_algos.triangle_count(self._canonical_undirected(name))
+
+    def clustering_coefficient(self, name: str) -> DataFrame:
+        """``(vid, deg, n_tri, coeff)`` local clustering coefficients
+        of the stored graph viewed as undirected."""
+        return graph_algos.clustering_coefficient(self._canonical_undirected(name))
+
+    def k_core(self, name: str, k: int) -> DataFrame:
+        """``(vid, core_deg)`` of the stored graph's k-core (undirected
+        degrees; iterative peeling)."""
+        return graph_algos.k_core(self._canonical_undirected(name), k)
 
     # -- Assignment1 surface ----------------------------------------------
 

@@ -87,6 +87,18 @@ def test_connected_components_via_store(engine):
     assert comp == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
 
 
+def test_graph_analytics_via_store(engine):
+    """Triangle {1,2,3} + tail 3→4→5 through the full store path:
+    count, coefficients, and 2-core all view the digraph undirected."""
+    engine.add_graph("T", "5\n0 1 1 0 0\n0 0 1 0 0\n0 0 0 1 0\n0 0 0 0 1\n0 0 0 0 0\n")
+    assert engine.triangle_count("T").collect()[0]["n_triangles"] == 1
+    coeff = {r["vid"]: r["coeff"] for r in engine.clustering_coefficient("T").collect()}
+    assert coeff[1] == 1.0 and coeff[2] == 1.0
+    assert abs(coeff[3] - 1 / 3) < 1e-12 and coeff[4] == 0.0 and coeff[5] == 0.0
+    core = {(r["vid"], r["core_deg"]) for r in engine.k_core("T", 2).collect()}
+    assert core == {(1, 2), (2, 2), (3, 2)}
+
+
 def test_a1_surface(engine, spark, sf_dir):
     assert engine.ping() == "Hello"
     docs = load_table(spark, sf_dir, "documents")
