@@ -125,12 +125,98 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+# --- event-table analytics ---------------------------------------------------
+
+Z_THRESHOLD = 2.5
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outliers: events whose value deviates ≥ Z_
+    THRESHOLD sample standard deviations from that user's mean.
+
+    Determinism contract: never ``F.stddev`` (float partial-aggregation
+    order differs between engines). Values quantize to integer cents;
+    sum and sum-of-squares are exact int64 aggregates; the sample
+    variance numerator ``n·Σx² − (Σx)²`` is an exact integer, divided
+    ONCE in double and square-rooted — bit-identical in both engines.
+    Plan: one map-side-combined per-user agg + one broadcast-able join
+    back to the events (per-user stats ≪ events)."""
+    ev = events_batch(spark, sf_dir).select(
+        "event_id", "user_id", "value",
+        F.round(F.col("value") * 100).cast("long").alias("c"))
+    stats = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("c").alias("sum_c"),
+                  F.sum(F.col("c") * F.col("c")).alias("ssq_c"))
+             .filter(F.col("n") >= 2))
+    var_num = F.col("n") * F.col("ssq_c") - F.col("sum_c") * F.col("sum_c")
+    std_c = F.sqrt(var_num.cast("double") / (F.col("n") * (F.col("n") - F.lit(1))))
+    z = (F.col("c") * F.col("n") - F.col("sum_c")).cast("double") / (F.col("n") * std_c)
+    return (ev.join(stats, "user_id")
+            .filter(var_num > 0)
+            .select("event_id", "user_id", "value", z.alias("z"))
+            .filter(F.abs(F.col("z")) >= Z_THRESHOLD))
+
+
+ORACLE_EVENTS_ANOMALY = f"""
+WITH ev AS (
+  SELECT event_id, user_id, value,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+stats AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(c) AS BIGINT) AS sum_c,
+         CAST(SUM(c * c) AS BIGINT) AS ssq_c
+  FROM ev GROUP BY user_id HAVING COUNT(*) >= 2
+)
+SELECT event_id, e.user_id, value,
+       CAST(c * n - sum_c AS DOUBLE)
+         / (n * sqrt(CAST(n * ssq_c - sum_c * sum_c AS DOUBLE) / (n * (n - 1)))) AS z
+FROM ev e JOIN stats s ON e.user_id = s.user_id
+WHERE n * ssq_c - sum_c * sum_c > 0
+  AND abs(CAST(c * n - sum_c AS DOUBLE)
+          / (n * sqrt(CAST(n * ssq_c - sum_c * sum_c AS DOUBLE) / (n * (n - 1))))) >= {Z_THRESHOLD}
+"""
+
+
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of value per event type. Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` share the same linear-interpolation
+    definition, so the doubles are bit-identical (probed). Exact
+    percentile sorts within each (small) group; for 100 TB dashboards
+    the swap-in is ``percentile_approx`` (t-digest sketch, no sort) —
+    approximate results aren't oracle-hashable, so the registry pins
+    the exact form."""
+    return (events_batch(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(F.expr("percentile(value, 0.5)").alias("p50"),
+                 F.expr("percentile(value, 0.9)").alias("p90"),
+                 F.expr("percentile(value, 0.99)").alias("p99"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+ORACLE_EVENTS_QUANTILES = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
+    "events_anomaly": q_events_anomaly,
+    "events_quantiles": q_events_quantiles,
 }
 
 ORACLES = {
     "asof_join_events": ORACLE_ASOF_JOIN_EVENTS,
     "range_join_events": ORACLE_RANGE_JOIN_EVENTS,
+    "events_anomaly": ORACLE_EVENTS_ANOMALY,
+    "events_quantiles": ORACLE_EVENTS_QUANTILES,
 }
