@@ -260,6 +260,96 @@ GROUP BY doc_id
 """
 
 
+# --- search_bm25 (ranked keyword search) -------------------------------------
+
+BM25_TERMS = ("spark", "hash", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_IDF_SCALE = 1_000_000
+BM25_TOPK = 10
+
+
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k docs for a fixed keyword query by BM25 with the integer
+    idf proxy from tfidf_top_terms (monotone in the real idf; no
+    float-log cross-engine ulp risk — ``ln`` differs between libms).
+
+    The query terms are compile-time constants, so per-doc tf is an
+    expression (``size(filter(tokens, = term))``) — NO explode, NO
+    per-term shuffle: one corpus scan computes (dl, tf_1..tf_q), one
+    1-row global aggregate (N, avgdl, df_1..df_q) broadcasts back, the
+    score is a fixed-order float expression over exact ints (identical
+    operand order in both engines ⇒ bit-identical doubles), and the
+    result is a TakeOrdered top-k. The scale shape of serving a search
+    query over 100 TB without an index; the inverted-index variant is
+    ``similarity_topk``."""
+    toks = tokens_col("text")
+
+    def eq(term):
+        # one-arg closure: a `lambda x, t=t:` default would flip
+        # F.filter into its (element, index) two-arg form
+        return lambda x: x == F.lit(term)
+
+    per_doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(toks).alias("dl"),
+        *[F.size(F.filter(toks, eq(t))).alias(f"tf_{i}")
+          for i, t in enumerate(BM25_TERMS)])
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(BM25_TERMS))])
+    norm = (F.lit(1.0) - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    score = None
+    for i in range(len(BM25_TERMS)):
+        idf = F.expr(f"(n_docs * {BM25_IDF_SCALE}L) div (df_{i} + 1)")
+        s_i = (idf * F.col(f"tf_{i}") * (BM25_K1 + 1)
+               / (F.col(f"tf_{i}") + F.lit(BM25_K1) * norm))
+        score = s_i if score is None else score + s_i
+    return (per_doc.crossJoin(F.broadcast(stats))
+            .select("doc_id", "dl", score.alias("score"))
+            .filter(F.col("score") > 0)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOPK))
+
+
+def _bm25_oracle_sql() -> str:
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS INT) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS))
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(BM25_TERMS)))
+    # CAST the integer idf·tf product to DOUBLE before the float factor:
+    # DuckDB parses `1.2`-style literals as DECIMAL, and BIGINT×DECIMAL
+    # is exact decimal arithmetic — one fewer rounding than Spark's
+    # all-double chain, a 1-ulp mismatch. The cast pins both engines to
+    # the identical double op sequence.
+    score_terms = " + ".join(
+        f"CAST(((n_docs * {BM25_IDF_SCALE}) // (df_{i} + 1)) * tf_{i} AS DOUBLE) * ({BM25_K1} + 1)"
+        f" / (tf_{i} + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * dl / avgdl))"
+        for i in range(len(BM25_TERMS)))
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, CAST(len(toks) AS INT) AS dl, {tf_cols}
+  FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         {df_cols}
+  FROM per_doc
+)
+SELECT doc_id, dl, {score_terms} AS score
+FROM per_doc CROSS JOIN stats
+WHERE {score_terms} > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
+ORACLE_SEARCH_BM25 = _bm25_oracle_sql()
+
+
 QUERIES = {
     "wordcount_docs": q_wordcount_docs,
     "file_search": q_file_search,
@@ -268,6 +358,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "doc_fingerprint": q_doc_fingerprint,
+    "search_bm25": q_search_bm25,
 }
 
 ORACLES = {
@@ -278,4 +369,5 @@ ORACLES = {
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "search_bm25": ORACLE_SEARCH_BM25,
 }
