@@ -91,12 +91,66 @@ GROUP BY o_orderpriority
 """
 
 
+# Explicit GROUPING SETS (beyond rollup/cube): disjoint custom set list
+# in one pass — same expand-then-aggregate plan family, stated as SQL
+# text because the DataFrame API only exposes rollup/cube directly.
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(SQL_GROUPING_SETS)
+
+
+ORACLE_SQL_GROUPING_SETS = SQL_GROUPING_SETS
+
+
+# Window-function breadth in one pass: ranking (ntile, percent_rank,
+# cume_dist) + value windows (first/last over a running frame) — the
+# families top_orders_per_customer/running_revenue don't cover. All
+# int-or-exact-fraction outputs: percent_rank/cume_dist are single
+# divisions of identical ints in both engines.
+SQL_WINDOW_SHOWCASE = """
+SELECT o_orderkey, o_orderpriority,
+       NTILE(4)       OVER w AS price_quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume,
+       FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+       LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice ASC, o_orderkey ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                               AS priciest_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
+def q_window_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(SQL_WINDOW_SHOWCASE)
+
+
+ORACLE_WINDOW_SHOWCASE = SQL_WINDOW_SHOWCASE
+
+
 QUERIES = {
     "sql_forecast_revenue": q_sql_forecast_revenue,
     "salted_join_orders": q_salted_join_orders,
+    "sql_grouping_sets": q_sql_grouping_sets,
+    "window_showcase": q_window_showcase,
 }
 
 ORACLES = {
     "sql_forecast_revenue": ORACLE_SQL_FORECAST_REVENUE,
     "salted_join_orders": ORACLE_SALTED_JOIN_ORDERS,
+    "sql_grouping_sets": ORACLE_SQL_GROUPING_SETS,
+    "window_showcase": ORACLE_WINDOW_SHOWCASE,
 }
