@@ -349,8 +349,58 @@ def _pagerank_oracle_sql(iterations: int = 10, scale: int = 10**9) -> str:
 ORACLE_PAGERANK = _pagerank_oracle_sql()
 
 
+PPR_SOURCE = 0  # region 0: ranks = proximity within its community
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from region 0 over the community graph —
+    teleport returns to the source, so mass stays in region 0's
+    subtree and every other component ranks exactly 0 (integer-exact,
+    which the oracle checks)."""
+    edges = dg.community_edges_cached(spark, sf_dir)
+    vertices = edges.select(F.col("src").alias("vid")).unionByName(
+        edges.select(F.col("dst").alias("vid"))).distinct()
+    return pregel.personalized_pagerank_quantized(edges, vertices, [PPR_SOURCE])
+
+
+def _ppr_oracle_sql(source: int = PPR_SOURCE, iterations: int = 10,
+                    scale: int = 10**9) -> str:
+    """Unrolled personalized power iteration mirroring
+    pregel.personalized_pagerank_quantized integer-for-integer (the
+    S = {source} case: teleport + dangling mass return to the source)."""
+    base_const = (15 * scale) // 100
+    parts = [
+        dg.COMMUNITY_EDGES_CTE.strip(),
+        ("verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM graph_edges"
+         " UNION ALL SELECT dst AS vid FROM graph_edges))"),
+        "odeg AS (SELECT src AS vid, COUNT(*) AS odeg FROM graph_edges GROUP BY 1)",
+        (f"r0 AS MATERIALIZED (SELECT vid, CAST(CASE WHEN vid = {source}"
+         f" THEN {scale} ELSE 0 END AS BIGINT) AS rank_q FROM verts)"),
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS vid, SUM(r.rank_q // o.odeg) AS recv"
+            f" FROM r{p} r JOIN odeg o ON r.vid = o.vid"
+            f" JOIN graph_edges e ON e.src = r.vid GROUP BY e.dst)")
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank_q), 0) AS m FROM r{p} r"
+            f" LEFT JOIN odeg o ON r.vid = o.vid WHERE o.vid IS NULL)")
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT v.vid, CAST("
+            f" (CASE WHEN v.vid = {source} THEN {base_const}"
+            f" + (85 * (SELECT m FROM m{i})) // 100 ELSE 0 END)"
+            f" + (85 * COALESCE(c.recv, 0)) // 100 AS BIGINT) AS rank_q"
+            f" FROM verts v LEFT JOIN c{i} c ON v.vid = c.vid)")
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vid, rank_q FROM r{iterations}"
+
+
+ORACLE_PERSONALIZED_PAGERANK = _ppr_oracle_sql()
+
+
 QUERIES = {
     "pagerank": q_pagerank,
+    "personalized_pagerank": q_personalized_pagerank,
     "sssp_weighted": q_sssp_weighted,
     "graph_ingest_matrix": q_graph_ingest_matrix,
     "graph_degree": q_graph_degree,
@@ -367,6 +417,7 @@ QUERIES = {
 
 ORACLES = {
     "pagerank": ORACLE_PAGERANK,
+    "personalized_pagerank": ORACLE_PERSONALIZED_PAGERANK,
     "sssp_weighted": ORACLE_SSSP_WEIGHTED,
     "graph_ingest_matrix": ORACLE_GRAPH_INGEST_MATRIX,
     "graph_degree": ORACLE_GRAPH_DEGREE,

@@ -269,6 +269,61 @@ def pagerank_quantized(edges: DataFrame, vertices: DataFrame,
     return ranks
 
 
+def personalized_pagerank_quantized(edges: DataFrame, vertices: DataFrame,
+                                    sources: list[int], iterations: int = 10,
+                                    scale: int = 10**9) -> DataFrame:
+    """Personalized PageRank in the same scaled-int64 arithmetic as
+    :func:`pagerank_quantized` — teleport (and dangling mass) return to
+    the SOURCE SET instead of all vertices, so ranks measure proximity
+    to the sources: ``(vid, rank_q)``, total mass |S|·scale.
+
+    Global PageRank is exactly the S = V special case of this
+    iteration; keeping the two kernels separate keeps the hot global
+    path free of the source-membership join. Bit-exact for the same
+    reason as the global variant (all-integer ops), hence
+    oracle-checkable via the same unrolled-CTE technique."""
+    spark = edges.sparkSession
+    e = _prepare_edges(edges)
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    ev = e.join(out_deg, "src").select("src", "dst", "odeg").persist()
+    s_n = len(set(int(s) for s in sources))
+    src_df = spark.createDataFrame([(int(s),) for s in set(sources)], "vid long")
+    verts = (vertices.select(F.col("vid").cast("long")).distinct()
+             .join(src_df.withColumn("__is_src", F.lit(1)), "vid", "left")
+             .select("vid", F.coalesce("__is_src", F.lit(0)).alias("is_src"))
+             .persist())
+    base_const = (15 * scale) // 100
+    ranks = verts.select(
+        "vid", (F.col("is_src") * scale).cast("long").alias("rank_q"))
+    ranks = ranks.localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(ev, ranks.vid == ev.src)
+            .select(F.col("dst").alias("vid"), F.expr("rank_q div odeg").alias("c"))
+            .groupBy("vid").agg(F.sum("c").alias("recv"))
+        )
+        dangling = (
+            ranks.join(out_deg, ranks.vid == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).cast("long").alias("__m"))
+        )
+        ranks = (
+            verts.join(contribs, "vid", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "vid",
+                (F.col("is_src") * (F.lit(base_const)
+                                    + F.expr(f"(85 * (__m div {s_n})) div 100"))
+                 + F.expr("(85 * coalesce(recv, 0L)) div 100")
+                 ).cast("long").alias("rank_q"))
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    ev.unpersist()
+    verts.unpersist()
+    e.unpersist()
+    return ranks
+
+
 def connected_components(edges: DataFrame, vertices: DataFrame,
                          max_iterations: int = DEFAULT_MAX_ITERATIONS) -> DataFrame:
     """HashMin label propagation: ``(vid, component)`` where component =
