@@ -244,12 +244,73 @@ FROM b
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling end-to-end: every 4th 64-byte slice of each
+    payload body as its own row, summarized as (length, md5) so the
+    1→N Arrow fan-out is value-checked — the body is ASCII, so DuckDB
+    reproduces the slices with substr and hashes the same bytes."""
+    frames = sample_frames(media_table(spark, sf_dir))
+    return frames.select(
+        "doc_id", "frame_idx",
+        F.length("frame_bytes").alias("n_bytes"),
+        F.md5("frame_bytes").alias("frame_md5"))
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+WITH m AS (SELECT doc_id, text AS body FROM documents),
+idx AS (
+  SELECT doc_id, body,
+         unnest(range(0, CAST(ceil(length(body) / 64.0) AS BIGINT), 4)) AS frame_idx
+  FROM m
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(length(substr(body, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS INT) AS n_bytes,
+       md5(substr(body, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
+FROM idx
+"""
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample step end-to-end (every-4th-byte stand-in), summarized
+    as (kind, length, md5) of the shrunken payload."""
+    small = resize_payloads(media_table(spark, sf_dir))
+    return small.select(
+        "doc_id", "kind",
+        F.length("payload_small").alias("n_bytes"),
+        F.md5("payload_small").alias("small_md5"))
+
+
+ORACLE_MULTIMODAL_RESIZE = """
+WITH m AS (
+  SELECT doc_id,
+         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+         text AS body
+  FROM documents
+),
+s AS (
+  SELECT doc_id, kind,
+         list_aggregate(list_transform(
+           range(1, length(body) + 1, 4), i -> substr(body, CAST(i AS BIGINT), 1)),
+           'string_agg', '') AS small
+  FROM m
+)
+SELECT doc_id, kind,
+       CAST(length(COALESCE(small, '')) AS INT) AS n_bytes,
+       md5(COALESCE(small, '')) AS small_md5
+FROM s
+"""
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 ORACLES = {
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+    "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
 }
