@@ -398,9 +398,53 @@ def _ppr_oracle_sql(source: int = PPR_SOURCE, iterations: int = 10,
 ORACLE_PERSONALIZED_PAGERANK = _ppr_oracle_sql()
 
 
+LPA_ITERATIONS = 4
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LPA over the community graph (fixed 4 supersteps,
+    min-label tie-break) — the degree-weighted community signal CC's
+    pure reachability doesn't give."""
+    edges = dg.community_edges_cached(spark, sf_dir)
+    vertices = edges.select(F.col("src").alias("vid")).unionByName(
+        edges.select(F.col("dst").alias("vid"))).distinct()
+    return pregel.label_propagation(edges, vertices, LPA_ITERATIONS)
+
+
+def _lpa_oracle_sql(iterations: int = LPA_ITERATIONS) -> str:
+    """Unrolled synchronous LPA mirroring pregel.label_propagation
+    exactly: per level, neighbor-label counts → argmax (count desc,
+    label asc) → coalesce with the previous label."""
+    parts = [
+        dg.COMMUNITY_EDGES_CTE.strip(),
+        ("und AS (SELECT src, dst FROM graph_edges"
+         " UNION ALL SELECT dst, src FROM graph_edges)"),
+        ("verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM graph_edges"
+         " UNION ALL SELECT dst AS vid FROM graph_edges))"),
+        "l0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT u.dst AS vid, l.label, COUNT(*) AS cnt"
+            f" FROM und u JOIN l{p} l ON u.src = l.vid GROUP BY u.dst, l.label)")
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT vid, label AS new_label FROM"
+            f" (SELECT vid, label, row_number() OVER (PARTITION BY vid"
+            f" ORDER BY cnt DESC, label ASC) AS rk FROM c{i}) WHERE rk = 1)")
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT l.vid, COALESCE(w.new_label, l.label) AS label"
+            f" FROM l{p} l LEFT JOIN w{i} w ON l.vid = w.vid)")
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vid, label FROM l{iterations}"
+
+
+ORACLE_LABEL_PROPAGATION = _lpa_oracle_sql()
+
+
 QUERIES = {
     "pagerank": q_pagerank,
     "personalized_pagerank": q_personalized_pagerank,
+    "label_propagation": q_label_propagation,
     "sssp_weighted": q_sssp_weighted,
     "graph_ingest_matrix": q_graph_ingest_matrix,
     "graph_degree": q_graph_degree,
@@ -418,6 +462,7 @@ QUERIES = {
 ORACLES = {
     "pagerank": ORACLE_PAGERANK,
     "personalized_pagerank": ORACLE_PERSONALIZED_PAGERANK,
+    "label_propagation": ORACLE_LABEL_PROPAGATION,
     "sssp_weighted": ORACLE_SSSP_WEIGHTED,
     "graph_ingest_matrix": ORACLE_GRAPH_INGEST_MATRIX,
     "graph_degree": ORACLE_GRAPH_DEGREE,

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 DEFAULT_MAX_ITERATIONS = 100
 
@@ -322,6 +323,45 @@ def personalized_pagerank_quantized(edges: DataFrame, vertices: DataFrame,
     verts.unpersist()
     e.unpersist()
     return ranks
+
+
+def label_propagation(edges: DataFrame, vertices: DataFrame,
+                      iterations: int = 4) -> DataFrame:
+    """Synchronous label propagation (GraphX ``LabelPropagation``
+    parity): every vertex starts with its own id; each of the fixed
+    ``iterations`` supersteps it adopts the most frequent label among
+    its neighbors (ties → smallest label; isolated vertices keep their
+    own). Returns ``(vid, label)``.
+
+    Fully deterministic — synchronous updates + total-ordered
+    tie-break — so the fixed-iteration run is oracle-checkable as an
+    unrolled CTE chain (async LPA, the usual nondeterminism source, is
+    exactly what this variant avoids). Per superstep: one message join
+    + one (vid, label) count shuffle + one per-vid argmax window over
+    the counts (≤ degree rows per vertex)."""
+    und = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    und = und.repartition("src").persist()
+    labels = vertices.select(F.col("vid").cast("long")).distinct() \
+        .withColumn("label", F.col("vid"))
+    labels = labels.localCheckpoint(eager=True)
+    w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("label"))
+
+    for _ in range(iterations):
+        counts = (
+            und.join(labels, und.src == labels.vid)
+            .select(F.col("dst").alias("vid"), "label")
+            .groupBy("vid", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = (counts.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") == 1).select("vid", F.col("label").alias("new_label")))
+        labels = (
+            labels.select("vid", "label").join(winner, "vid", "left")
+            .select("vid", F.coalesce("new_label", "label").alias("label"))
+        )
+        labels = labels.localCheckpoint(eager=True)
+    und.unpersist()
+    return labels
 
 
 def connected_components(edges: DataFrame, vertices: DataFrame,
