@@ -662,6 +662,58 @@ GROUP BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q_summary_stats — df.describe() parity, exact: count / min / max / mean /
+# sample std per numeric column in ONE map-side-combined pass. Never
+# F.stddev (float partial-agg order differs between engines): values
+# quantize to integer cents, sums and sums-of-squares accumulate exactly
+# (decimal(38,0) — the sum-of-squares outgrows int64 at sf ≥ 0.1), and the
+# variance numerator n·Σx²−(Σx)² is divided ONCE in double, then sqrt.
+# ---------------------------------------------------------------------------
+
+def _stats_cols(col: str, tag: str) -> list[F.Column]:
+    c = F.round(F.col(col) * 100).cast("long")
+    n = F.count(F.lit(1))
+    sum_c = F.sum(c).cast("decimal(38,0)")
+    ssq_c = F.sum((c * c).cast("decimal(38,0)"))
+    var_num = (n.cast("decimal(38,0)") * ssq_c - sum_c * sum_c).cast("double")
+    return [
+        F.min(F.col(col)).alias(f"{tag}_min"),
+        F.max(F.col(col)).alias(f"{tag}_max"),
+        (F.sum(c).cast("double") / n / 100.0).alias(f"{tag}_mean"),
+        (F.sqrt(var_num / (n * (n - F.lit(1)))) / 100.0).alias(f"{tag}_std"),
+    ]
+
+
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *_stats_cols("l_quantity", "qty"),
+        *_stats_cols("l_extendedprice", "price"),
+        *_stats_cols("l_discount", "disc"),
+    )
+
+
+def _stats_sql(col: str, tag: str) -> str:
+    c = f"CAST(round({col} * 100) AS BIGINT)"
+    return (
+        f"MIN({col}) AS {tag}_min, MAX({col}) AS {tag}_max,\n"
+        f"       CAST(SUM({c}) AS DOUBLE) / COUNT(*) / 100.0 AS {tag}_mean,\n"
+        f"       sqrt(CAST(COUNT(*) * SUM({c} * {c}) - SUM({c}) * SUM({c}) AS DOUBLE)"
+        f" / (COUNT(*) * (COUNT(*) - 1))) / 100.0 AS {tag}_std"
+    )
+
+
+ORACLE_SUMMARY_STATS = f"""
+SELECT COUNT(*) AS n_rows,
+       {_stats_sql('l_quantity', 'qty')},
+       {_stats_sql('l_extendedprice', 'price')},
+       {_stats_sql('l_discount', 'disc')}
+FROM lineitem
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -682,6 +734,7 @@ QUERIES = {
     "large_volume_customers": q_large_volume_customers,
     "disjunctive_revenue": q_disjunctive_revenue,
     "sales_opportunity": q_sales_opportunity,
+    "summary_stats": q_summary_stats,
 }
 
 ORACLES = {
@@ -704,4 +757,5 @@ ORACLES = {
     "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
     "disjunctive_revenue": ORACLE_DISJUNCTIVE_REVENUE,
     "sales_opportunity": ORACLE_SALES_OPPORTUNITY,
+    "summary_stats": ORACLE_SUMMARY_STATS,
 }

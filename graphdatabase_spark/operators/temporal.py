@@ -207,11 +207,79 @@ GROUP BY event_type
 """
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention cohorts: for each week, how many users
+    were active, and how many of them were also active the following
+    week. One distinct (user, week) projection self-joined on
+    (user, week+1) — the cohort primitive every activity dashboard is
+    built on. Both the distinct and the join shuffle on user-sized
+    keys, never raw events."""
+    ev = events_batch(spark, sf_dir)
+    uw = (ev.select("user_id", F.date_trunc("week", "ts").alias("week"))
+          .distinct())
+    nxt = uw.select("user_id", (F.col("week") - F.expr("INTERVAL 7 DAYS")).alias("week"),
+                    F.lit(1).alias("came_back"))
+    return (uw.join(nxt, ["user_id", "week"], "left")
+            .groupBy("week")
+            .agg(F.count(F.lit(1)).alias("active_users"),
+                 F.sum(F.coalesce("came_back", F.lit(0))).alias("retained_next_week")))
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+SELECT a.week,
+       COUNT(*) AS active_users,
+       CAST(SUM(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS retained_next_week
+FROM uw a
+LEFT JOIN uw b ON b.user_id = a.user_id AND b.week = a.week + INTERVAL 7 DAY
+GROUP BY a.week
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per user the
+    earliest time of each stage, keeping users whose stages occur in
+    order; plus each user's stage-to-stage latencies. One conditional
+    min aggregate per user (single map-side-combined shuffle) — never a
+    per-stage self-join."""
+    ev = events_batch(spark, sf_dir)
+    mins = (ev.groupBy("user_id")
+            .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+                 F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+                 F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase")))
+    return (mins.filter(F.col("t_view").isNotNull() & F.col("t_click").isNotNull()
+                        & F.col("t_purchase").isNotNull()
+                        & (F.col("t_view") < F.col("t_click"))
+                        & (F.col("t_click") < F.col("t_purchase")))
+            .select("user_id", "t_view", "t_click", "t_purchase",
+                    (F.unix_micros("t_click") - F.unix_micros("t_view")).alias("view_to_click_us"),
+                    (F.unix_micros("t_purchase") - F.unix_micros("t_click")).alias("click_to_purchase_us")))
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH mins AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, t_view, t_click, t_purchase,
+       epoch_us(t_click) - epoch_us(t_view) AS view_to_click_us,
+       epoch_us(t_purchase) - epoch_us(t_click) AS click_to_purchase_us
+FROM mins
+WHERE t_view IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+  AND t_view < t_click AND t_click < t_purchase
+"""
+
+
 QUERIES = {
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
     "events_anomaly": q_events_anomaly,
     "events_quantiles": q_events_quantiles,
+    "events_retention": q_events_retention,
+    "events_funnel": q_events_funnel,
 }
 
 ORACLES = {
@@ -219,4 +287,6 @@ ORACLES = {
     "range_join_events": ORACLE_RANGE_JOIN_EVENTS,
     "events_anomaly": ORACLE_EVENTS_ANOMALY,
     "events_quantiles": ORACLE_EVENTS_QUANTILES,
+    "events_retention": ORACLE_EVENTS_RETENTION,
+    "events_funnel": ORACLE_EVENTS_FUNNEL,
 }

@@ -112,6 +112,42 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_li_bkt")
 
 
+def test_bm25_plan_is_scan_only(spark, sf_dir):
+    """search_bm25's contract: per-term tf as array expressions — the
+    plan must contain NO Generate (explode) and NO per-term shuffle;
+    the only join is the 1-row stats broadcast."""
+    from graphdatabase_spark.functions import text
+    df = text.QUERIES["search_bm25"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Generate" not in plan, "BM25 must not explode tokens"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    schema = " ".join(plans.read_schemas(df))
+    assert "text" in schema and "lang" not in schema, "scan must prune to doc_id,text"
+
+
+def test_disjunctive_join_stays_hash_join(spark, sf_dir):
+    """Q19 shape: Catalyst must extract the common equi-key from the
+    OR-of-ANDs — a BroadcastNestedLoopJoin here means the predicate
+    defeated join planning (quadratic at scale)."""
+    df = relational.QUERIES["disjunctive_revenue"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(p.startswith("Or(") for p in plans.pushed_filters(df)), \
+        "the disjunction must push into at least one scan"
+
+
+def test_sequence_pack_has_no_global_sort(spark, sf_dir):
+    """Packing orders only WITHIN a shard: the plan must hash-partition
+    by shard, never range-partition (a global sort would serialize the
+    100 TB corpus through one ordering)."""
+    from graphdatabase_spark.functions import corpus
+    df = corpus.QUERIES["sequence_pack"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
+
+
 def test_release_caches_leaves_no_persistent_rdds(spark, sf_dir):
     """Queries that persist shared intermediates (shingle index,
     MinHash signatures, triangle-count temporaries) must free ALL of it
