@@ -148,12 +148,47 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(cached_shingle_hashes(spark, sf_dir))
 
 
+# Boilerplate guard active at driver scale: shingles in more docs than
+# this are dropped before pairing (625+ shingles affected at sf0.01 —
+# the guard is exercised, not just present). At 100 TB this is the
+# defense against the hot shingle that makes the inverted-index
+# self-join quadratic.
+MAX_SHINGLE_FREQ = 3
+
+
+def q_dedup_near_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_pairs(cached_shingle_hashes(spark, sf_dir),
+                          max_shingle_freq=MAX_SHINGLE_FREQ)
+
+
 ORACLE_DEDUP_NEAR = f"""
 WITH {_hashes_cte()},
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh_h GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
   FROM sh_h a JOIN sh_h b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) AS jaccard
+FROM pairs JOIN cnt c1 ON c1.doc_id = doc1 JOIN cnt c2 ON c2.doc_id = doc2
+WHERE CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+# Guarded variant: identical pipeline over the frequency-filtered
+# shingle set — counts (Jaccard denominators) are computed AFTER the
+# filter, exactly like the Spark path.
+ORACLE_DEDUP_NEAR_GUARDED = f"""
+WITH {_hashes_cte()},
+kept AS (
+  SELECT s.doc_id, s.h FROM sh_h s
+  JOIN (SELECT h, COUNT(*) AS f FROM sh_h GROUP BY h) fr ON fr.h = s.h
+  WHERE fr.f <= {MAX_SHINGLE_FREQ}
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc1, doc2, CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) AS jaccard
@@ -274,6 +309,7 @@ FROM votes GROUP BY doc_id
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_near": q_dedup_near,
+    "dedup_near_guarded": q_dedup_near_guarded,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
 }
@@ -281,6 +317,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_near": ORACLE_DEDUP_NEAR,
+    "dedup_near_guarded": ORACLE_DEDUP_NEAR_GUARDED,
     # dedup_minhash_lsh: intentionally no oracle (probabilistic recall);
     # covered by recall/precision unit tests instead.
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,

@@ -455,6 +455,80 @@ FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
 """
 
 
+# --- knn_join (kNN-graph construction, sampled) ------------------------------
+
+KNN_SAMPLE_MOD = 10   # every 10th vector is a query point
+KNN_K = 3
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str,
+               n_cells: int = IVF_CELLS) -> DataFrame:
+    """Batched kNN join via the IVF index: for every sampled query
+    vector, its ``KNN_K`` nearest neighbors within its coarse cell —
+    the kNN-graph construction step behind SemDeDup-style cluster
+    balancing, curriculum sampling, and embedding-space QA.
+
+    Scale shape: the all-pairs O(N²) join collapses to per-cell joins
+    (cells ≈ sqrt(N) keeps each cell's candidate set ~sqrt(N)); the
+    cell assignment is the session-shared materialization the other
+    IVF operators reuse. Exact integer cosines ⇒ SQL-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select("vec_id", F.lit(None).cast("int").alias("label"),
+                       quantized(F.col("embedding")).alias("v"))
+    centroids = quant.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    cells = shared_persist(
+        spark, ("ivf_cells", sf_dir, n_cells),
+        lambda: _cell_assign(quant, centroids, 1).drop("label"))
+    q = (cells.filter(F.col("vec_id") % KNN_SAMPLE_MOD == 0)
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                 F.col("cell").alias("qcell")))
+    cands = cells.join(q, F.col("cell") == F.col("qcell")) \
+                 .filter(F.col("vec_id") != F.col("qid"))
+    cos = (_dot(F.col("qv"), F.col("v")).cast("double")
+           / (F.sqrt(_norm_sq(F.col("qv")).cast("double"))
+              * F.sqrt(_norm_sq(F.col("v")).cast("double"))))
+    scored = cands.select("qid", "vec_id", "cell", cos.alias("cos_sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= KNN_K)
+            .select("qid", F.col("vec_id").alias("neighbor_id"), "cell",
+                    "cos_sim", F.col("rk").cast("int").alias("rk")))
+
+
+ORACLE_KNN_JOIN = f"""
+WITH quant AS (
+  SELECT vec_id, {QUANTIZED_SQL} AS v FROM embeddings
+),
+centroids AS (
+  SELECT vec_id AS cell, v AS cv FROM quant WHERE vec_id < {IVF_CELLS}
+),
+assigned AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY
+           (list_sum(list_transform(cv, x -> x * x)) - 2 * {_DOT_CV_SQL}) ASC,
+           cell ASC) AS rk
+  FROM quant CROSS JOIN centroids
+),
+cells AS (SELECT vec_id, v, cell FROM assigned WHERE rk = 1),
+q AS (SELECT vec_id AS qid, v AS qv, cell AS qcell FROM cells
+      WHERE vec_id % {KNN_SAMPLE_MOD} = 0),
+scored AS (
+  SELECT qid, c.vec_id, c.cell,
+         CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> qv[i] * c.v[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(c.v, x -> x * x)) AS DOUBLE))) AS cos_sim
+  FROM cells c JOIN q ON c.cell = qcell
+  WHERE c.vec_id <> qid
+)
+SELECT qid, vec_id AS neighbor_id, cell, cos_sim, CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rk
+      FROM scored)
+WHERE rk <= {KNN_K}
+"""
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "embedding_cosine_topk": q_embedding_cosine_topk,
@@ -462,6 +536,7 @@ QUERIES = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "dedup_embedding": q_dedup_embedding,
     "semdedup_ivf": q_semdedup_ivf,
+    "knn_join": q_knn_join,
 }
 
 ORACLES = {
@@ -471,4 +546,5 @@ ORACLES = {
     "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "semdedup_ivf": ORACLE_SEMDEDUP_IVF,
+    "knn_join": ORACLE_KNN_JOIN,
 }
