@@ -45,13 +45,38 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = sf
-    print(json.dumps({
+
+    # The driver keeps only the last ~2000 chars of output and parses the
+    # JSON line from that window (BENCH_r02 failed to parse because the
+    # full 87-query map pushed the line past 2000 chars).  Emit the full
+    # per-query map to BENCH_FULL.json for the judge, and keep the stdout
+    # line under budget by including the slowest queries until ~1850
+    # bytes, summarizing the rest.
+    full = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
+        "n_queries": len(timings),
         "queries": timings,
         "sf": sf_num,
-    }))
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    budget = 1850
+    shown: dict[str, float] = {}
+    line = ""
+    for name in sorted(timings, key=timings.get, reverse=True):
+        trial = dict(shown)
+        trial[name] = round(timings[name], 2)
+        cand = json.dumps({**full, "queries": trial,
+                           "queries_omitted": len(timings) - len(trial)},
+                          separators=(",", ":"))
+        if len(cand) > budget:
+            break
+        shown, line = trial, cand
+    print(line)
 
 
 if __name__ == "__main__":
