@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from graphdatabase_spark.streaming.streamops import events_batch
+from graphdatabase_spark.streaming.streamops import event_us, events_batch
 
 
 def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
@@ -60,7 +60,7 @@ def range_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     """All (left, right) pairs with equal key and
     ``|left.ts - right.ts| <= width_sec``, as an equi-join on
     (key, bucket) with ±1-bucket fan-out of the right side."""
-    bucket = lambda c: F.floor(F.unix_micros(c) / (width_sec * 1_000_000))  # noqa: E731
+    bucket = lambda c: F.floor(event_us(c) / (width_sec * 1_000_000))  # noqa: E731
     l = left.withColumn("__b", bucket(F.col(ts)))
     r = right.select(
         F.col(key).alias("__rk"), F.col(ts).alias("__rts"),
@@ -69,7 +69,7 @@ def range_join(left: DataFrame, right: DataFrame, key: str, ts: str,
         bucket(F.col("__rts")) - 1, bucket(F.col("__rts")), bucket(F.col("__rts")) + 1)))
     joined = l.join(r, (F.col(key) == F.col("__rk")) & (l["__b"] == r["__b"]))
     exact = joined.filter(
-        F.abs(F.unix_micros(F.col(ts)) - F.unix_micros(F.col("__rts"))) <= width_sec * 1_000_000)
+        F.abs(F.timestamp_diff("MICROSECOND", F.col("__rts"), F.col(ts))) <= width_sec * 1_000_000)
     return exact.select(*left.columns, F.col("__rts"),
                         *[F.col(f"__r_{c}").alias(f"r_{c}") for c in right_cols]) \
         .drop("__b")
@@ -112,7 +112,7 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = range_join(views, clicks, key="user_id", ts="ts",
                      width_sec=ASOF_WIDTH_SEC, right_cols=["click_id"])
     return out.select("event_id", "user_id", F.col("r_click_id").alias("click_id"),
-                      (F.unix_micros("__rts") - F.unix_micros("ts")).alias("dt_us"))
+                      F.timestamp_diff("MICROSECOND", F.col("ts"), F.col("__rts")).alias("dt_us"))
 
 
 ORACLE_RANGE_JOIN_EVENTS = f"""
@@ -252,8 +252,8 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                         & (F.col("t_view") < F.col("t_click"))
                         & (F.col("t_click") < F.col("t_purchase")))
             .select("user_id", "t_view", "t_click", "t_purchase",
-                    (F.unix_micros("t_click") - F.unix_micros("t_view")).alias("view_to_click_us"),
-                    (F.unix_micros("t_purchase") - F.unix_micros("t_click")).alias("click_to_purchase_us")))
+                    F.timestamp_diff("MICROSECOND", F.col("t_view"), F.col("t_click")).alias("view_to_click_us"),
+                    F.timestamp_diff("MICROSECOND", F.col("t_click"), F.col("t_purchase")).alias("click_to_purchase_us")))
 
 
 ORACLE_EVENTS_FUNNEL = """

@@ -38,10 +38,6 @@ DEFAULT_CONF: dict[str, str] = {
     # Parquet writers: zstd is the right default at 100 TB (better ratio
     # than snappy at similar decode speed on modern CPUs).
     "spark.sql.parquet.compression.codec": "zstd",
-    # The testdata events table stores TIMESTAMP(NANOS) which the
-    # vectorized reader rejects; read as long and convert explicitly
-    # (streamops._with_event_ts) — lossless for the µs-precision data.
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Keep plans readable in tests; AQE still coalesces down.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     # The iterative (Pregel) operators checkpoint to truncate lineage.

@@ -40,11 +40,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects
-    # with PARQUET_TYPE_ILLEGAL. The legacy conf is runtime-settable, so set
-    # it here defensively rather than only at session build time — callers
-    # (the correctness driver, notebook users) bring their own sessions.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # events.parquet carries TIMESTAMP(NANOS): pyspark >= 4.1 reads it
+    # natively (µs-truncated TIMESTAMP_NTZ); older readers surface a
+    # nanosecond long under spark.sql.legacy.parquet.nanosAsLong. Every
+    # consumer goes through streamops._with_event_ts, which dispatches
+    # on the observed dtype, so any caller-supplied session works.
     df = spark.read.parquet(table_path(sf_dir, name))
     if spread:
         df = df.repartition(spark.sparkContext.defaultParallelism)

@@ -24,9 +24,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampType
 from pyspark.sql.window import Window
 
 from graphdatabase_spark.sources.tables import load_table, table_path
+
+# Microseconds since epoch for a (canonical NTZ) event timestamp.
+# ``unix_micros`` only accepts TIMESTAMP_LTZ, so the ntz-safe spelling
+# is a diff against the epoch literal — same codegen, no tz dependence.
+_EPOCH_NTZ = "timestamp_ntz'1970-01-01 00:00:00'"
+
+
+def event_us(c: F.Column | str) -> F.Column:
+    """Epoch-microseconds of an event ``ts`` column (NTZ-safe)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.timestamp_diff("MICROSECOND", F.expr(_EPOCH_NTZ), col)
 
 SESSION_GAP = "15 minutes"
 SESSION_GAP_SEC = 15 * 60
@@ -34,12 +46,35 @@ WATERMARK = "1 hour"
 
 
 def _with_event_ts(events_raw: DataFrame) -> DataFrame:
-    """The events table stores ts as TIMESTAMP(NANOS), which Spark's
-    parquet reader only surfaces as a nanosecond long
-    (``spark.sql.legacy.parquet.nanosAsLong``, set in session.py).
-    Truncate to microseconds — exactly what DuckDB's TIMESTAMP does on
-    the oracle side, so both engines see identical instants."""
-    return events_raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    """Canonicalize the events ``ts`` column across parquet readers.
+
+    The events table stores ts as TIMESTAMP(NANOS). How that surfaces
+    depends on the Spark version and session confs:
+
+    - pyspark >= 4.1 reads it natively, truncated to microseconds, as
+      TIMESTAMP_NTZ (or TIMESTAMP_LTZ when
+      ``spark.sql.parquet.inferTimestampNTZ.enabled=false``) — pass
+      through unchanged;
+    - older readers only surface it as a nanosecond long under
+      ``spark.sql.legacy.parquet.nanosAsLong`` — truncate to
+      microseconds ourselves.
+
+    Truncation toward zero equals DuckDB's ns→µs handling for these
+    (positive-epoch) instants, so both engines see identical values.
+    Dispatching on the observed dtype (not on session conf) keeps every
+    caller-supplied session working, including the correctness driver's
+    plain session."""
+    dt = events_raw.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return events_raw.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts div 1000, timestamp_ntz'1970-01-01 00:00:00')"),
+        )
+    if isinstance(dt, TimestampType):
+        # LTZ read (inferTimestampNTZ disabled): renormalize to the
+        # session-independent NTZ wall clock.
+        return events_raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return events_raw
 
 
 def events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,13 +83,20 @@ def events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same table as an unbounded source (file stream; each parquet
-    file is one micro-batch input split)."""
+    file is one micro-batch input split).
+
+    Event-time watermarks only accept TIMESTAMP_LTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the streaming source
+    re-casts the canonical NTZ wall clock to LTZ — an identical instant
+    under the engine's UTC session timezone, and wall-clock-preserving
+    (gaps/windows unchanged) under any other."""
     raw_schema = load_table(spark, sf_dir, "events").schema
     # The file source wants a directory; point it at sf_dir and glob
     # the one table (a production layout is a directory of files).
-    return _with_event_ts(
+    stream = _with_event_ts(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # --- tumbling window -------------------------------------------------------
@@ -149,7 +191,7 @@ def session_stats_batch(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> Da
     flagged = events.select(
         "user_id", "ts",
         (F.coalesce(
-            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(by_user))) > gap_us,
+            F.timestamp_diff("MICROSECOND", F.lag("ts").over(by_user), F.col("ts")) > gap_us,
             F.lit(True),
         )).cast("int").alias("is_new"),
     )
@@ -158,7 +200,7 @@ def session_stats_batch(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> Da
     return (
         sessions.groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("session_start"),
-             F.timestamp_micros(F.unix_micros(F.max("ts")) + gap_us).alias("session_end"),
+             F.timestamp_add("MICROSECOND", F.lit(gap_us), F.max("ts")).alias("session_end"),
              F.count(F.lit(1)).alias("n_events"))
         .select("user_id", "session_start", "session_end", "n_events")
     )

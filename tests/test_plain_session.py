@@ -1,0 +1,72 @@
+"""Driver-session robustness: every query family must run under a
+PLAIN SparkSession (none of the engine's session.py confs).
+
+The correctness driver builds its own vanilla session, so anything that
+only works under ``get_spark()`` is invisible to our tests but red in
+CORRECTNESS_r{N}. Round 1 lost 8 queries to exactly this (events
+TIMESTAMP(NANOS) handling tied to a session conf); round 3 found 15
+more latent failures when pyspark 4.1 changed the nanos read path.
+
+A plain session can't coexist with the engine session in one JVM
+(session confs differ), so this test runs in a subprocess.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# One representative per family that touches a distinct read/typing
+# path: events (ntz timestamps), temporal joins, stateful batch form,
+# multimodal binary, embeddings arrays, text, relational decimal, graph.
+SAMPLE = [
+    "events_tumbling_counts",
+    "events_sessionization",
+    "asof_join_events",
+    "running_user_stats",
+    "multimodal_features",
+    "embedding_cosine_topk",
+    "quality_score",
+    "pricing_summary",
+    "bfs_levels",
+]
+
+_SCRIPT = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[8]")
+         .appName("plain-session-test").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as entry
+qs = entry.queries()
+out = {{}}
+for name in {sample!r}:
+    try:
+        out[name] = len(qs[name](spark, {sf_dir!r}).collect())
+    except Exception as e:  # noqa: BLE001
+        out[name] = f"{{type(e).__name__}}: {{e}}"[:300]
+print("RESULT::" + json.dumps(out))
+"""
+
+
+def test_queries_run_under_plain_session(sf_dir):
+    script = _SCRIPT.format(repo=REPO, sample=SAMPLE, sf_dir=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=540,
+    )
+    assert proc.returncode == 0, f"subprocess died:\n{proc.stderr[-2000:]}"
+    line = next(
+        (ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT::")), None)
+    assert line, f"no result line in:\n{proc.stdout[-2000:]}"
+    results = json.loads(line.removeprefix("RESULT::"))
+    failures = {k: v for k, v in results.items() if not isinstance(v, int)}
+    assert not failures, f"queries failed under a plain session: {failures}"
+    assert all(v > 0 for v in results.values()), results
