@@ -1,12 +1,12 @@
-"""Replicate the driver's t2 correctness harness with per-query timing.
+"""Replicate the driver's correctness harness, with value comparison.
 
 The driver builds a PLAIN SparkSession (no engine configs), runs each
-``queries()[name]`` at sf0.01, collects, then runs ``oracle_sql()[name]``
-in DuckDB and compares.  Round 1 and round 2 both show the harness
-stopping partway through the registry (50/51, then 48/87 rows), which
-looks like a global wall-clock budget.  This replica times the Spark
-side and the DuckDB side of every query so we can see where the budget
-goes.
+``queries()[name]`` at sf0.01, runs ``oracle_sql()[name]`` in DuckDB,
+and compares row count + schema + order-insensitive values. Its
+CORRECTNESS_r{N}.json only records the FIRST 50 registry entries
+(observed r01/r02), so this replica is the full-registry evidence: it
+checks every id the same way and writes ``PARITY_LOCAL.json`` at the
+repo root (committed; cited by SURVEY.md §2.3).
 
 Usage: python tools/harness_replica.py [start_idx] [end_idx]
 """
@@ -18,16 +18,31 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def _values_match(got, want) -> bool:
+    """Order-insensitive, column-name-sorted string equality — the same
+    comparison shape the driver hashes."""
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    if list(got.columns) != list(want.columns) or len(got) != len(want):
+        return False
+    g = got.sort_values(by=list(got.columns), kind="mergesort").reset_index(drop=True)
+    w = want.sort_values(by=list(want.columns), kind="mergesort").reset_index(drop=True)
+    return g.astype(str).equals(w.astype(str))
 
 
 def main() -> None:
+    import duckdb
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry
-    from tests.parity import run_oracle
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -35,6 +50,11 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
@@ -47,19 +67,21 @@ def main() -> None:
     for i, name in enumerate(names[lo:hi], start=lo):
         t0 = time.perf_counter()
         err = None
+        match = None
+        nrows = orows = -1
         try:
-            rows = qs[name](spark, SF_DIR).collect()
-            nrows = len(rows)
+            got = qs[name](spark, SF_DIR).toPandas()
+            nrows = len(got)
         except Exception as e:  # noqa: BLE001
             err = f"spark: {type(e).__name__}: {e}"[:200]
-            nrows = -1
         t_spark = time.perf_counter() - t0
 
         t1 = time.perf_counter()
-        orows = -1
         if name in oracles and err is None:
             try:
-                orows = len(run_oracle(oracles[name], SF_DIR))
+                want = con.execute(oracles[name]).fetchdf()
+                orows = len(want)
+                match = _values_match(got, want)
             except Exception as e:  # noqa: BLE001
                 err = f"oracle: {type(e).__name__}: {e}"[:200]
         t_oracle = time.perf_counter() - t1
@@ -69,19 +91,39 @@ def main() -> None:
             "oracle_s": round(t_oracle, 2),
             "rows": nrows,
             "orows": orows,
+            "values_match": match,
             "err": err,
         }
         print(
             f"[{i:3d}] {name}: spark={t_spark:.2f}s oracle={t_oracle:.2f}s "
-            f"rows={nrows}/{orows} cum={time.perf_counter() - t_total0:.0f}s"
+            f"rows={nrows}/{orows} match={match} "
+            f"cum={time.perf_counter() - t_total0:.0f}s"
             + (f" ERR={err}" if err else ""),
             flush=True,
         )
 
     total = time.perf_counter() - t_total0
-    print(f"TOTAL: {total:.1f}s for {hi - lo} queries", flush=True)
-    with open("/tmp/harness_replica.json", "w") as f:
-        json.dump({"total_s": round(total, 1), "results": results}, f, indent=1)
+    n_match = sum(1 for r in results.values() if r["values_match"])
+    n_rows_only = sum(
+        1 for k, r in results.items()
+        if k not in oracles and r["err"] is None and r["rows"] >= 0)
+    print(f"TOTAL: {total:.1f}s for {hi - lo} queries; "
+          f"{n_match} value-match, {n_rows_only} rows-only", flush=True)
+    out = {
+        "sf_dir": SF_DIR,
+        "session": "plain SparkSession (no engine confs) — driver-style",
+        "comparison": "row count + sorted-column schema + order-insensitive values",
+        "total_s": round(total, 1),
+        "n_checked": hi - lo,
+        "n_value_match": n_match,
+        "n_rows_only_no_oracle": n_rows_only,
+        "results": results,
+    }
+    path = (os.path.join(REPO, "PARITY_LOCAL.json")
+            if (lo, hi) == (0, len(names)) else "/tmp/harness_replica.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":
