@@ -23,7 +23,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main() -> None:
     from graphdatabase_spark import get_spark, registry
 
-    spark = get_spark("graphdatabase-spark-bench")
+    # No console progress bars: the driver parses the result JSON from
+    # the last ~2000 chars of combined output, so keep stderr quiet.
+    spark = get_spark("graphdatabase-spark-bench",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up the JVM, codegen, and parquet footer cache.
@@ -50,8 +53,9 @@ def main() -> None:
     # JSON line from that window (BENCH_r02 failed to parse because the
     # full 87-query map pushed the line past 2000 chars).  Emit the full
     # per-query map to BENCH_FULL.json for the judge, and keep the stdout
-    # line under budget by including the slowest queries until ~1850
-    # bytes, summarizing the rest.
+    # line under budget by including the slowest queries until ~1600
+    # bytes (slack for any stderr noise sharing the tail window),
+    # summarizing the rest.
     full = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 4),
@@ -64,7 +68,7 @@ def main() -> None:
                            "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
-    budget = 1850
+    budget = 1600
     shown: dict[str, float] = {}
     line = ""
     for name in sorted(timings, key=timings.get, reverse=True):

@@ -173,18 +173,25 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     substrate. The self-join shuffles on l_orderkey (already how
     lineitem is naturally keyed).
 
-    Session-cached: the self-join + distinct is the expensive part and
-    BOTH triangle_count and clustering_coefficient consume it —
+    Session-cached: the pair expansion + distinct is the expensive part
+    and BOTH triangle_count and clustering_coefficient consume it —
     materialize once (the m ≪ wedge-count edge list is the cheap thing
-    to keep; re-deriving it is the per-query O(Σ per-order k²) join)."""
+    to keep).
+
+    Plan: ONE shuffle (groupBy l_orderkey, collect_set) then the
+    per-order pair set is expanded narrowly with two array explodes —
+    no self-join, so the scan side is never shuffled twice and the
+    per-order quadratic work stays inside whole-stage codegen. Same
+    result as the SQL self-join CTE the oracle uses (baskets are small
+    and bounded per order, so per-row fan-out is fine; a pathological
+    hot basket would need a per-order cap, not a different join)."""
     def build() -> DataFrame:
-        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-        a, b = li.alias("a"), li.alias("b")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        baskets = (li.groupBy("l_orderkey")
+                   .agg(F.collect_set(F.col("l_partkey").cast("long")).alias("ps")))
         return (
-            a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-            .select(F.col("a.l_partkey").cast("long").alias("src"),
-                    F.col("b.l_partkey").cast("long").alias("dst"))
+            baskets.select(F.explode("ps").alias("src"), "ps")
+            .select("src", F.explode(F.expr("filter(ps, x -> x > src)")).alias("dst"))
             .distinct()
         )
     return shared_persist(spark, ("copurchase_edges", sf_dir), build)

@@ -144,32 +144,44 @@ def k_core(edges: DataFrame, k: int,
     all degrees are ≥ k, by synchronous iterative peeling — each round
     drops every vertex whose remaining degree is < k, until a fixpoint.
 
-    Per round: one map-side-combined degree aggregate + two semi joins
-    of the shrinking edge set against the shrinking keep-list (AQE
-    broadcasts the keep-list once it's small). ``localCheckpoint``
-    truncates the growing lineage exactly like the Pregel kernels.
-    Raises if no fixpoint within ``max_rounds`` — the SQL oracle
-    unrolls the same bound, so a silent truncation is impossible."""
+    Message-based peeling: the edge set is scanned from cache and NEVER
+    rewritten — each round joins it against only this round's *removed*
+    frontier (broadcast: the frontier is a vid list ≪ edges) and sends
+    a degree-loss message to each surviving neighbor, so per-round work
+    is O(edges incident to removed vertices), not O(all edges). Only
+    the small per-vertex degree table is re-checkpointed per round.
+    This replaces an earlier formulation that re-aggregated degrees
+    over, semi-joined, and re-checkpointed the FULL edge set every
+    round — a 100 TB edge rewrite per round vs a vertex-table update.
+    An edge's loss is charged to a neighbor at most once (when its
+    other endpoint is removed) and losses between two dropped vertices
+    are anti-joined away, so the maintained degree always equals the
+    degree within the surviving subgraph. Raises if no fixpoint within
+    ``max_rounds`` — the SQL oracle unrolls the same bound, so a silent
+    truncation is impossible."""
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     e = e.localCheckpoint(eager=True)
-    n_edges = e.count()
+    deg = (
+        e.select(F.col("src").alias("vid")).unionAll(e.select(F.col("dst").alias("vid")))
+        .groupBy("vid").agg(F.count(F.lit(1)).alias("d"))
+    ).localCheckpoint(eager=True)
     for _ in range(max_rounds):
-        deg = (
-            e.select(F.col("src").alias("vid")).unionAll(e.select(F.col("dst").alias("vid")))
-            .groupBy("vid").agg(F.count(F.lit(1)).alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= k).select("vid")
-        e2 = (e.join(keep.withColumnRenamed("vid", "src"), "src", "left_semi")
-              .join(keep.withColumnRenamed("vid", "dst"), "dst", "left_semi")
-              .select("src", "dst"))
-        e2 = e2.localCheckpoint(eager=True)
-        n2 = e2.count()
-        if n2 == n_edges:
+        removed = deg.filter(F.col("d") < k).select("vid")
+        if removed.isEmpty():
             break
-        e, n_edges = e2, n2
+        loss = (
+            e.join(F.broadcast(removed.withColumnRenamed("vid", "src")), "src")
+            .select(F.col("dst").alias("vid"))
+            .unionAll(
+                e.join(F.broadcast(removed.withColumnRenamed("vid", "dst")), "dst")
+                .select(F.col("src").alias("vid")))
+            .groupBy("vid").agg(F.count(F.lit(1)).alias("loss"))
+        )
+        deg = (
+            deg.join(removed, "vid", "left_anti")
+            .join(loss, "vid", "left")
+            .select("vid", (F.col("d") - F.coalesce("loss", F.lit(0))).alias("d"))
+        ).localCheckpoint(eager=True)
     else:
         raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
-    return (
-        e.select(F.col("src").alias("vid")).unionAll(e.select(F.col("dst").alias("vid")))
-        .groupBy("vid").agg(F.count(F.lit(1)).alias("core_deg"))
-    )
+    return deg.select("vid", F.col("d").alias("core_deg"))
