@@ -40,8 +40,11 @@ import json, sys
 sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
 
-spark = (SparkSession.builder.master("local[8]")
-         .appName("plain-session-test").getOrCreate())
+builder = (SparkSession.builder.master("local[8]")
+           .appName("plain-session-test"))
+for kv in {extra_conf!r}.items():
+    builder = builder.config(*kv)
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as entry
@@ -56,8 +59,9 @@ print("RESULT::" + json.dumps(out))
 """
 
 
-def test_queries_run_under_plain_session(sf_dir):
-    script = _SCRIPT.format(repo=REPO, sample=SAMPLE, sf_dir=sf_dir)
+def _run_plain(sf_dir, sample, extra_conf=None):
+    script = _SCRIPT.format(repo=REPO, sample=sample, sf_dir=sf_dir,
+                            extra_conf=extra_conf or {})
     proc = subprocess.run(
         [sys.executable, "-c", script],
         capture_output=True, text=True, timeout=540,
@@ -66,7 +70,22 @@ def test_queries_run_under_plain_session(sf_dir):
     line = next(
         (ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT::")), None)
     assert line, f"no result line in:\n{proc.stdout[-2000:]}"
-    results = json.loads(line.removeprefix("RESULT::"))
+    return json.loads(line.removeprefix("RESULT::"))
+
+
+def test_queries_run_under_plain_session(sf_dir):
+    results = _run_plain(sf_dir, SAMPLE)
     failures = {k: v for k, v in results.items() if not isinstance(v, int)}
     assert not failures, f"queries failed under a plain session: {failures}"
+    assert all(v > 0 for v in results.values()), results
+
+
+def test_events_run_under_ltz_session(sf_dir):
+    """With NTZ inference disabled the events ts column reads as
+    TIMESTAMP_LTZ — the third dtype branch of _with_event_ts."""
+    results = _run_plain(
+        sf_dir, ["events_tumbling_counts", "asof_join_events"],
+        extra_conf={"spark.sql.parquet.inferTimestampNTZ.enabled": "false"})
+    failures = {k: v for k, v in results.items() if not isinstance(v, int)}
+    assert not failures, f"queries failed under an LTZ session: {failures}"
     assert all(v > 0 for v in results.values()), results
