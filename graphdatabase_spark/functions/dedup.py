@@ -241,10 +241,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     point of LSH at 100 TB: the quadratic stage only ever sees
     same-bucket survivors.
 
-    No SQL oracle: LSH recall is probabilistic (a true pair can miss
-    every band), so the driver records a rows-only check; the unit
-    tests assert recall ≥ 0.9 against the exact operator at the
-    threshold and precision = 1.0 (verification is exact).
+    LSH recall is probabilistic only versus the TRUE near-dup set (a
+    true pair can miss every band) — the pipeline itself is fully
+    deterministic (md5-derived 44-bit hashes, fixed universal-hash
+    coefficients, fixed band layout), so the exact candidate set and
+    output replicate in SQL: ORACLE_DEDUP_MINHASH_LSH unrolls the same
+    32 permutations and 8 band keys in DuckDB and hash-matches. The
+    recall ≥ 0.9 / precision = 1.0 unit tests against the exact
+    operator remain the statistical-quality gate.
     """
     hs = cached_shingle_hashes(spark, sf_dir)
     # Signatures feed both sides of the band self-join; persist so the
@@ -265,6 +269,52 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
     )
+
+
+def _minhash_lsh_oracle_sql(k: int = MINHASH_K, bands: int = LSH_BANDS,
+                            rows: int = LSH_ROWS,
+                            threshold: float = NEAR_DUP_THRESHOLD) -> str:
+    """DuckDB replica of the full MinHash+LSH pipeline, generated from
+    the SAME constants the Spark path uses (MINHASH_AB, band layout,
+    44-bit shift, threshold) so the two can never drift apart. The
+    exact-Jaccard verification reuses the inverted-index count form
+    (|A∩B| / (n1 + n2 − |A∩B|)) — identical doubles to Spark's
+    array_intersect/array_union on the same sets."""
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b % MINHASH_PRIME}) % {MINHASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_AB[:k]))
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"m{b * rows + r}" for r in range(rows))
+        + ") AS key FROM sig"
+        for b in range(bands))
+    return f"""
+WITH {_hashes_cte()},
+h44 AS (SELECT doc_id, h >> 16 AS h FROM sh_h),
+sig AS (SELECT doc_id,
+         {mins}
+        FROM h44 GROUP BY doc_id),
+bands AS (
+{band_rows}
+),
+cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh_h GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+          FROM sh_h a JOIN sh_h b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT c.doc1, c.doc2,
+       CAST(i.i AS DOUBLE) / (c1.n + c2.n - i.i) AS jaccard
+FROM cand c
+JOIN cnt c1 ON c1.doc_id = c.doc1
+JOIN cnt c2 ON c2.doc_id = c.doc2
+JOIN inter i ON i.doc1 = c.doc1 AND i.doc2 = c.doc2
+WHERE CAST(i.i AS DOUBLE) / (c1.n + c2.n - i.i) >= {threshold}
+"""
+
+
+ORACLE_DEDUP_MINHASH_LSH = _minhash_lsh_oracle_sql()
 
 
 # --- dedup_simhash -----------------------------------------------------------
@@ -318,7 +368,8 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_near": ORACLE_DEDUP_NEAR,
     "dedup_near_guarded": ORACLE_DEDUP_NEAR_GUARDED,
-    # dedup_minhash_lsh: intentionally no oracle (probabilistic recall);
-    # covered by recall/precision unit tests instead.
+    # Deterministic pipeline (md5 hashes + fixed coefficients): the
+    # full LSH candidate generation + exact verify replicates in SQL.
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
 }

@@ -43,10 +43,11 @@ _CHECK_FIRST = [
     "window_showcase", "dedup_clusters", "sample_split", "top_ngrams",
     "corpus_prep", "tfidf_top_terms", "contamination_check", "quality_repetition",
     "corpus_histogram", "sequence_pack",
-    # -- re-validation picks (green in round 2) --
+    # -- re-validation picks (green in round 2), plus dedup_minhash_lsh
+    # whose round-3 deterministic oracle needs its first driver row --
     "pricing_summary", "revenue_by_nation", "graph_ingest_matrix", "bfs_levels",
     "pagerank", "connected_components", "sssp_weighted", "kcore",
-    "triangle_count", "dedup_exact", "dedup_near", "similarity_topk",
+    "triangle_count", "dedup_minhash_lsh", "dedup_near", "similarity_topk",
     "search_bm25",
 ]
 
