@@ -19,6 +19,11 @@ from graphdatabase_spark.cache import track_persist
 # can never silently truncate (same pattern as dg.MAX_ORACLE_HOPS).
 KCORE_MAX_ROUNDS = 12
 
+# Largest peel frontier the k_core loop will broadcast (ids are longs:
+# 4M ≈ 32 MB serialized — inside a sane executor/driver broadcast
+# budget). Above this the frontier joins as a shuffle.
+BROADCAST_FRONTIER_MAX = 4_000_000
+
 
 def degrees(edges: DataFrame) -> DataFrame:
     """``(vid, out_degree, in_degree)`` per vertex appearing in any
@@ -146,10 +151,17 @@ def k_core(edges: DataFrame, k: int,
 
     Message-based peeling: the edge set is scanned from cache and NEVER
     rewritten — each round joins it against only this round's *removed*
-    frontier (broadcast: the frontier is a vid list ≪ edges) and sends
-    a degree-loss message to each surviving neighbor, so per-round work
-    is O(edges incident to removed vertices), not O(all edges). Only
-    the small per-vertex degree table is re-checkpointed per round.
+    frontier and sends a degree-loss message to each surviving
+    neighbor, so per-round work is O(edges incident to removed
+    vertices), not O(all edges). The frontier join strategy is decided
+    driver-side from the frontier's EXACT size (the termination test
+    already counts it, and AQE can't help here: the frontier sits
+    behind a checkpoint filter, not an Exchange, so it has no runtime
+    stats to trigger broadcast conversion): frontiers up to
+    ``BROADCAST_FRONTIER_MAX`` ids are broadcast; larger ones — e.g.
+    the first round's every-vertex-under-k frontier at 100 TB, which
+    must never ship through the driver — shuffle-join. Only the small
+    per-vertex degree table is re-checkpointed per round.
     This replaces an earlier formulation that re-aggregated degrees
     over, semi-joined, and re-checkpointed the FULL edge set every
     round — a 100 TB edge rewrite per round vs a vertex-table update.
@@ -167,13 +179,19 @@ def k_core(edges: DataFrame, k: int,
     ).localCheckpoint(eager=True)
     for _ in range(max_rounds):
         removed = deg.filter(F.col("d") < k).select("vid")
-        if removed.isEmpty():
+        n_removed = removed.count()
+        if n_removed == 0:
             break
+        small = n_removed <= BROADCAST_FRONTIER_MAX
+        r_src = removed.withColumnRenamed("vid", "src")
+        r_dst = removed.withColumnRenamed("vid", "dst")
+        if small:
+            r_src, r_dst = F.broadcast(r_src), F.broadcast(r_dst)
         loss = (
-            e.join(F.broadcast(removed.withColumnRenamed("vid", "src")), "src")
+            e.join(r_src, "src")
             .select(F.col("dst").alias("vid"))
             .unionAll(
-                e.join(F.broadcast(removed.withColumnRenamed("vid", "dst")), "dst")
+                e.join(r_dst, "dst")
                 .select(F.col("src").alias("vid")))
             .groupBy("vid").agg(F.count(F.lit(1)).alias("loss"))
         )

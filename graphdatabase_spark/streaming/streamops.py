@@ -71,9 +71,15 @@ def _with_event_ts(events_raw: DataFrame) -> DataFrame:
             F.expr("timestampadd(MICROSECOND, ts div 1000, timestamp_ntz'1970-01-01 00:00:00')"),
         )
     if isinstance(dt, TimestampType):
-        # LTZ read (inferTimestampNTZ disabled): renormalize to the
-        # session-independent NTZ wall clock.
-        return events_raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        # LTZ read (inferTimestampNTZ disabled): recover the stored UTC
+        # wall clock via epoch micros, NOT cast("timestamp_ntz") — the
+        # cast renders in the session timezone, which would shift every
+        # event (and silently break oracle parity) in a non-UTC session.
+        # unix_micros is LTZ-only, which is exactly this branch.
+        return events_raw.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, unix_micros(ts), timestamp_ntz'1970-01-01 00:00:00')"),
+        )
     return events_raw
 
 

@@ -55,6 +55,8 @@ for name in {sample!r}:
         out[name] = len(qs[name](spark, {sf_dir!r}).collect())
     except Exception as e:  # noqa: BLE001
         out[name] = f"{{type(e).__name__}}: {{e}}"[:300]
+from graphdatabase_spark.streaming.streamops import events_batch
+out["__min_ts"] = str(events_batch(spark, {sf_dir!r}).agg({{"ts": "min"}}).collect()[0][0])
 print("RESULT::" + json.dumps(out))
 """
 
@@ -75,17 +77,35 @@ def _run_plain(sf_dir, sample, extra_conf=None):
 
 def test_queries_run_under_plain_session(sf_dir):
     results = _run_plain(sf_dir, SAMPLE)
+    min_ts = results.pop("__min_ts")
     failures = {k: v for k, v in results.items() if not isinstance(v, int)}
     assert not failures, f"queries failed under a plain session: {failures}"
     assert all(v > 0 for v in results.values()), results
+    assert min_ts == _expected_min_ts(sf_dir), min_ts
+
+
+def _expected_min_ts(sf_dir):
+    import duckdb
+
+    (v,) = duckdb.sql(
+        "SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') "
+        f"FROM read_parquet('{sf_dir}/events.parquet')").fetchone()
+    return v
 
 
 def test_events_run_under_ltz_session(sf_dir):
     """With NTZ inference disabled the events ts column reads as
-    TIMESTAMP_LTZ — the third dtype branch of _with_event_ts."""
+    TIMESTAMP_LTZ — the third dtype branch of _with_event_ts. The
+    session timezone is deliberately NON-UTC: recovering the stored UTC
+    wall clock must not depend on it (a session-tz cast would shift
+    every event by the offset and silently break oracle parity)."""
     results = _run_plain(
         sf_dir, ["events_tumbling_counts", "asof_join_events"],
-        extra_conf={"spark.sql.parquet.inferTimestampNTZ.enabled": "false"})
+        extra_conf={"spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+                    "spark.sql.session.timeZone": "Asia/Kolkata"})
+    min_ts = results.pop("__min_ts")
     failures = {k: v for k, v in results.items() if not isinstance(v, int)}
     assert not failures, f"queries failed under an LTZ session: {failures}"
     assert all(v > 0 for v in results.values()), results
+    assert min_ts == _expected_min_ts(sf_dir), (
+        f"canonical ts drifted under non-UTC LTZ session: {min_ts}")

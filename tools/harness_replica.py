@@ -22,8 +22,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-TABLES = ("region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings")
 
 
 def _values_match(got, want) -> bool:
@@ -51,10 +49,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from graphdatabase_spark.sources.tables import TABLE_NAMES
+
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    for t in TABLE_NAMES:
+        # Guard like tests/parity.py: DuckDB binds read_parquet at
+        # CREATE VIEW time, so a missing file would abort the whole run
+        # at setup instead of surfacing as per-query errors.
+        if os.path.exists(os.path.join(SF_DIR, f"{t}.parquet")):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
