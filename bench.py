@@ -29,8 +29,10 @@ def main() -> None:
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM, codegen, and parquet footer cache.
-    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    # Warm up the JVM, codegen, and parquet footer caches for every
+    # table a first-in-sort-order query would otherwise be charged for.
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(registry.queries().items()):
