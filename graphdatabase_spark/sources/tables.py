@@ -40,6 +40,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Caller-supplied sessions (the correctness driver, notebooks) don't
+    # have the engine's session defaults; this one is runtime-settable
+    # and load_table is the common entry of every query path. Without it
+    # AQE can't coalesce partitions under .persist(), so the iterative
+    # kernels' cached intermediates run every stage at the configured
+    # shuffle partition count (200 by default) whatever the data size —
+    # measured 7x on the triangle kernel in a vanilla session.
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     # events.parquet carries TIMESTAMP(NANOS): pyspark >= 4.1 reads it
     # natively (µs-truncated TIMESTAMP_NTZ); older readers surface a
     # nanosecond long under spark.sql.legacy.parquet.nanosAsLong. Every
