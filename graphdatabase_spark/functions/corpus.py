@@ -208,15 +208,19 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at scale: one explode + (doc, term) count shuffle, one
     term-keyed df aggregate joined back (term dictionary ≪ corpus —
-    AQE broadcasts it), one per-doc window top-k. No Python anywhere."""
+    AQE broadcasts it), one per-doc window top-k. No Python anywhere.
+    The corpus size enters as a broadcast 1-row aggregate (the
+    search_bm25 pattern), NOT a driver-side .count() — the builder
+    stays lazy and no extra scan job runs per invocation."""
     docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_docs = (load_table(spark, sf_dir, "documents")
+              .agg(F.count(F.lit(1)).alias("__n")))
     terms = docs.select("doc_id", F.explode(text.tokens_col("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_, "term").select(
+    scored = tf.join(df_, "term").crossJoin(F.broadcast(n_docs)).select(
         "doc_id", "term", "tf", "df",
-        (F.col("tf") * F.expr(f"({n_docs}L * {TFIDF_SCALE}L) div df")).alias("score"))
+        (F.col("tf") * F.expr(f"(__n * {TFIDF_SCALE}L) div df")).alias("score"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= TFIDF_TOP)

@@ -63,9 +63,6 @@ def plane_signs(num_planes: int = ANN_PLANES, dim: int = EMB_DIM,
     return [[_plane_sign(p, d, seed) for d in range(dim)] for p in range(num_planes)]
 
 
-PLANE_SIGNS = plane_signs()
-
-
 def quantized(col) -> F.Column:
     """array<float> → array<bigint>: round(x·10⁶). float32→double is
     exact and both engines round half away from zero, so the ints are
@@ -182,16 +179,24 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str,
     """ANN top-k: scan only the query's hyperplane bucket, exact cosine
     within it. Deterministic (md5-derived planes + integer projections)
     ⇒ fully oracle-checkable despite being approximate. ``num_planes``
-    sizes the bucket grid (see the ANN_PLANES sizing rule)."""
+    sizes the bucket grid (see the ANN_PLANES sizing rule).
+
+    The bucketed table is the session-shared materialization
+    ``dedup_embedding`` builds too (one quantize+project pass for the
+    whole family; it is also referenced twice here — query row and
+    candidates — and would otherwise execute twice). The label rides in
+    via a cheap projected join rather than widening the shared cache."""
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = emb.select("vec_id", "label", quantized(F.col("embedding")).alias("v"))
-    bucketed = quant.select("vec_id", "label", "v",
-                            _bucket_col(F.col("v"), num_planes).alias("bucket"))
+    quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
+    bucketed = shared_persist(
+        spark, ("emb_bucketed", sf_dir, num_planes),
+        lambda: quant.select("vec_id", "v",
+                             _bucket_col(F.col("v"), num_planes).alias("bucket")))
     qrow = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qbucket"))
     cands = bucketed.filter(F.col("vec_id") != QUERY_VEC_ID).join(
         F.broadcast(qrow), F.col("bucket") == F.col("qbucket"))
-    scored = cands.select(
+    scored = cands.join(emb.select("vec_id", "label"), "vec_id").select(
         "vec_id", "label", "bucket",
         (_dot(F.col("qv"), F.col("v")).cast("double")
          / (F.sqrt(_norm_sq(F.col("qv")).cast("double")) * F.sqrt(_norm_sq(F.col("v")).cast("double")))
@@ -246,9 +251,10 @@ def _cell_assign(vectors: DataFrame, centroids: DataFrame, n_best: int) -> DataF
     """Assign each vector to its ``n_best`` nearest centroid cells by
     exact integer squared-L2 (argmin of |c|² − 2c·v; |v|² is constant
     per vector). Ties break by cell id, so assignment is total-ordered
-    and engine-portable."""
+    and engine-portable. All input columns pass through, plus
+    ``cell``."""
     scored = vectors.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "label", "v", "cell",
+        *vectors.columns, "cell",
         (_norm_sq(F.col("cv")) - F.lit(2) * _dot(F.col("cv"), F.col("v"))).alias("d2"))
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
     return (scored.withColumn("rk", F.row_number().over(w))
@@ -267,21 +273,25 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str,
 
     Sizing at scale: cells ≈ sqrt(N) keeps (assign cost = N·cells dot
     products at build, probe cost = nprobe·N/cells at query) balanced;
-    at N = 1e9 that's ~32k cells, built once and reused — here the
-    assignment is inline since the testdata build cost is trivial.
+    at N = 1e9 that's ~32k cells, built once and reused — the
+    assignment IS the session-shared ``("ivf_cells", ...)``
+    materialization the whole IVF family (semdedup, knn join) shares;
+    only the nprobe-cell query assignment is computed per call.
     Everything is exact integer math on quantized components, so even
     this approximate index is value-checkable in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = emb.select("vec_id", "label", quantized(F.col("embedding")).alias("v"))
+    quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
     centroids = quant.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
-    cells = _cell_assign(quant, centroids, 1)
+    cells = shared_persist(
+        spark, ("ivf_cells", sf_dir, n_cells),
+        lambda: _cell_assign(quant, centroids, 1))
     qcells = (_cell_assign(quant.filter(F.col("vec_id") == QUERY_VEC_ID),
                            centroids, nprobe)
               .select(F.col("v").alias("qv"), F.col("cell").alias("qcell")))
     cands = (cells.filter(F.col("vec_id") != QUERY_VEC_ID)
              .join(F.broadcast(qcells), F.col("cell") == F.col("qcell")))
-    scored = cands.select(
+    scored = cands.join(emb.select("vec_id", "label"), "vec_id").select(
         "vec_id", "label", "cell",
         (_dot(F.col("qv"), F.col("v")).cast("double")
          / (F.sqrt(_norm_sq(F.col("qv")).cast("double"))
@@ -407,13 +417,12 @@ def q_semdedup_ivf(spark: SparkSession, sf_dir: str,
     integer math on quantized components, so the approximate index is
     still value-checked in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = emb.select("vec_id", F.lit(None).cast("int").alias("label"),
-                       quantized(F.col("embedding")).alias("v"))
+    quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
     centroids = quant.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
     cells = shared_persist(
         spark, ("ivf_cells", sf_dir, n_cells),
-        lambda: _cell_assign(quant, centroids, 1).drop("label"))
+        lambda: _cell_assign(quant, centroids, 1))
     a, b = cells.alias("a"), cells.alias("b")
     cos = (_dot(F.col("a.v"), F.col("b.v")).cast("double")
            / (F.sqrt(_norm_sq(F.col("a.v")).cast("double"))
@@ -473,13 +482,12 @@ def q_knn_join(spark: SparkSession, sf_dir: str,
     cell assignment is the session-shared materialization the other
     IVF operators reuse. Exact integer cosines ⇒ SQL-checkable."""
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = emb.select("vec_id", F.lit(None).cast("int").alias("label"),
-                       quantized(F.col("embedding")).alias("v"))
+    quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
     centroids = quant.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
     cells = shared_persist(
         spark, ("ivf_cells", sf_dir, n_cells),
-        lambda: _cell_assign(quant, centroids, 1).drop("label"))
+        lambda: _cell_assign(quant, centroids, 1))
     q = (cells.filter(F.col("vec_id") % KNN_SAMPLE_MOD == 0)
          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
                  F.col("cell").alias("qcell")))

@@ -30,8 +30,8 @@ SQL_FORECAST_REVENUE = """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+WHERE l_shipdate >= '1997-01-01 00:00:00'
+  AND l_shipdate <  '1998-01-01 00:00:00'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """
@@ -55,13 +55,17 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     classic fix when one key holds so many rows that a single reducer
     (even after AQE skew splitting) becomes the stage's tail.
 
-    The left salt is derived from the whole row (xxhash64 of all
-    columns), so the spread is deterministic: same data → same
-    partitioning → reproducible runs. Result set is EXACTLY the plain
-    join's (the oracle states it as one).
+    The left salt round-robins rows within each input partition
+    (monotonically_increasing_id mod salt), NOT a content hash: a hot
+    key's rows are often near-identical after projection, and a
+    content-derived salt would send all duplicates to the same reducer
+    — keeping exactly the skew this exists to break. The salt only
+    chooses physical placement, so the result set is EXACTLY the plain
+    join's (the oracle states it as one) regardless of partition
+    layout.
     """
     lsalt = left.withColumn(
-        "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int"))
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int"))
     rsalt = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     return lsalt.join(rsalt, [key, "__salt"]).drop("__salt")

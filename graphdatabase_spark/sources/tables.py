@@ -14,6 +14,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
 
 TABLE_NAMES = (
     "region", "nation", "customer", "supplier", "part",
@@ -55,8 +57,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     # consumer goes through streamops._with_event_ts, which dispatches
     # on the observed dtype, so any caller-supplied session works.
     df = spark.read.parquet(table_path(sf_dir, name))
+    df = _canonical_timestamps(df)
     if spread:
         df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
+def _canonical_timestamps(df: DataFrame) -> DataFrame:
+    """Re-anchor any TIMESTAMP_LTZ column to the stored UTC wall clock
+    as TIMESTAMP_NTZ.
+
+    The driver tables store naive (isAdjustedToUTC=false) timestamps;
+    default sessions already read them as NTZ and this is a no-op. A
+    session with ``spark.sql.parquet.inferTimestampNTZ.enabled=false``
+    reads them as LTZ instead, where both timestamp literals in query
+    text and LTZ→NTZ casts are interpreted in the session timezone — a
+    non-UTC caller session would silently shift every timestamp against
+    the DuckDB oracle's naive read. Epoch-micros re-anchoring is
+    timezone-independent (same treatment streamops._with_event_ts gives
+    the events table, generalized to every table/column)."""
+    ltz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampType)]
+    for c in ltz:
+        df = df.withColumn(c, F.expr(
+            f"timestampadd(MICROSECOND, unix_micros({c}), timestamp_ntz'1970-01-01 00:00:00')"))
     return df
 
 

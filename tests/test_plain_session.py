@@ -100,7 +100,8 @@ def test_events_run_under_ltz_session(sf_dir):
     wall clock must not depend on it (a session-tz cast would shift
     every event by the offset and silently break oracle parity)."""
     results = _run_plain(
-        sf_dir, ["events_tumbling_counts", "asof_join_events"],
+        sf_dir,
+        ["events_tumbling_counts", "asof_join_events", "sql_forecast_revenue"],
         extra_conf={"spark.sql.parquet.inferTimestampNTZ.enabled": "false",
                     "spark.sql.session.timeZone": "Asia/Kolkata"})
     min_ts = results.pop("__min_ts")
