@@ -32,7 +32,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
               payload_cols: list[str], suffix: str = "_asof") -> DataFrame:
     """For each left row, attach the payload of the latest right row
     with ``right.ts <= left.ts`` and equal ``key`` (backward-inclusive
-    as-of semantics, ties broken right-row-first so a same-instant
+    as-of semantics). The right side must be unique per (key, ts) —
+    with duplicates, which duplicate's payload wins is shuffle-order
+    nondeterministic (and engines' ASOF implementations each pick their
+    own arbitrary row); callers aggregate duplicates away first, as
+    q_asof_join_events does. Ties between a left row and a same-instant
+    right row are broken right-row-first so a same-instant
     right row matches)."""
     lcols = left.columns
     ldtypes = dict(left.dtypes)
@@ -71,8 +76,7 @@ def range_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     exact = joined.filter(
         F.abs(F.timestamp_diff("MICROSECOND", F.col("__rts"), F.col(ts))) <= width_sec * 1_000_000)
     return exact.select(*left.columns, F.col("__rts"),
-                        *[F.col(f"__r_{c}").alias(f"r_{c}") for c in right_cols]) \
-        .drop("__b")
+                        *[F.col(f"__r_{c}").alias(f"r_{c}") for c in right_cols])
 
 
 # --- registry queries over events ------------------------------------------
@@ -82,9 +86,17 @@ ASOF_WIDTH_SEC = 1800
 
 def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event: ts and value of the user's most recent 'error' event
-    at-or-before it (classic point-in-time enrichment)."""
+    at-or-before it (classic point-in-time enrichment).
+
+    The error side is aggregated to one row per (user, instant) first
+    (max value on same-instant duplicates): with duplicates both Spark's
+    carry-forward and DuckDB's ASOF JOIN would each pick an ARBITRARY
+    duplicate — nondeterministic across runs and engines. The current
+    testdata happens to have none; the dedup makes the contract hold on
+    any data."""
     ev = events_batch(spark, sf_dir).select("event_id", "user_id", "ts", "event_type", "value")
-    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
     out = asof_join(
         ev.select("event_id", "user_id", "ts"), errors,
         key="user_id", ts="ts", payload_cols=["value"])
@@ -92,11 +104,14 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB has native ASOF JOIN (inclusive >=): the perfect oracle.
-# A same-instant error event matches itself in both engines.
+# A same-instant error event matches itself in both engines. The right
+# side is pre-aggregated per (user, instant) exactly like the Spark
+# path, so neither engine ever chooses among duplicate instants.
 ORACLE_ASOF_JOIN_EVENTS = """
 SELECT l.event_id, l.user_id, l.ts, r.value AS last_error_value
 FROM events l
-ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS value FROM events
+                WHERE event_type = 'error' GROUP BY user_id, ts) r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 

@@ -19,8 +19,8 @@ profiles are permanent.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,14 +47,19 @@ def _update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iter
     n, cents, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        # Round half-AWAY-FROM-ZERO to integer cents, matching F.round
-        # in the batch ground truth and round() in the DuckDB oracle.
-        # (pandas .round() is banker's round-half-to-even: a value
-        # landing exactly on .5 cents would diverge from the batch
-        # answer.) Exact and associative once integral.
-        scaled = pdf["value"].mul(100)
-        cents += int(np.copysign(np.floor(np.abs(scaled) + 0.5), scaled)
-                     .astype("int64").sum())
+        # Round half-AWAY-FROM-ZERO to integer cents via Decimal on the
+        # double's shortest repr — the exact semantics of Spark's
+        # F.round (BigDecimal HALF_UP) in the batch ground truth and
+        # round() in the DuckDB oracle. Vectorized float tricks like
+        # floor(abs(x)+0.5) diverge one ulp below a .5 boundary (the FP
+        # add rounds up to the tie the true value never reaches), and
+        # pandas .round() is banker's rounding — either would put
+        # streaming one cent off the batch answer on adversarial
+        # values. sum() skips nulls exactly like the batch aggregate
+        # (the row still counts toward n_events).
+        cents += sum(
+            int(Decimal(repr(x)).scaleb(2).quantize(Decimal(1), ROUND_HALF_UP))
+            for x in pdf["value"].dropna())
         if len(pdf):
             last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
     state.update((n, cents, last_us))

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampType
 from pyspark.sql.window import Window
 
-from graphdatabase_spark.sources.tables import load_table, table_path
+from graphdatabase_spark.sources.tables import _canonical_timestamps, load_table
 
 # Microseconds since epoch for a (canonical NTZ) event timestamp.
 # ``unix_micros`` only accepts TIMESTAMP_LTZ, so the ntz-safe spelling
@@ -71,15 +71,11 @@ def _with_event_ts(events_raw: DataFrame) -> DataFrame:
             F.expr("timestampadd(MICROSECOND, ts div 1000, timestamp_ntz'1970-01-01 00:00:00')"),
         )
     if isinstance(dt, TimestampType):
-        # LTZ read (inferTimestampNTZ disabled): recover the stored UTC
-        # wall clock via epoch micros, NOT cast("timestamp_ntz") — the
-        # cast renders in the session timezone, which would shift every
-        # event (and silently break oracle parity) in a non-UTC session.
-        # unix_micros is LTZ-only, which is exactly this branch.
-        return events_raw.withColumn(
-            "ts",
-            F.expr("timestampadd(MICROSECOND, unix_micros(ts), timestamp_ntz'1970-01-01 00:00:00')"),
-        )
+        # LTZ input: defense-in-depth for caller-built DataFrames —
+        # load_table already re-anchors LTZ reads, so this branch only
+        # fires for events frames that bypassed it. One shared
+        # implementation of the timezone-independent re-anchoring.
+        return _canonical_timestamps(events_raw)
     return events_raw
 
 
@@ -102,7 +98,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _with_event_ts(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
-    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # cast("timestamp") would follow spark.sql.timestampType (NTZ in
+    # some sessions) — name LTZ explicitly, watermarks accept only it.
+    return stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
 
 
 # --- tumbling window -------------------------------------------------------
