@@ -88,22 +88,41 @@ class GraphEngine:
         # needing full snapshot isolation should version the store path.
         meta = lines.filter(F.col("line_no") == 0).select(
             F.trim(F.col("line")).cast("int").alias("n"), "graph")
+        # Every graph in this write, from the meta rows (one per graph,
+        # even N=0). Needed below: dynamic overwrite only replaces
+        # partitions that RECEIVE rows, so a modify that empties a graph
+        # (all-zero matrix, N=0) would otherwise leave the old edges/
+        # vertices partitions serving stale data.
+        write_graphs = {r["graph"] for r in meta.select("graph").distinct().collect()}
         writes = (
             (matrix_mod.melt_matrix_lines(lines), self.edges_path),
             (matrix_mod.matrix_vertices(lines), self.vertices_path),
             (meta, self.meta_path),
         )
         for df, path in writes:
-            (df.select(*[c for c in df.columns if c != "graph"], "graph")
-               .write.mode("overwrite")
-               .option("partitionOverwriteMode", "dynamic")
-               .partitionBy("graph").parquet(path))
+            out = df.select(*[c for c in df.columns if c != "graph"], "graph")
+            (out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("graph").parquet(path))
+            present = {r["graph"] for r in out.select("graph").distinct().collect()}
+            for g in sorted(write_graphs - present):
+                # Explicitly clear the partition the dynamic write never
+                # touched: an empty overwrite of graph=<g> removes the
+                # stale files (the explicit-schema read then yields 0
+                # rows for it).
+                (out.filter(F.lit(False)).drop("graph")
+                    .write.mode("overwrite").parquet(os.path.join(path, f"graph={g}")))
 
     # -- catalog ----------------------------------------------------------
 
     def _read(self, path: str, schema: str) -> DataFrame:
         # Explicit schema: correct result even when a table has no
-        # partitions yet (e.g. only empty graphs written).
+        # partitions yet (e.g. only empty graphs written). A store no
+        # write has touched yet has no table directory at all — an
+        # empty relation, not an error, so every query path (edges,
+        # vertices, bfs, ...) shares graphs()' empty-store contract.
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(path)
 
     def graphs(self) -> list[str]:
@@ -206,7 +225,9 @@ class GraphEngine:
         document."""
         rows = docs.filter(F.col("doc_id") == doc_id) \
             .select(F.size(tokens_col("text")).alias("n")).collect()
-        return int(rows[0]["n"]) if rows else 0
+        # n is NULL (not 0) for a NULL text under sizeOfNull=false —
+        # a null document counts as zero words, like `wc -w` on nothing.
+        return int(rows[0]["n"]) if rows and rows[0]["n"] is not None else 0
 
     # -- op 5: terminate ----------------------------------------------------
 

@@ -305,12 +305,12 @@ inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
           FROM sh_h a JOIN sh_h b ON a.h = b.h AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT c.doc1, c.doc2,
-       CAST(i.i AS DOUBLE) / (c1.n + c2.n - i.i) AS jaccard
+       CAST(COALESCE(i.i, 0) AS DOUBLE) / (c1.n + c2.n - COALESCE(i.i, 0)) AS jaccard
 FROM cand c
 JOIN cnt c1 ON c1.doc_id = c.doc1
 JOIN cnt c2 ON c2.doc_id = c.doc2
-JOIN inter i ON i.doc1 = c.doc1 AND i.doc2 = c.doc2
-WHERE CAST(i.i AS DOUBLE) / (c1.n + c2.n - i.i) >= {threshold}
+LEFT JOIN inter i ON i.doc1 = c.doc1 AND i.doc2 = c.doc2
+WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) / (c1.n + c2.n - COALESCE(i.i, 0)) >= {threshold}
 """
 
 

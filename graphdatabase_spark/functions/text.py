@@ -290,10 +290,16 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         # F.filter into its (element, index) two-arg form
         return lambda x: x == F.lit(term)
 
-    per_doc = load_table(spark, sf_dir, "documents").select(
+    from graphdatabase_spark.cache import track_persist
+
+    # per_doc feeds BOTH the 1-row stats aggregate and the final scored
+    # scan; unpersisted, the tokenize-everything pipeline would execute
+    # twice per query (Catalyst does not share the common subtree
+    # across the crossJoin's two references).
+    per_doc = track_persist(load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(toks).alias("dl"),
         *[F.size(F.filter(toks, eq(t))).alias(f"tf_{i}")
-          for i, t in enumerate(BM25_TERMS)])
+          for i, t in enumerate(BM25_TERMS)]))
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),

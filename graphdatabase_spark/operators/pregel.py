@@ -132,7 +132,8 @@ def sssp_weighted(edges: DataFrame, start_vids: list[int],
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"),
                      F.col("weight").cast("double"))
     e = e.repartition("src").persist()
-    dist = spark.createDataFrame([(int(v), 0.0) for v in start_vids], "vid long, dist double")
+    dist = spark.createDataFrame(
+        [(v, 0.0) for v in sorted({int(v) for v in start_vids})], "vid long, dist double")
     dist = dist.localCheckpoint(eager=True)
     active = dist
 
@@ -287,12 +288,22 @@ def personalized_pagerank_quantized(edges: DataFrame, vertices: DataFrame,
     e = _prepare_edges(edges)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
     ev = e.join(out_deg, "src").select("src", "dst", "odeg").persist()
-    s_n = len(set(int(s) for s in sources))
-    src_df = spark.createDataFrame([(int(s),) for s in set(sources)], "vid long")
+    uniq_sources = sorted({int(s) for s in sources})
+    if not uniq_sources:
+        raise ValueError("personalized PageRank needs a non-empty source set")
+    s_n = len(uniq_sources)
+    src_df = spark.createDataFrame([(s,) for s in uniq_sources], "vid long")
     verts = (vertices.select(F.col("vid").cast("long")).distinct()
              .join(src_df.withColumn("__is_src", F.lit(1)), "vid", "left")
              .select("vid", F.coalesce("__is_src", F.lit(0)).alias("is_src"))
              .persist())
+    # Sources absent from the vertex table would receive no teleport
+    # row while s_n still counts them — dangling mass would leak every
+    # iteration and the |S|·scale invariant silently break. Fail loudly.
+    n_src_present = verts.filter(F.col("is_src") == 1).count()
+    if n_src_present != s_n:
+        raise ValueError(
+            f"{s_n - n_src_present} source vertex id(s) not present in the graph")
     base_const = (15 * scale) // 100
     ranks = verts.select(
         "vid", (F.col("is_src") * scale).cast("long").alias("rank_q"))
@@ -397,10 +408,8 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
             new_labels.alias("n").join(labels.alias("o"), "vid")
             .filter(F.col("n.component") != F.col("o.component"))
         )
-        labels_prev = labels
         labels = new_labels
         if changed.isEmpty():
             break
-        del labels_prev
     und.unpersist()
     return labels

@@ -121,3 +121,26 @@ def test_ingest_dir_bulk(engine, spark, tmp_path):
     assert engine.graphs() == ["GA", "GB"]
     assert {(r["src"], r["dst"]) for r in engine.edges("GB").collect()} == {(1, 2), (2, 3), (3, 1)}
     assert {r["vid"] for r in engine.vertices("GA").collect()} == {1, 2}
+
+
+def test_modify_to_empty_clears_stale_partitions(engine):
+    """Op 2 regression: dynamic partition overwrite only replaces
+    partitions that receive rows, so a modify that empties a graph
+    (all-zero matrix) must explicitly clear the old edge partition —
+    otherwise reads serve the pre-modify edges."""
+    engine.add_graph("GZ", "3\n0 1 1\n0 0 1\n0 0 0\n")
+    assert engine.edges("GZ").count() == 3
+    engine.modify_graph("GZ", "3\n0 0 0\n0 0 0\n0 0 0\n")
+    assert engine.edges("GZ").count() == 0
+    assert "GZ" in engine.graphs()
+    # vertices survive (N=3 still declares 3 vertices)
+    assert engine.vertices("GZ").count() == 3
+
+
+def test_empty_store_reads_are_empty(spark, tmp_path):
+    """A store no write has touched yet answers queries with empty
+    relations, matching graphs() == [] — not PATH_NOT_FOUND."""
+    eng = GraphEngine(spark, str(tmp_path / "fresh"))
+    assert eng.graphs() == []
+    assert eng.edges().count() == 0
+    assert eng.vertices().count() == 0
