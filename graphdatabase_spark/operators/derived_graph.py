@@ -7,7 +7,10 @@ edges in a single unified bigint vertex-id space. The same derivation
 is written once as a SQL CTE so every recursive DuckDB oracle sees the
 identical graph.
 
-Vertex id space (disjoint offsets, stable across scale factors):
+Vertex id space (disjoint offsets; disjointness is a *checked*
+precondition — :func:`check_offsets` raises once a table's key range
+outgrows its slot, around SF ~6000 at TPC-H cardinalities — not an
+unconditional guarantee):
 
     region    rk                      (0 .. ~10)
     nation    100 + nk                (~100 .. ~200)
@@ -73,14 +76,42 @@ def full_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def check_offsets(spark: SparkSession, sf_dir: str) -> None:
+    """Fail loudly if any table's key range overflows its vid slot.
+
+    The fixed offsets keep the unified id space disjoint only while
+    each table's max key stays below the next offset (customer ids
+    cross into the part range around SF ~6000 at TPC-H cardinalities);
+    a collision would silently merge unrelated vertices in every graph
+    result. One stats-answerable max() per table, run once per session
+    inside the shared edge materialization."""
+    bounds = (
+        ("nation", "n_nationkey", OFF_SUPPLIER - OFF_NATION),
+        ("supplier", "s_suppkey", OFF_CUSTOMER - OFF_SUPPLIER),
+        ("customer", "c_custkey", OFF_PART - OFF_CUSTOMER),
+        ("part", "p_partkey", OFF_ORDER - OFF_PART),
+        ("orders", "o_orderkey", 2**62 - OFF_ORDER),
+    )
+    for table, key, slot in bounds:
+        mx = load_table(spark, sf_dir, table).agg(F.max(key)).collect()[0][0] or 0
+        if mx >= slot:
+            raise ValueError(
+                f"{table}.{key} max {mx} overflows its derived-graph vid slot "
+                f"({slot}); raise the offsets in derived_graph.py for this scale")
+
+
 def full_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The derived edge list, materialized ONCE per session: the
     5-table scan + union + lineitem-distinct feeds several registry
     queries (degrees, SSSP, and via :func:`full_edges_prepared` every
     traversal); at 100 TB this materialize-once is the difference
-    between one distinct-shuffle and one per query."""
-    return shared_persist(spark, ("derived_full_edges", sf_dir),
-                          lambda: full_edges(spark, sf_dir))
+    between one distinct-shuffle and one per query. The id-space
+    disjointness precondition is checked once here (:func:`check_offsets`)
+    so a scale-up can't silently merge vertices."""
+    def build() -> DataFrame:
+        check_offsets(spark, sf_dir)
+        return full_edges(spark, sf_dir)
+    return shared_persist(spark, ("derived_full_edges", sf_dir), build)
 
 
 def full_edges_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,11 +126,37 @@ def full_edges_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .repartition("src")))
 
 
+def full_edges_weighted_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The src-partitioned edge list with the deterministic
+    ``(src+dst) % 7 + 1`` weight projected on (projection preserves the
+    shared partitioning), persisted once — the weighted-relaxation twin
+    of :func:`full_edges_prepared`, so SSSP doesn't re-shuffle and
+    re-cache the largest dataset a second time."""
+    return shared_persist(
+        spark, ("derived_full_edges_src_w", sf_dir),
+        lambda: (full_edges_prepared(spark, sf_dir)
+                 .select("src", "dst",
+                         ((F.col("src") + F.col("dst")) % 7 + 1)
+                         .cast("double").alias("weight"))))
+
+
 def community_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached community subgraph (feeds pagerank + connected
     components, each of which also derives its vertex set from it)."""
     return shared_persist(spark, ("community_edges", sf_dir),
                           lambda: community_edges(spark, sf_dir))
+
+
+def community_vertices_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(vid)`` — the community subgraph's vertex set, derived from the
+    cached edges ONCE per session: four ranking/propagation queries
+    (pagerank, personalized, label propagation, connected components)
+    need it, and an uncached distinct would re-shuffle per query."""
+    def build() -> DataFrame:
+        e = community_edges_cached(spark, sf_dir)
+        return (e.select(F.col("src").alias("vid"))
+                .unionByName(e.select(F.col("dst").alias("vid"))).distinct())
+    return shared_persist(spark, ("community_vertices", sf_dir), build)
 
 
 # The same derivation for DuckDB oracles. Every graph oracle starts with

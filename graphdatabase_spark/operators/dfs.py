@@ -59,19 +59,29 @@ def canonical_dfs_leaves(adj: dict[int, list[int]], start: int) -> list[int]:
 def dfs_leaves(edges: DataFrame, starts: DataFrame) -> DataFrame:
     """DFS-forest leaves per graph.
 
-    ``edges``: (graph, src, dst); ``starts``: (graph, start). Output:
-    (graph, leaf). Each graph is one ``applyInPandas`` group — Arrow
-    batch in, sequential canonical DFS, Arrow batch out.
+    ``edges``: (graph, src, dst); ``starts``: (graph, start) — exactly
+    ONE start per graph (the reference's single-source op; multiple
+    rows for one graph raise rather than silently running an arbitrary
+    one). Output: (graph, leaf). Each graph is one ``applyInPandas``
+    group — Arrow batch in, sequential canonical DFS, Arrow batch out.
+    A graph with zero edges (the all-zeros matrix) still yields its
+    start as the sole leaf — the starts side is the join base, so an
+    edgeless graph is a group with null edge rows, not a dropped group.
     """
-    joined = edges.join(starts, "graph").select("graph", "src", "dst", "start")
+    joined = starts.join(edges, "graph", "left").select("graph", "src", "dst", "start")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"graph": [], "leaf": []})
         graph = pdf["graph"].iloc[0]
-        start = int(pdf["start"].iloc[0])
+        starts_here = set(int(s) for s in pdf["start"].dropna())
+        if len(starts_here) != 1:
+            raise ValueError(
+                f"graph {graph!r} has {len(starts_here)} start vertices; "
+                f"canonical DFS is single-source — pass one start per graph")
+        (start,) = starts_here
         adj: dict[int, list[int]] = {}
-        for s, d in zip(pdf["src"], pdf["dst"]):
+        for s, d in zip(pdf["src"].dropna(), pdf["dst"].dropna()):
             adj.setdefault(int(s), []).append(int(d))
         if len(adj) > MAX_DFS_VERTICES:
             raise ValueError(

@@ -119,8 +119,7 @@ GROUP BY vid
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dg.community_edges_cached(spark, sf_dir)
-    vertices = edges.select(F.col("src").alias("vid")).unionByName(
-        edges.select(F.col("dst").alias("vid"))).distinct()
+    vertices = dg.community_vertices_cached(spark, sf_dir)
     return pregel.connected_components(edges, vertices)
 
 
@@ -269,11 +268,10 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic weights ((src+dst) % 7 + 1). The order→part layer
     gives real relaxation competition: a part is reachable through many
     orders at different accumulated costs."""
-    e = dg.full_edges_cached(spark, sf_dir).select(
-        "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("weight"))
+    e = dg.full_edges_weighted_prepared(spark, sf_dir)
     # Weights are integral, so the double-accumulated distances are
     # exact and the cast back to long is lossless (oracle sums BIGINT).
-    return pregel.sssp_weighted(e, [0]).select(
+    return pregel.sssp_weighted(e, [0], prepared=True).select(
         "vid", F.col("dist").cast("long").alias("dist"))
 
 
@@ -306,8 +304,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the float fixed-point/replica properties.
     """
     edges = dg.community_edges_cached(spark, sf_dir)
-    vertices = edges.select(F.col("src").alias("vid")).unionByName(
-        edges.select(F.col("dst").alias("vid"))).distinct()
+    vertices = dg.community_vertices_cached(spark, sf_dir)
     return pregel.pagerank_quantized(edges, vertices)
 
 
@@ -358,8 +355,7 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtree and every other component ranks exactly 0 (integer-exact,
     which the oracle checks)."""
     edges = dg.community_edges_cached(spark, sf_dir)
-    vertices = edges.select(F.col("src").alias("vid")).unionByName(
-        edges.select(F.col("dst").alias("vid"))).distinct()
+    vertices = dg.community_vertices_cached(spark, sf_dir)
     return pregel.personalized_pagerank_quantized(edges, vertices, [PPR_SOURCE])
 
 
@@ -406,8 +402,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label tie-break) — the degree-weighted community signal CC's
     pure reachability doesn't give."""
     edges = dg.community_edges_cached(spark, sf_dir)
-    vertices = edges.select(F.col("src").alias("vid")).unionByName(
-        edges.select(F.col("dst").alias("vid"))).distinct()
+    vertices = dg.community_vertices_cached(spark, sf_dir)
     return pregel.label_propagation(edges, vertices, LPA_ITERATIONS)
 
 

@@ -117,7 +117,8 @@ def shortest_path_hops(edges: DataFrame, start_vids: list[int], target_pred,
 
 
 def sssp_weighted(edges: DataFrame, start_vids: list[int],
-                  max_iterations: int = DEFAULT_MAX_ITERATIONS) -> DataFrame:
+                  max_iterations: int = DEFAULT_MAX_ITERATIONS,
+                  prepared: bool = False) -> DataFrame:
     """Weighted single-source shortest paths (non-negative weights):
     ``(vid, dist)`` by Bellman-Ford-style relaxation — each superstep
     relaxes every edge out of vertices whose distance improved last
@@ -127,11 +128,18 @@ def sssp_weighted(edges: DataFrame, start_vids: list[int],
     improves. Input: ``(src, dst, weight)`` with non-negative weights —
     fractional weights are honored (distances accumulate in double;
     for integral weights every sum below 2^53 is still exact, so
-    integer-weighted callers can safely cast the result back)."""
+    integer-weighted callers can safely cast the result back).
+    ``prepared=True`` declares the input already (src long, dst long,
+    weight double), src-partitioned and persisted by the caller (a
+    session-shared materialization) — the kernel then neither
+    re-shuffles nor unpersists it, mirroring ``bfs_levels``."""
     spark = edges.sparkSession
-    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"),
-                     F.col("weight").cast("double"))
-    e = e.repartition("src").persist()
+    if prepared:
+        e = edges
+    else:
+        e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"),
+                         F.col("weight").cast("double"))
+        e = e.repartition("src").persist()
     dist = spark.createDataFrame(
         [(v, 0.0) for v in sorted({int(v) for v in start_vids})], "vid long, dist double")
     dist = dist.localCheckpoint(eager=True)
@@ -159,7 +167,8 @@ def sssp_weighted(edges: DataFrame, start_vids: list[int],
         )
         dist = dist.localCheckpoint(eager=True)
         active = improved
-    e.unpersist()
+    if not prepared:
+        e.unpersist()
     return dist
 
 

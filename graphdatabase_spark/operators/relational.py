@@ -389,7 +389,13 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").alias("name_len"),
         F.when(F.col("p_size") >= 25, "large").when(F.col("p_size") >= 10, "medium")
             .otherwise("small").alias("size_class"),
-        F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+        # DECIMAL-exact markup: round(double*1.1, 2) rounds the shortest
+        # decimal repr in Spark but the binary value in DuckDB — they
+        # disagree on half-way cents (e.g. 1.15·1.1). Decimal multiply
+        # is exact and both engines round it half-away-from-zero.
+        F.round(F.col("p_retailprice").cast("decimal(18,2)")
+                * F.lit("1.1").cast("decimal(2,1)"), 2)
+            .cast("double").alias("marked_up"),
         F.abs(F.col("p_size") - 25).cast("int").alias("size_dist"),
         F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_first_word"),
         F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#00")), F.lit("unbranded")).alias("brand_or_default"),
@@ -402,7 +408,7 @@ SELECT p_partkey,
        substr(p_name, 1, 8) AS name_prefix,
        LENGTH(p_name) AS name_len,
        CASE WHEN p_size >= 25 THEN 'large' WHEN p_size >= 10 THEN 'medium' ELSE 'small' END AS size_class,
-       ROUND(p_retailprice * 1.1, 2) AS marked_up,
+       CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS marked_up,
        CAST(ABS(p_size - 25) AS INT) AS size_dist,
        regexp_extract(p_type, '^(\w+)', 1) AS type_first_word,
        COALESCE(NULLIF(p_brand, 'Brand#00'), 'unbranded') AS brand_or_default
@@ -681,7 +687,11 @@ def _stats_cols(col: str, tag: str) -> list[F.Column]:
         F.min(F.col(col)).alias(f"{tag}_min"),
         F.max(F.col(col)).alias(f"{tag}_max"),
         (F.sum(c).cast("double") / n / 100.0).alias(f"{tag}_mean"),
-        (F.sqrt(var_num / (n * (n - F.lit(1)))) / 100.0).alias(f"{tag}_std"),
+        # Denominator as a DOUBLE product: n·(n−1) in int64 wraps past
+        # 2^63 once n > ~3e9 rows (inside the 100 TB envelope); the
+        # oracle spells the identical double arithmetic.
+        (F.sqrt(var_num / (n.cast("double") * (n - F.lit(1)).cast("double")))
+         / 100.0).alias(f"{tag}_std"),
     ]
 
 
@@ -701,7 +711,7 @@ def _stats_sql(col: str, tag: str) -> str:
         f"MIN({col}) AS {tag}_min, MAX({col}) AS {tag}_max,\n"
         f"       CAST(SUM({c}) AS DOUBLE) / COUNT(*) / 100.0 AS {tag}_mean,\n"
         f"       sqrt(CAST(COUNT(*) * SUM({c} * {c}) - SUM({c}) * SUM({c}) AS DOUBLE)"
-        f" / (COUNT(*) * (COUNT(*) - 1))) / 100.0 AS {tag}_std"
+        f" / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) - 1 AS DOUBLE))) / 100.0 AS {tag}_std"
     )
 
 

@@ -31,15 +31,27 @@ def melt_matrix_lines(lines: DataFrame) -> DataFrame:
     edge for every 1-cell, ``src`` = row index (1-based), ``dst`` = col
     index (1-based) — cell A[i][j]=1 ⇒ edge i+1 → j+1, matching the
     reference's row-wise neighbor scan (``secondary_server.c:461``).
+
+    The declared N bounds the melt exactly like the reference's parser
+    (``secondary_server.c:544-559`` reads N rows of N cells and nothing
+    more): rows past line N and cells past column N are dropped, so a
+    trailing-garbage file can't emit phantom edges that disagree with
+    ``matrix_vertices``'s 1..N id space. Cells other than '1' (the only
+    edge marker in the format) are non-edges.
     """
-    rows = lines.filter(F.col("line_no") >= 1).filter(F.trim(F.col("line")) != "")
+    n_per_graph = lines.filter(F.col("line_no") == 0).select(
+        "graph", F.trim(F.col("line")).cast("int").alias("__n"))
+    rows = (lines.filter(F.col("line_no") >= 1)
+            .filter(F.trim(F.col("line")) != "")
+            .join(n_per_graph, "graph")
+            .filter(F.col("line_no") <= F.col("__n")))
     cells = rows.select(
-        "graph",
+        "graph", "__n",
         F.col("line_no").cast("int").alias("src"),
         F.posexplode(F.split(F.trim(F.col("line")), r"\s+")).alias("pos", "bit"),
     )
-    return cells.filter(F.col("bit") == "1").select(
-        "graph", "src", (F.col("pos") + 1).cast("int").alias("dst"))
+    return (cells.filter((F.col("bit") == "1") & (F.col("pos") < F.col("__n")))
+            .select("graph", "src", (F.col("pos") + 1).cast("int").alias("dst")))
 
 
 def matrix_vertices(lines: DataFrame) -> DataFrame:
