@@ -129,6 +129,37 @@ def test_connected_components_fixture(spark, fixture_edges):
     assert {r["component"] for r in comps} == {1}
 
 
+def test_connected_components_path_graph_logn_rounds(spark):
+    """Large-star/small-star must converge in O(log n) rounds on a
+    high-diameter graph — the scale property HashMin lacks (HashMin
+    would need ~n supersteps on a path). Path 0-1-...-1024: correct
+    single component AND round count within 2·log2(n) + slack."""
+    import math
+    n = 1025  # path of diameter 1024
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "src long, dst long")
+    verts = spark.range(n).withColumnRenamed("id", "vid")
+    stats: dict = {}
+    comp = {r["vid"]: r["component"] for r in
+            pregel.connected_components(edges, verts, stats=stats).collect()}
+    assert comp == {v: 0 for v in range(n)}
+    bound = 2 * math.ceil(math.log2(n)) + 4
+    assert stats["rounds"] <= bound, \
+        f"took {stats['rounds']} rounds; O(log n) bound is ~{bound}"
+
+
+def test_connected_components_isolated_and_multi(spark):
+    """Two components + an isolated vertex + a self-loop: each maps to
+    its component minimum; the isolated vertex maps to itself."""
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (7, 7)], "src long, dst long")
+    verts = spark.createDataFrame(
+        [(v,) for v in (3, 5, 9, 20, 21, 7, 42)], "vid long")
+    comp = {r["vid"]: r["component"] for r in
+            pregel.connected_components(edges, verts).collect()}
+    assert comp == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 7: 7, 42: 42}
+
+
 def test_triangle_count_known(spark):
     # Two triangles sharing an edge: (1,2,3) and (2,3,4).
     edges = spark.createDataFrame(
