@@ -239,7 +239,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard with array_intersect — cost O(candidates), never the full
     O(docs²) pair expansion the exact operator pays. That's the whole
     point of LSH at 100 TB: the quadratic stage only ever sees
-    same-bucket survivors.
+    same-bucket survivors. The per-doc sets are built ONLY for docs
+    that appear in some candidate pair (semi-join on the candidate id
+    set before collect_set) — at scale candidates are typically ≪ 1%
+    of the corpus, so the verify stage materializes ~nothing for the
+    unpaired majority instead of an O(corpus) array relation.
 
     LSH recall is probabilistic only versus the TRUE near-dup set (a
     true pair can miss every band) — the pipeline itself is fully
@@ -256,8 +260,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache.release_caches()).
     sigs = shared_persist(spark, ("minhash_sigs", sf_dir),
                           lambda: minhash_signatures(hs))
-    cands = lsh_candidate_pairs(sigs)
-    sets = hs.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
+    # Candidates feed three consumers (the id semi-join via both pair
+    # columns + the final pair join); persist the small pair set so the
+    # band self-join runs once.
+    cands = shared_persist(spark, ("minhash_cands", sf_dir),
+                           lambda: lsh_candidate_pairs(sigs))
+    cand_ids = (cands.select(F.col("doc1").alias("doc_id"))
+                .union(cands.select(F.col("doc2").alias("doc_id")))
+                .distinct())
+    sets = (hs.join(cand_ids, "doc_id", "left_semi")
+            .groupBy("doc_id").agg(F.collect_set("h").alias("hs")))
     s1 = sets.select(F.col("doc_id").alias("doc1"), F.col("hs").alias("hs1"))
     s2 = sets.select(F.col("doc_id").alias("doc2"), F.col("hs").alias("hs2"))
     return (
