@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -121,13 +122,20 @@ class GraphEngine:
         # write has touched yet has no table directory at all — an
         # empty relation, not an error, so every query path (edges,
         # vertices, bfs, ...) shares graphs()' empty-store contract.
-        if not os.path.exists(path):
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(path)
+        # The not-yet-written case is detected from Spark's own
+        # PATH_NOT_FOUND error rather than a driver-local filesystem
+        # check: os.path.exists is always false for hdfs:// / s3a://
+        # store paths and would silently turn every remote read into an
+        # empty relation.
+        try:
+            return self.spark.read.schema(schema).parquet(path)
+        except AnalysisException as exc:
+            cond = exc.getCondition() if hasattr(exc, "getCondition") else None
+            if "PATH_NOT_FOUND" in (cond or str(exc)):
+                return self.spark.createDataFrame([], schema)
+            raise
 
     def graphs(self) -> list[str]:
-        if not os.path.exists(self.meta_path):
-            return []
         return [r["graph"] for r in
                 self._read(self.meta_path, META_SCHEMA)
                 .select("graph").distinct().orderBy("graph").collect()]

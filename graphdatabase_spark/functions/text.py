@@ -290,13 +290,17 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         # F.filter into its (element, index) two-arg form
         return lambda x: x == F.lit(term)
 
-    from graphdatabase_spark.cache import track_persist
+    from graphdatabase_spark.cache import shared_persist
 
     # per_doc feeds BOTH the 1-row stats aggregate and the final scored
     # scan; unpersisted, the tokenize-everything pipeline would execute
     # twice per query (Catalyst does not share the common subtree
-    # across the crossJoin's two references).
-    per_doc = track_persist(load_table(spark, sf_dir, "documents").select(
+    # across the crossJoin's two references). Session-shared under a
+    # stable key so repeat invocations in a long-lived session reuse
+    # ONE cached materialization instead of stacking a new tracked
+    # persist per call.
+    per_doc = shared_persist(spark, ("bm25_per_doc", sf_dir),
+                             lambda: load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(toks).alias("dl"),
         *[F.size(F.filter(toks, eq(t))).alias(f"tf_{i}")
           for i, t in enumerate(BM25_TERMS)]))

@@ -38,7 +38,22 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     own arbitrary row); callers aggregate duplicates away first, as
     q_asof_join_events does. Ties between a left row and a same-instant
     right row are broken right-row-first so a same-instant
-    right row matches)."""
+    right row matches).
+
+    Skew note (100 TB): the single window shuffle partitions by ``key``,
+    so one pathologically hot key (a bot user, a default/null id)
+    concentrates its whole history in one task. The standard mitigation
+    preserves exact semantics: split the hot key's rows into time
+    ranges, run the same merge per range, then stitch — each range
+    additionally seeded with the hot key's last right-side row *before*
+    the range start (one small per-range lookup), so carry-forward
+    crosses the cut. Equivalently: salt the key by
+    ``floor(ts / range)`` on BOTH sides, union each right row into its
+    own and the following salt bucket, run this same operator on the
+    salted key, and drop seed-row matches that a later in-bucket right
+    row supersedes. Not wired in here because it only pays off beyond
+    single-task capacity (~10^8 rows per key); AQE skew handling cannot
+    split a window partition, so at that scale the caller opts in."""
     lcols = left.columns
     ldtypes = dict(left.dtypes)
     tagged_l = left.select(*lcols).withColumn("__side", F.lit(1)) \
@@ -222,6 +237,27 @@ GROUP BY event_type
 """
 
 
+# percentile_approx's t-digest-style sketch: accuracy_N guarantees a
+# rank error <= 1/accuracy_N of the group size.
+APPROX_QUANTILE_ACCURACY = 10_000
+
+
+def q_events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB swap-in for ``events_quantiles``: p50/p90/p99 via
+    ``percentile_approx`` — a mergeable quantile sketch, so each
+    partition summarizes locally and only constant-size sketches
+    shuffle; no per-group sort, memory bounded by the accuracy knob
+    regardless of group size. Registered rows-only (sketch output is
+    engine-specific, not oracle-hashable); the tolerance unit test pins
+    it against the exact operator's values instead."""
+    return (events_batch(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(F.percentile_approx("value", 0.5, APPROX_QUANTILE_ACCURACY).alias("p50"),
+                 F.percentile_approx("value", 0.9, APPROX_QUANTILE_ACCURACY).alias("p90"),
+                 F.percentile_approx("value", 0.99, APPROX_QUANTILE_ACCURACY).alias("p99"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week retention cohorts: for each week, how many users
     were active, and how many of them were also active the following
@@ -293,6 +329,10 @@ QUERIES = {
     "range_join_events": q_range_join_events,
     "events_anomaly": q_events_anomaly,
     "events_quantiles": q_events_quantiles,
+    # rows-only (no ORACLES entry): approximate sketch output is
+    # engine-specific; accuracy is pinned by tests/test_temporal.py
+    # against the exact operator.
+    "events_quantiles_approx": q_events_quantiles_approx,
     "events_retention": q_events_retention,
     "events_funnel": q_events_funnel,
 }

@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from decimal import ROUND_HALF_UP, Decimal
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -43,23 +44,47 @@ OUTPUT_SCHEMA = StructType([
 ])
 
 
+def _cents_half_up(values: pd.Series) -> int:
+    """Sum of round-half-AWAY-FROM-ZERO integer cents over non-null
+    values — the exact semantics of Spark's F.round (BigDecimal
+    HALF_UP) in the batch ground truth and round() in the DuckDB
+    oracle; pandas .round() is banker's rounding and would put
+    streaming one cent off the batch answer.
+
+    Hot path is vectorized int64 math on floor(|100x| + 0.5): that is
+    exactly HALF_UP whenever 100x sits safely away from a .5-cent
+    boundary. Only values whose fractional cent is within a float-error
+    tolerance of .5 (where the vectorized add could cross the tie the
+    true decimal value never reaches), or too large for exact float
+    cents, fall back to the per-value Decimal(repr(x)) form — in real
+    data that is ~the actual half-cent ties, so the streaming hot path
+    stays batch-speed without giving up the one-cent exactness."""
+    v = values.dropna()
+    if not len(v):
+        return 0
+    xs = v.to_numpy(dtype="float64")
+    y = xs * 100.0
+    a = np.abs(y)
+    frac = a - np.floor(a)
+    # tolerance covers the multiply-by-100 + add-0.5 float error with
+    # orders-of-magnitude headroom; 2^50 guards cents that no longer
+    # round-trip exactly through float64
+    risky = (np.abs(frac - 0.5) <= 1e-7 + 1e-13 * a) | (a >= 2.0**50)
+    fast = np.floor(a[~risky] + 0.5) * np.sign(y[~risky])
+    total = int(fast.astype("int64").sum())
+    total += sum(
+        int(Decimal(repr(float(x))).scaleb(2).quantize(Decimal(1), ROUND_HALF_UP))
+        for x in xs[risky])
+    return total
+
+
 def _update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     n, cents, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        # Round half-AWAY-FROM-ZERO to integer cents via Decimal on the
-        # double's shortest repr — the exact semantics of Spark's
-        # F.round (BigDecimal HALF_UP) in the batch ground truth and
-        # round() in the DuckDB oracle. Vectorized float tricks like
-        # floor(abs(x)+0.5) diverge one ulp below a .5 boundary (the FP
-        # add rounds up to the tie the true value never reaches), and
-        # pandas .round() is banker's rounding — either would put
-        # streaming one cent off the batch answer on adversarial
-        # values. sum() skips nulls exactly like the batch aggregate
-        # (the row still counts toward n_events).
-        cents += sum(
-            int(Decimal(repr(x)).scaleb(2).quantize(Decimal(1), ROUND_HALF_UP))
-            for x in pdf["value"].dropna())
+        # nulls are skipped exactly like the batch aggregate (the row
+        # still counts toward n_events)
+        cents += _cents_half_up(pdf["value"])
         if len(pdf):
             last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
     state.update((n, cents, last_us))

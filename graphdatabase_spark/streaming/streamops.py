@@ -89,18 +89,25 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Event-time watermarks only accept TIMESTAMP_LTZ
     (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the streaming source
-    re-casts the canonical NTZ wall clock to LTZ — an identical instant
-    under the engine's UTC session timezone, and wall-clock-preserving
-    (gaps/windows unchanged) under any other."""
+    converts the canonical NTZ wall clock to the instant it denotes
+    under UTC via epoch-micros re-anchoring. A plain NTZ→LTZ *cast*
+    would read the wall clock in the session timezone — non-uniform
+    across a DST transition (nonexistent/ambiguous local times can
+    shift inter-event gaps and window assignment). The epoch-anchored
+    form is timezone- and DST-independent, and identical to the cast in
+    the engine's default UTC sessions; in a non-UTC session the column
+    merely *renders* in that zone while instants, gaps, and windows
+    stay unchanged."""
     raw_schema = load_table(spark, sf_dir, "events").schema
     # The file source wants a directory; point it at sf_dir and glob
     # the one table (a production layout is a directory of files).
     stream = _with_event_ts(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    # timestamp_micros() produces TIMESTAMP_LTZ explicitly —
     # cast("timestamp") would follow spark.sql.timestampType (NTZ in
-    # some sessions) — name LTZ explicitly, watermarks accept only it.
-    return stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    # some sessions), and watermarks accept only LTZ.
+    return stream.withColumn("ts", F.timestamp_micros(event_us(F.col("ts"))))
 
 
 # --- tumbling window -------------------------------------------------------

@@ -29,6 +29,33 @@ def test_stateful_running_stats_converges_to_batch(spark, sf_dir):
     assert got == want
 
 
+def test_cents_half_up_matches_decimal_reference():
+    """The vectorized fast path + Decimal fallback must agree with the
+    pure-Decimal reference on adversarial values: exact half-cent ties
+    (away-from-zero, both signs), values one float-ulp below a tie
+    (2.675's float is 2.67499999...; Decimal-on-repr says 268), bulk
+    ordinary values, nulls, and empties."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    def ref(vals):
+        return sum(int(Decimal(repr(float(x))).scaleb(2).quantize(
+            Decimal(1), ROUND_HALF_UP)) for x in vals if not pd.isna(x))
+
+    cases = [
+        [0.125, -0.125, 2.675, -2.675, 0.005, -0.005],  # ties / repr traps
+        [1.0, 2.34, -7.89, 0.0, -0.0, 123456.78],
+        [None, 1.115, float("nan"), -1.115],
+        [],
+        list(np.linspace(-10, 10, 1001)),  # includes many .x5 boundaries
+    ]
+    for vals in cases:
+        s = pd.Series(vals, dtype="float64")
+        assert stateful._cents_half_up(s) == ref(vals), vals
+
+
 def test_state_carries_across_restarts(spark, tmp_path):
     """Write two micro-batch files processed by two separate
     availableNow runs over one checkpoint: counts in run 2 must include
