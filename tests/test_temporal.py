@@ -16,9 +16,35 @@ def _ts(sec):
     return T0 + dt.timedelta(seconds=sec)
 
 
-@pytest.mark.parametrize("name", sorted(temporal.QUERIES))
+@pytest.mark.parametrize("name", sorted(temporal.ORACLES))
 def test_temporal_parity(spark, sf_dir, name):
     assert_parity(temporal.QUERIES[name](spark, sf_dir), temporal.ORACLES[name], sf_dir)
+
+
+def test_events_quantiles_approx_within_rank_tolerance(spark, sf_dir):
+    """The rows-only approximate variant must track the exact operator:
+    percentile_approx guarantees a rank error ≤ n/accuracy, so each
+    approximate quantile must lie within the exact [q−ε, q+ε] value
+    band (ε = 0.01 rank ≫ the sketch's guarantee at these group
+    sizes), and group counts must match exactly."""
+    from pyspark.sql import functions as F
+
+    eps = 0.01
+    exact = {r["event_type"]: r for r in (
+        temporal.events_batch(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(*[F.expr(f"percentile(value, array({q - eps}, {q + eps}))").alias(f"b{int(q*100)}")
+               for q in (0.5, 0.9)],
+             F.expr(f"percentile(value, array({0.99 - eps}, 1.0))").alias("b99"),
+             F.count(F.lit(1)).alias("n_events"))).collect()}
+    approx = temporal.q_events_quantiles_approx(spark, sf_dir).collect()
+    assert {r["event_type"] for r in approx} == set(exact)
+    for r in approx:
+        e = exact[r["event_type"]]
+        assert r["n_events"] == e["n_events"]
+        for col, band in (("p50", "b50"), ("p90", "b90"), ("p99", "b99")):
+            lo, hi = e[band]
+            assert lo <= r[col] <= hi, (r["event_type"], col, r[col], (lo, hi))
 
 
 def test_asof_semantics(spark):

@@ -41,6 +41,52 @@ def test_minhash_lsh_recall_precision(spark, sf_dir_mid):
     assert recall >= 0.9, f"recall {recall:.2f} over {len(exact)} true pairs"
 
 
+def test_minhash_lsh_cross_check_against_spark_ml(spark, sf_dir_mid):
+    """SURVEY §7.6 cross-check: our from-scratch MinHash+LSH vs
+    ``pyspark.ml.feature.MinHashLSH`` on the SAME shingle sets. Both are
+    candidate generators followed by exact-Jaccard verification, so
+    both outputs are subsets of the exact near-dup pair set; the ML
+    implementation's verified distances must equal our exact Jaccards
+    bit-for-bit on shared pairs, and the two independent LSH
+    implementations must each recover ≥80% of the truth."""
+    pytest.importorskip("pyspark.ml")
+    from pyspark.ml.feature import MinHashLSH
+    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.sql.window import Window
+
+    sh = dedup.cached_shingle_hashes(spark, sf_dir_mid)
+    # dense-rank the 60-bit shingle hashes into vector indices (ml
+    # vectors need int32 indices); fine at test scale, a production
+    # cross-check would hash-mod into a fixed dim instead
+    idx = (sh.select("h").distinct()
+           .withColumn("i", F.row_number().over(Window.orderBy("h")) - 1))
+    dim = idx.count()
+    docs = (sh.join(idx, "h")
+            .groupBy("doc_id").agg(F.sort_array(F.collect_set("i")).alias("idxs")))
+    to_vec = F.udf(lambda idxs: Vectors.sparse(dim, idxs, [1.0] * len(idxs)),
+                   VectorUDT())
+    feats = docs.select("doc_id", to_vec("idxs").alias("features")).cache()
+    model = MinHashLSH(inputCol="features", outputCol="hashes",
+                       numHashTables=8, seed=42).fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, 1.0 - dedup.NEAR_DUP_THRESHOLD + 1e-12, distCol="dist")
+    ml_pairs = {(r["datasetA"]["doc_id"], r["datasetB"]["doc_id"]): 1.0 - r["dist"]
+                for r in joined.collect()
+                if r["datasetA"]["doc_id"] < r["datasetB"]["doc_id"]}
+    feats.unpersist()
+    exact = {(r["doc1"], r["doc2"]): r["jaccard"]
+             for r in dedup.near_dup_pairs(sh).collect()}
+    ours = {(r["doc1"], r["doc2"])
+            for r in dedup.q_dedup_minhash_lsh(spark, sf_dir_mid).collect()}
+    assert exact, "test data must contain near-duplicate pairs"
+    assert set(ml_pairs) <= set(exact)  # ml precision 1.0 too
+    for p, j in ml_pairs.items():
+        assert abs(j - exact[p]) < 1e-12, (p, j, exact[p])
+    assert len(ml_pairs) >= 0.8 * len(exact), "ml recall degenerate"
+    assert len(ours & set(ml_pairs)) >= 0.8 * len(exact), \
+        "the two LSH implementations disagree on too much of the truth"
+
+
 def test_simhash_near_dups_are_hamming_close(spark, sf_dir_mid):
     """Near-identical docs (exact Jaccard ≥ 0.8) must land within small
     Hamming distance; random doc pairs must be far — the property that
