@@ -6,18 +6,79 @@ JSON line: {"metric", "value" (total sec), "unit", "queries": {id: sec},
 Timing = full wall-clock per query including plan build and collect to
 the driver (what a user of the engine experiences). One warm-up action
 runs first so JVM/codegen startup is not charged to the first query.
+
+Regression triage mode: ``bench.py --isolate id1,id2,...`` runs each
+query in a FRESH subprocess (own JVM) with the standard table warm-up,
+timing one cold execution and one immediately-following warm execution
+— removing cross-query cache/JIT/GC interference so a full-sweep
+timing swing can be attributed (real regression vs shared-session
+noise). Prints one JSON line with per-query {cold_sec, warm_sec, rows}.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+WARMUP_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
+
+def _sf_num() -> float | str:
+    sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
+    try:
+        return float(sf)
+    except ValueError:
+        return sf
+
+
+def run_single(qid: str) -> None:
+    """One query in this (fresh) process: warm-up scans, then a cold
+    and a warm timed execution. Prints one JSON line."""
+    from graphdatabase_spark import get_spark, registry
+
+    spark = get_spark("graphdatabase-spark-bench-iso",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in WARMUP_TABLES:
+        spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
+    fn = registry.queries()[qid]
+    t0 = time.perf_counter()
+    rows = fn(spark, SF_DIR).collect()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rows = fn(spark, SF_DIR).collect()
+    warm = time.perf_counter() - t0
+    print(json.dumps({"query": qid, "cold_sec": round(cold, 4),
+                      "warm_sec": round(warm, 4), "rows": len(rows)}))
+
+
+def run_isolated(ids: list[str]) -> None:
+    out: dict[str, dict] = {}
+    for qid in ids:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", qid],
+            capture_output=True, text=True, timeout=600)
+        parsed = None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                parsed = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        if parsed is None:
+            parsed = {"query": qid, "error": (proc.stderr or "no output")[-500:]}
+        out[qid] = {k: v for k, v in parsed.items() if k != "query"}
+        print(f"# isolated {qid}: {out[qid]}", file=sys.stderr)
+    print(json.dumps({"metric": "isolated_query_wall_seconds",
+                      "unit": "sec", "sf": _sf_num(), "queries": out},
+                     sort_keys=True))
 
 
 def main() -> None:
@@ -45,11 +106,7 @@ def main() -> None:
     # buckets, …) so back-to-back bench runs in one process start cold.
     registry.release()
 
-    sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
-    try:
-        sf_num = float(sf)
-    except ValueError:
-        sf_num = sf
+    sf_num = _sf_num()
 
     # The driver keeps only the last ~2000 chars of output and parses the
     # JSON line from that window (BENCH_r02 failed to parse because the
@@ -86,4 +143,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--single":
+        run_single(sys.argv[2])
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--isolate":
+        run_isolated([q for arg in sys.argv[2:] for q in arg.split(",") if q])
+    else:
+        main()
