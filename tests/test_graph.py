@@ -129,6 +129,59 @@ def test_connected_components_fixture(spark, fixture_edges):
     assert {r["component"] for r in comps} == {1}
 
 
+def _duck_bfs_levels(edges, start, max_level):
+    """DuckDB recursive-CTE ground truth: min hop count per reachable
+    vertex."""
+    import duckdb
+    con = duckdb.connect()
+    vals = ", ".join(f"({s}, {d})" for s, d in edges) or "(NULL, NULL)"
+    rows = con.execute(f"""
+        WITH RECURSIVE e(src, dst) AS (
+          SELECT * FROM (VALUES {vals}) AS t(src, dst) WHERE src IS NOT NULL),
+        bfs(vid, level) AS (
+          SELECT {start}, 0
+          UNION
+          SELECT e.dst, b.level + 1 FROM bfs b JOIN e ON e.src = b.vid
+          WHERE b.level < {max_level + 1}
+        )
+        SELECT vid, MIN(level) FROM bfs GROUP BY vid
+    """).fetchall()
+    return dict(rows)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_digraph_bfs_and_dfs_match_oracles(spark, seed):
+    """SURVEY §5 property commitment at real size: 20 seeded random
+    digraphs (n ≤ 60, density 0.03–0.25, self-loops included) — Spark
+    ``bfs_levels`` must equal the DuckDB recursive-CTE levels, and the
+    distributed ``dfs_leaves`` must equal the pure-Python canonical-DFS
+    replica. Catches semantic drift the fixed fixture graphs can't."""
+    import random
+
+    rng = random.Random(1000 + seed)
+    n = rng.randint(2, 60)
+    density = rng.choice([0.03, 0.06, 0.12, 0.25])
+    edges = sorted({(i, j) for i in range(1, n + 1) for j in range(1, n + 1)
+                    if rng.random() < density})
+    start = rng.randint(1, n)
+
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        e = e.filter("src > 0")
+    got = {r["vid"]: r["level"] for r in pregel.bfs_levels(e, [start]).collect()}
+    assert got == _duck_bfs_levels(edges, start, n), (seed, n, density, start)
+
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    expected = dfs_mod.canonical_dfs_leaves(adj, start)
+    sub = e.withColumn("graph", F.lit("R"))
+    starts = spark.createDataFrame([("R", start)], "graph string, start long")
+    got_leaves = sorted(r["leaf"] for r in dfs_mod.dfs_leaves(
+        sub.select("graph", "src", "dst"), starts).collect())
+    assert got_leaves == expected, (seed, n, density, start)
+
+
 def test_connected_components_path_graph_logn_rounds(spark):
     """Large-star/small-star must converge in O(log n) rounds on a
     high-diameter graph — the scale property HashMin lacks (HashMin
