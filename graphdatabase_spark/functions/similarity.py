@@ -261,6 +261,23 @@ def _cell_assign(vectors: DataFrame, centroids: DataFrame, n_best: int) -> DataF
             .filter(F.col("rk") <= n_best).drop("d2", "rk"))
 
 
+def cached_ivf_cells(spark: SparkSession, sf_dir: str,
+                     n_cells: int = IVF_CELLS) -> DataFrame:
+    """The session-shared IVF cell materialization the whole IVF family
+    (top-k probe, semdedup, kNN join, recenter) reuses: ``(vec_id, v,
+    cell)`` with every quantized vector assigned to its nearest of the
+    ``n_cells`` seed centroids (deterministically the lowest vec_ids).
+    Built once per (sf_dir, n_cells) and persisted under the shared
+    ``("ivf_cells", ...)`` key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
+    centroids = quant.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    return shared_persist(
+        spark, ("ivf_cells", sf_dir, n_cells),
+        lambda: _cell_assign(quant, centroids, 1))
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str,
                          n_cells: int = IVF_CELLS,
                          nprobe: int = IVF_NPROBE) -> DataFrame:
@@ -283,9 +300,7 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str,
     quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
     centroids = quant.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
-    cells = shared_persist(
-        spark, ("ivf_cells", sf_dir, n_cells),
-        lambda: _cell_assign(quant, centroids, 1))
+    cells = cached_ivf_cells(spark, sf_dir, n_cells)
     qcells = (_cell_assign(quant.filter(F.col("vec_id") == QUERY_VEC_ID),
                            centroids, nprobe)
               .select(F.col("v").alias("qv"), F.col("cell").alias("qcell")))
@@ -416,13 +431,7 @@ def q_semdedup_ivf(spark: SparkSession, sf_dir: str,
     per-cell work stays flat as the corpus grows). Everything is exact
     integer math on quantized components, so the approximate index is
     still value-checked in SQL."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
-    centroids = quant.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
-    cells = shared_persist(
-        spark, ("ivf_cells", sf_dir, n_cells),
-        lambda: _cell_assign(quant, centroids, 1))
+    cells = cached_ivf_cells(spark, sf_dir, n_cells)
     a, b = cells.alias("a"), cells.alias("b")
     cos = (_dot(F.col("a.v"), F.col("b.v")).cast("double")
            / (F.sqrt(_norm_sq(F.col("a.v")).cast("double"))
@@ -481,13 +490,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str,
     (cells ≈ sqrt(N) keeps each cell's candidate set ~sqrt(N)); the
     cell assignment is the session-shared materialization the other
     IVF operators reuse. Exact integer cosines ⇒ SQL-checkable."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
-    centroids = quant.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
-    cells = shared_persist(
-        spark, ("ivf_cells", sf_dir, n_cells),
-        lambda: _cell_assign(quant, centroids, 1))
+    cells = cached_ivf_cells(spark, sf_dir, n_cells)
     q = (cells.filter(F.col("vec_id") % KNN_SAMPLE_MOD == 0)
          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
                  F.col("cell").alias("qcell")))

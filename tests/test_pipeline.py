@@ -1,0 +1,108 @@
+"""Pipeline-governance operators (functions/pipeline.py): oracle
+parity + the semantic pins the oracles can't express — real PII
+regexes on crafted rows, chunk-dedup detection/exclusion behavior,
+mix determinism under repartitioning, funnel monotonicity, and the
+Lloyd-step invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdatabase_spark.functions import pipeline, similarity
+
+from tests.parity import assert_parity
+
+
+@pytest.mark.parametrize("name", sorted(pipeline.ORACLES))
+def test_pipeline_parity(spark, sf_dir, name):
+    assert_parity(pipeline.QUERIES[name](spark, sf_dir),
+                  pipeline.ORACLES[name], sf_dir)
+
+
+def test_pii_patterns_on_real_pii(spark):
+    """The synthetic corpus has no digits, so the true PII regexes are
+    pinned here on crafted rows: counts per pattern and redaction of
+    every hit."""
+    rows = [
+        (1, "mail me at jane.doe+spam@example.co.uk or bob@x.io today"),
+        (2, "call 555-123-4567 or 555.987.6543; ssn 123-45-6789"),
+        (3, "servers 10.0.0.1 and 192.168.1.255 are up"),
+        (4, "no pii here, just the value of things"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pipeline.scrub_frame(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"]) == (2, 0)
+    assert (got[2]["n_phone"], got[2]["n_ssn"]) == (2, 1)
+    assert got[3]["n_ip"] == 2
+    assert (got[4]["n_email"], got[4]["n_marker"]) == (0, 1)
+    # every hit is redacted: no pattern matches the clean text
+    clean = df.select(
+        "doc_id",
+        *[F.regexp_count(
+            # rebuild the redacted text the same way scrub_frame does
+            __import__("functools").reduce(
+                lambda c, p: F.regexp_replace(c, p, pipeline.REDACT),
+                pipeline.PII_PATTERNS.values(), F.col("text")),
+            F.lit(p)).alias(n)
+          for n, p in pipeline.PII_PATTERNS.items()])
+    for r in clean.collect():
+        assert all(r[n] == 0 for n in pipeline.PII_PATTERNS), r.asDict()
+
+
+def test_chunk_dedup_detects_shared_chunks(spark):
+    """Two docs sharing one exact 8-token run are both flagged; a doc
+    with < CHUNK_TOKS tokens contributes no chunks and is absent."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    rows = [
+        (1, shared + " tail one two three four five six seven"),
+        (2, shared + " other words entirely different here now ok"),
+        (3, "completely unrelated text with eight tokens here yes sir"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ch = pipeline.chunk_hashes(df)
+    occ = ch.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    per_doc = (ch.join(occ, "h").groupBy("doc_id")
+               .agg(F.sum((F.col("occ") >= 2).cast("int")).alias("n_dup")))
+    got = {r["doc_id"]: r["n_dup"] for r in per_doc.collect()}
+    assert got[1] >= 1 and got[2] >= 1  # the shared leading chunk
+    assert got[3] == 0
+    assert 4 not in got  # < 8 tokens -> no chunks
+
+
+def test_domain_mix_deterministic_and_partition_stable(spark, sf_dir):
+    a = {tuple(r) for r in pipeline.q_domain_mix(spark, sf_dir).collect()}
+    b = {tuple(r) for r in pipeline.q_domain_mix(spark, sf_dir).collect()}
+    assert a == b
+    for r in pipeline.q_domain_mix(spark, sf_dir).collect():
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert r["keep_pct"] in pipeline.MIX_PCTS
+
+
+def test_corpus_funnel_is_monotone(spark, sf_dir):
+    (row,) = pipeline.q_corpus_funnel(spark, sf_dir).collect()
+    seq = [row["n_total"], row["n_lang"], row["n_len"],
+           row["n_quality"], row["n_dedup"]]
+    assert seq == sorted(seq, reverse=True)
+    assert seq[0] > 0 and seq[-1] >= 0
+
+
+def test_ivf_recenter_matches_python_replica(spark, sf_dir):
+    """The Lloyd step's (cell, dim) means recomputed from the shared
+    cell assignment in plain Python must match exactly (the arithmetic
+    is all-integer + one exact floor division)."""
+    import math
+
+    cells = similarity.cached_ivf_cells(spark, sf_dir).collect()
+    got = {(r["cell"], r["dim"]): (r["n_vecs"], r["c_q"])
+           for r in pipeline.q_ivf_recenter(spark, sf_dir).collect()}
+    n_vecs_total = len(cells)
+    assert len(got) == similarity.IVF_CELLS * similarity.EMB_DIM
+    want_sum: dict = {}
+    for r in cells:
+        for d, cq in enumerate(r["v"]):
+            k = (r["cell"], d)
+            n, s = want_sum.get(k, (0, 0))
+            want_sum[k] = (n + 1, s + cq)
+    assert sum(n for (c, d), (n, s) in want_sum.items() if d == 0) == n_vecs_total
+    for k, (n, s) in want_sum.items():
+        assert got[k] == (n, math.floor(s / n)), k
