@@ -174,6 +174,25 @@ def _bucket_col(v, num_planes: int = ANN_PLANES, seed: str = "plane") -> F.Colum
     return bucket
 
 
+def cached_emb_bucketed(spark: SparkSession, sf_dir: str,
+                        num_planes: int = ANN_PLANES) -> DataFrame:
+    """The session-shared hyperplane-LSH materialization the bucketed
+    family (ANN top-k, embedding dedup) reuses: ``(vec_id, v, nsq,
+    bucket)`` — one quantize + project pass per (sf_dir, num_planes).
+    ``nsq`` = exact int64 squared norm, precomputed at build for the
+    same O(pairs)→O(N) reason as :func:`cached_ivf_cells`, and the
+    table is hash-partitioned by ``bucket`` for the same
+    parallel-Exchange-free-self-join reason."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
+    n_part = spark.sparkContext.defaultParallelism
+    return shared_persist(
+        spark, ("emb_bucketed", sf_dir, num_planes),
+        lambda: quant.select("vec_id", "v", _norm_sq(F.col("v")).alias("nsq"),
+                             _bucket_col(F.col("v"), num_planes).alias("bucket"))
+        .repartition(n_part, "bucket"))
+
+
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str,
                         num_planes: int = ANN_PLANES) -> DataFrame:
     """ANN top-k: scan only the query's hyperplane bucket, exact cosine
@@ -182,24 +201,21 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str,
     sizes the bucket grid (see the ANN_PLANES sizing rule).
 
     The bucketed table is the session-shared materialization
-    ``dedup_embedding`` builds too (one quantize+project pass for the
+    ``dedup_embedding`` consumes too (one quantize+project pass for the
     whole family; it is also referenced twice here — query row and
     candidates — and would otherwise execute twice). The label rides in
     via a cheap projected join rather than widening the shared cache."""
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
-    bucketed = shared_persist(
-        spark, ("emb_bucketed", sf_dir, num_planes),
-        lambda: quant.select("vec_id", "v",
-                             _bucket_col(F.col("v"), num_planes).alias("bucket")))
+    bucketed = cached_emb_bucketed(spark, sf_dir, num_planes)
     qrow = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("v").alias("qv"), F.col("bucket").alias("qbucket"))
+        F.col("v").alias("qv"), F.col("nsq").alias("qnsq"),
+        F.col("bucket").alias("qbucket"))
     cands = bucketed.filter(F.col("vec_id") != QUERY_VEC_ID).join(
         F.broadcast(qrow), F.col("bucket") == F.col("qbucket"))
     scored = cands.join(emb.select("vec_id", "label"), "vec_id").select(
         "vec_id", "label", "bucket",
         (_dot(F.col("qv"), F.col("v")).cast("double")
-         / (F.sqrt(_norm_sq(F.col("qv")).cast("double")) * F.sqrt(_norm_sq(F.col("v")).cast("double")))
+         / (F.sqrt(F.col("qnsq").cast("double")) * F.sqrt(F.col("nsq").cast("double")))
          ).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOPK)
@@ -265,17 +281,36 @@ def cached_ivf_cells(spark: SparkSession, sf_dir: str,
                      n_cells: int = IVF_CELLS) -> DataFrame:
     """The session-shared IVF cell materialization the whole IVF family
     (top-k probe, semdedup, kNN join, recenter) reuses: ``(vec_id, v,
-    cell)`` with every quantized vector assigned to its nearest of the
-    ``n_cells`` seed centroids (deterministically the lowest vec_ids).
-    Built once per (sf_dir, n_cells) and persisted under the shared
-    ``("ivf_cells", ...)`` key."""
+    nsq, cell)`` with every quantized vector assigned to its nearest of
+    the ``n_cells`` seed centroids (deterministically the lowest
+    vec_ids). Built once per (sf_dir, n_cells) and persisted under the
+    shared ``("ivf_cells", ...)`` key.
+
+    ``nsq`` = the exact int64 squared norm, precomputed HERE so the
+    pair-join consumers (semdedup, kNN) pay one 64-element array
+    reduction per VECTOR at build instead of two per candidate PAIR at
+    query — at sqrt(N)-sized cells that's O(N) norm work replacing
+    O(N^1.5); cosine keeps the identical float expression
+    ``dot / (sqrt(nsq_a) * sqrt(nsq_b))``.
+
+    The materialization is hash-partitioned BY CELL: every consumer
+    joins or aggregates on ``cell``, so the cell-scoped self-joins run
+    Exchange-free AND parallel across cells. Without this, AQE
+    coalesces the (small) persisted table to one partition and the
+    whole pair stage serializes on a single core (measured 6x on the
+    semdedup kernel at sf0.1); at production scale cells ≈ sqrt(N) ≫
+    cores, so cell partitioning is exactly the layout you want. A
+    pathologically hot cell bounds one task — resize cells (more
+    centroids), don't re-shuffle."""
     emb = load_table(spark, sf_dir, "embeddings")
     quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
+    quant = quant.select("vec_id", "v", _norm_sq(F.col("v")).alias("nsq"))
     centroids = quant.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    n_part = spark.sparkContext.defaultParallelism
     return shared_persist(
         spark, ("ivf_cells", sf_dir, n_cells),
-        lambda: _cell_assign(quant, centroids, 1))
+        lambda: _cell_assign(quant, centroids, 1).repartition(n_part, "cell"))
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str,
@@ -303,14 +338,16 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str,
     cells = cached_ivf_cells(spark, sf_dir, n_cells)
     qcells = (_cell_assign(quant.filter(F.col("vec_id") == QUERY_VEC_ID),
                            centroids, nprobe)
-              .select(F.col("v").alias("qv"), F.col("cell").alias("qcell")))
+              .select(F.col("v").alias("qv"),
+                      _norm_sq(F.col("v")).alias("qnsq"),
+                      F.col("cell").alias("qcell")))
     cands = (cells.filter(F.col("vec_id") != QUERY_VEC_ID)
              .join(F.broadcast(qcells), F.col("cell") == F.col("qcell")))
     scored = cands.join(emb.select("vec_id", "label"), "vec_id").select(
         "vec_id", "label", "cell",
         (_dot(F.col("qv"), F.col("v")).cast("double")
-         / (F.sqrt(_norm_sq(F.col("qv")).cast("double"))
-            * F.sqrt(_norm_sq(F.col("v")).cast("double")))).alias("cos_sim"))
+         / (F.sqrt(F.col("qnsq").cast("double"))
+            * F.sqrt(F.col("nsq").cast("double")))).alias("cos_sim"))
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOPK)
 
 
@@ -368,20 +405,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str,
     quantized components — deterministic, so the whole approximate
     operator is still value-checkable in SQL.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
-    bucketed = shared_persist(
-        spark, ("emb_bucketed", sf_dir, num_planes),
-        lambda: quant.select("vec_id", "v",
-                             _bucket_col(F.col("v"), num_planes).alias("bucket")))
+    bucketed = cached_emb_bucketed(spark, sf_dir, num_planes)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
     scored = pairs.select(
         F.col("a.vec_id").alias("vec1"), F.col("b.vec_id").alias("vec2"),
         (_dot(F.col("a.v"), F.col("b.v")).cast("double")
-         / (F.sqrt(_norm_sq(F.col("a.v")).cast("double"))
-            * F.sqrt(_norm_sq(F.col("b.v")).cast("double")))).alias("cos_sim"),
+         / (F.sqrt(F.col("a.nsq").cast("double"))
+            * F.sqrt(F.col("b.nsq").cast("double")))).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
 
@@ -434,8 +466,8 @@ def q_semdedup_ivf(spark: SparkSession, sf_dir: str,
     cells = cached_ivf_cells(spark, sf_dir, n_cells)
     a, b = cells.alias("a"), cells.alias("b")
     cos = (_dot(F.col("a.v"), F.col("b.v")).cast("double")
-           / (F.sqrt(_norm_sq(F.col("a.v")).cast("double"))
-              * F.sqrt(_norm_sq(F.col("b.v")).cast("double"))))
+           / (F.sqrt(F.col("a.nsq").cast("double"))
+              * F.sqrt(F.col("b.nsq").cast("double"))))
     dropped = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
                      & (F.col("a.vec_id") < F.col("b.vec_id")))
                .filter(cos >= SEMDEDUP_THRESHOLD)
@@ -493,12 +525,12 @@ def q_knn_join(spark: SparkSession, sf_dir: str,
     cells = cached_ivf_cells(spark, sf_dir, n_cells)
     q = (cells.filter(F.col("vec_id") % KNN_SAMPLE_MOD == 0)
          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
-                 F.col("cell").alias("qcell")))
+                 F.col("nsq").alias("qnsq"), F.col("cell").alias("qcell")))
     cands = cells.join(q, F.col("cell") == F.col("qcell")) \
                  .filter(F.col("vec_id") != F.col("qid"))
     cos = (_dot(F.col("qv"), F.col("v")).cast("double")
-           / (F.sqrt(_norm_sq(F.col("qv")).cast("double"))
-              * F.sqrt(_norm_sq(F.col("v")).cast("double"))))
+           / (F.sqrt(F.col("qnsq").cast("double"))
+              * F.sqrt(F.col("nsq").cast("double"))))
     scored = cands.select("qid", "vec_id", "cell", cos.alias("cos_sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (scored.withColumn("rk", F.row_number().over(w))

@@ -32,10 +32,15 @@ _MODULES = [relational, graph_queries, text, dedup, similarity, streamops, multi
 # window.  Round-4 window: the 37 ids whose latest driver row is round 2
 # (everything outside CORRECTNESS_r03.json), the 6 ids NEW this round
 # (events_quantiles_approx rows-only + the five pipeline-governance
-# operators), then 7 picks = every query touched this round
+# operators), then 7 picks = queries touched this round
 # (connected_components rewrite + its dedup_clusters consumer,
 # dedup_minhash_lsh verify-stage restriction, running_user_stats rounding
-# path, search_bm25 shared cache) plus the two heaviest queries.
+# path, search_bm25 shared cache, and semdedup_ivf + knn_join for the
+# precomputed-norm change).  The norm precompute also touches one line
+# each of embedding_ann_lsh / dedup_embedding / embedding_ivf_topk
+# (identical shared-column substitution, bit-identical float expression);
+# those three don't fit the 50-row window — their driver rows are r03 and
+# the change is re-validated for them in PARITY_LOCAL.json.
 # Local full-registry parity evidence lives in PARITY_LOCAL.json
 # (tools/harness_replica.py).
 _CHECK_FIRST = [
@@ -55,10 +60,9 @@ _CHECK_FIRST = [
     # -- new this round (first driver row) --
     "events_quantiles_approx", "pii_scrub", "chunk_dedup", "domain_mix",
     "corpus_funnel", "ivf_recenter",
-    # -- modified this round + heavy-hitter re-validation --
+    # -- modified this round --
     "connected_components", "dedup_clusters", "dedup_minhash_lsh",
-    "running_user_stats", "search_bm25",
-    "bfs_levels", "asof_join_events",
+    "running_user_stats", "search_bm25", "semdedup_ivf", "knn_join",
 ]
 
 # Query ids registered WITHOUT a DuckDB oracle (the driver records a
