@@ -38,6 +38,24 @@ def _sf_num() -> float | str:
         return sf
 
 
+def _warm_engine(spark) -> None:
+    """One-time JVM/codegen warm-up beyond the table scans: exercise
+    the join, window, and hash-agg machinery on a tiny synthetic input
+    so the first *timed* query isn't charged for first-use JIT and
+    plan-machinery init (measured ~7 s on the suite's alphabetically
+    first query at sf0.1, independent of which query it is)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") % 3).alias("j"))
+    w = Window.partitionBy("k").orderBy("id")
+    (df.join(df.groupBy("k").agg(F.sum("id").alias("s")), "k")
+       .withColumn("rn", F.row_number().over(w))
+       .groupBy("j").agg(F.count(F.lit(1)), F.max("rn"), F.avg("s"))
+       .collect())
+
+
 def run_single(qid: str) -> None:
     """One query in this (fresh) process: warm-up scans, then a cold
     and a warm timed execution. Prints one JSON line."""
@@ -48,6 +66,7 @@ def run_single(qid: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for t in WARMUP_TABLES:
         spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
+    _warm_engine(spark)
     fn = registry.queries()[qid]
     t0 = time.perf_counter()
     rows = fn(spark, SF_DIR).collect()
@@ -94,6 +113,7 @@ def main() -> None:
     # table a first-in-sort-order query would otherwise be charged for.
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
+    _warm_engine(spark)
 
     timings: dict[str, float] = {}
     for name, fn in sorted(registry.queries().items()):

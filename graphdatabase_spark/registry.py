@@ -36,11 +36,14 @@ _MODULES = [relational, graph_queries, text, dedup, similarity, streamops, multi
 # (connected_components rewrite + its dedup_clusters consumer,
 # dedup_minhash_lsh verify-stage restriction, running_user_stats rounding
 # path, search_bm25 shared cache, and semdedup_ivf + knn_join for the
-# precomputed-norm change).  The norm precompute also touches one line
-# each of embedding_ann_lsh / dedup_embedding / embedding_ivf_topk
-# (identical shared-column substitution, bit-identical float expression);
-# those three don't fit the 50-row window — their driver rows are r03 and
-# the change is re-validated for them in PARITY_LOCAL.json.
+# precomputed-norm change).  Two result-identical shared-materialization
+# layout changes (precomputed norms + join-key partitioning of the IVF
+# cells, LSH buckets, and shingle index) also touch embedding_ann_lsh /
+# dedup_embedding / embedding_ivf_topk / dedup_near / similarity_topk /
+# contamination_check, which don't fit the 50-row window — their driver
+# rows are r03 and the changes are re-validated for them in
+# PARITY_LOCAL.json (dedup_near_guarded, dedup_minhash_lsh and
+# dedup_clusters consume the same index inside this window).
 # Local full-registry parity evidence lives in PARITY_LOCAL.json
 # (tools/harness_replica.py).
 _CHECK_FIRST = [
