@@ -1,6 +1,6 @@
 """Source/sink coverage beyond the parquet catalog (SURVEY.md §2.3
-"scan/sinks" family): CSV, JSON-lines, and text, with explicit schemas
-and scale-sane defaults.
+"scan/sinks" family): ORC, CSV, JSON-lines, and text, with explicit
+schemas and scale-sane defaults.
 
 Conventions:
 
@@ -50,6 +50,16 @@ def read_text(spark: SparkSession, path: str, wholetext: bool = False) -> DataFr
     return spark.read.text(path, wholetext=wholetext)
 
 
+def read_orc(spark: SparkSession, path: str,
+             schema: StructType | str | None = None, **options: str) -> DataFrame:
+    """ORC scan (columnar alternative ingest format; schema optional —
+    ORC is self-describing like parquet, pass one to pin types)."""
+    r = spark.read.options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
               partition_by: list[str] | None = None, **options: str) -> None:
     w = df.write.mode(mode).options(header="true", compression="gzip", **options)
@@ -64,6 +74,14 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None, **options: str) -> None:
+    w = df.write.mode(mode).options(compression="zstd", **options)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",

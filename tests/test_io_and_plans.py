@@ -38,6 +38,15 @@ def test_json_roundtrip(spark, tmp_path):
                str(tmp_path / "json"), "id int, arr array<string>, m struct<k:int>")
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, ["x", "y"], {"k": 2}, 1.5), (2, [], None, -0.5)],
+        "id int, arr array<string>, m struct<k:int>, v double")
+    _roundtrip(df, gio.write_orc, gio.read_orc, spark,
+               str(tmp_path / "orc"),
+               "id int, arr array<string>, m struct<k:int>, v double")
+
+
 def test_parquet_partitioned_sink(spark, tmp_path, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     gio.write_parquet(docs, str(tmp_path / "p"), partition_by=["lang"],

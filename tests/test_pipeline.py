@@ -69,6 +69,45 @@ def test_chunk_dedup_detects_shared_chunks(spark):
     assert 4 not in got  # < 8 tokens -> no chunks
 
 
+def test_chunk_dedup_random_corpora_vs_python_replica(spark):
+    """Seeded random corpora (varied doc lengths incl. < CHUNK_TOKS,
+    exact multiples of CHUNK_TOKS, and planted repeats both within and
+    across docs) against a plain-Python replica of the chunking +
+    duplicate-count semantics — catches tokenize/slice drift the fixed
+    testdata can't."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(5):
+        docs, texts = [], {}
+        for doc_id in range(12):
+            n = rng.choice([3, 7, 8, 9, 16, 24, 40])
+            toks = [rng.choice(vocab) for _ in range(n)]
+            if doc_id % 4 == 0 and n >= 16:
+                toks[8:16] = toks[0:8]  # planted within-doc repeat
+            if doc_id % 5 == 1 and n >= 8 and 0 in texts:
+                toks[0:8] = texts[0][0:8]  # planted cross-doc repeat
+            texts[doc_id] = toks
+            docs.append((doc_id, " ".join(toks)))
+        # python replica
+        from collections import Counter
+        chunks = {d: [" ".join(t[i * pipeline.CHUNK_TOKS:(i + 1) * pipeline.CHUNK_TOKS])
+                      for i in range(len(t) // pipeline.CHUNK_TOKS)]
+                  for d, t in texts.items()}
+        occ = Counter(c for cs in chunks.values() for c in cs)
+        want = {d: (len(cs), sum(1 for c in cs if occ[c] >= 2))
+                for d, cs in chunks.items() if cs}
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        ch = pipeline.chunk_hashes(df)
+        o = ch.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+        got = {r["doc_id"]: (r["n"], r["nd"]) for r in
+               ch.join(o, "h").groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum((F.col("occ") >= 2).cast("int")).alias("nd")).collect()}
+        assert got == want, f"trial {trial}"
+
+
 def test_domain_mix_deterministic_and_partition_stable(spark, sf_dir):
     a = {tuple(r) for r in pipeline.q_domain_mix(spark, sf_dir).collect()}
     b = {tuple(r) for r in pipeline.q_domain_mix(spark, sf_dir).collect()}
