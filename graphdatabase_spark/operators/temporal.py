@@ -75,6 +75,88 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     return out
 
 
+def asof_join_salted(left: DataFrame, right: DataFrame, key: str, ts: str,
+                     payload_cols: list[str], bucket_sec: int,
+                     suffix: str = "_asof") -> DataFrame:
+    """Exact-semantics hot-key variant of :func:`asof_join`: the merge
+    is partitioned by ``(key, time bucket)`` instead of ``key`` alone,
+    so one pathologically hot key (a bot user, a default id) spreads
+    across ``history / bucket_sec`` tasks instead of concentrating its
+    whole history in one window partition.
+
+    Two passes, both exact for arbitrary gap sizes (a bucket's match
+    can come from arbitrarily far back — no fixed right-row fan-out
+    can guarantee that):
+
+    1. **Seed pass** (small): per ``(key, bucket)``, the latest right
+       row; then one window over the per-bucket aggregate — rows =
+       distinct buckets per key, orders of magnitude below raw events
+       — carries forward the latest right payload from any EARLIER
+       bucket as that bucket's seed.
+    2. **Merge pass**: the standard carry-forward window, now keyed by
+       ``(key, bucket)``, over left rows + the bucket's own right rows
+       + the seed (a synthetic right row sorted at the bucket start,
+       before any in-bucket row). Within-bucket right rows supersede
+       the seed exactly as later rows supersede earlier ones.
+
+    Equivalence with the unsalted operator is pinned by tests on the
+    events table and on a synthetic single-hot-key dataset. Use when a
+    key's history exceeds single-task capacity (~10^8 rows); AQE skew
+    handling cannot split a window partition, so this is the opt-in.
+    Same right-side uniqueness contract as :func:`asof_join`."""
+    bucket_us = bucket_sec * 1_000_000
+    p_type = "struct<" + ",".join(
+        f"{c}:{dict(right.dtypes)[c]}" for c in payload_cols) + ">"
+    lcols = left.columns
+
+    r = right.select(
+        F.col(key), event_us(F.col(ts)).alias("__us"),
+        F.struct(*payload_cols).alias("__p"),
+    ).withColumn("__b", F.floor(F.col("__us") / bucket_us))
+    # 1. latest right row per (key, bucket): unique (key, ts) contract
+    # makes max(struct(us, payload)) deterministic.
+    last_in_bucket = (r.groupBy(key, "__b")
+                      .agg(F.max(F.struct(F.col("__us"), F.col("__p"))).alias("__m"))
+                      .select(key, "__b", F.col("__m.__p").alias("__p")))
+    # bucket spine = every (key, bucket) either side touches, so a left
+    # bucket with an empty right bucket still receives a seed.
+    l_us = left.select(F.col(key), event_us(F.col(ts)).alias("__us"),
+                       *[F.col(c) for c in lcols if c not in (key, ts)],
+                       F.col(ts))
+    spine = (l_us.select(key, F.floor(F.col("__us") / bucket_us).alias("__b"))
+             .unionByName(r.select(key, "__b")).distinct())
+    wseed = Window.partitionBy(key).orderBy("__b") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    seeds = (spine.join(last_in_bucket, [key, "__b"], "left")
+             .withColumn("__seed", F.last("__p", ignorenulls=True).over(wseed))
+             .filter(F.col("__seed").isNotNull())
+             .select(key, "__b", F.col("__seed").alias("__p")))
+
+    # 2. salted merge: left (side 1) + bucket right rows (side 0) +
+    # seed rows (side -1, sorted at the bucket start).
+    null_l = [F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+              for c in lcols if c not in (key, ts)]
+    tag_l = l_us.withColumn("__b", F.floor(F.col("__us") / bucket_us)) \
+        .withColumn("__side", F.lit(1)) \
+        .withColumn("__p", F.lit(None).cast(p_type))
+    tag_r = r.select(
+        F.col(key), F.col("__us"), *null_l,
+        F.lit(None).cast(dict(left.dtypes)[ts]).alias(ts),
+        "__b", F.lit(0).alias("__side"), "__p")
+    tag_s = seeds.select(
+        F.col(key), (F.col("__b") * bucket_us).alias("__us"), *null_l,
+        F.lit(None).cast(dict(left.dtypes)[ts]).alias(ts),
+        "__b", F.lit(-1).alias("__side"), "__p")
+    merged = tag_l.select(tag_r.columns).unionByName(tag_r).unionByName(tag_s)
+    w = Window.partitionBy(key, "__b").orderBy(F.col("__us").asc(), F.col("__side").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = merged.withColumn(
+        "__last", F.last(F.when(F.col("__side") <= 0, F.col("__p")),
+                         ignorenulls=True).over(w))
+    return carried.filter(F.col("__side") == 1).select(
+        *lcols, *[F.col(f"__last.{c}").alias(c + suffix) for c in payload_cols])
+
+
 def range_join(left: DataFrame, right: DataFrame, key: str, ts: str,
                width_sec: int, right_cols: list[str]) -> DataFrame:
     """All (left, right) pairs with equal key and
@@ -122,6 +204,25 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A same-instant error event matches itself in both engines. The right
 # side is pre-aggregated per (user, instant) exactly like the Spark
 # path, so neither engine ever chooses among duplicate instants.
+ASOF_SALT_BUCKET_SEC = 6 * 3600
+
+
+def q_asof_join_events_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME point-in-time enrichment as ``asof_join_events``,
+    through the hot-key-safe salted operator (6 h buckets) — registered
+    separately, against the SAME DuckDB ASOF oracle, so the
+    equivalence of the skew mitigation is externally checked, not just
+    unit-tested."""
+    ev = events_batch(spark, sf_dir).select("event_id", "user_id", "ts", "event_type", "value")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    out = asof_join_salted(
+        ev.select("event_id", "user_id", "ts"), errors,
+        key="user_id", ts="ts", payload_cols=["value"],
+        bucket_sec=ASOF_SALT_BUCKET_SEC)
+    return out.select("event_id", "user_id", "ts", F.col("value_asof").alias("last_error_value"))
+
+
 ORACLE_ASOF_JOIN_EVENTS = """
 SELECT l.event_id, l.user_id, l.ts, r.value AS last_error_value
 FROM events l
@@ -326,6 +427,7 @@ WHERE t_view IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
 
 QUERIES = {
     "asof_join_events": q_asof_join_events,
+    "asof_join_events_salted": q_asof_join_events_salted,
     "range_join_events": q_range_join_events,
     "events_anomaly": q_events_anomaly,
     "events_quantiles": q_events_quantiles,
@@ -339,6 +441,8 @@ QUERIES = {
 
 ORACLES = {
     "asof_join_events": ORACLE_ASOF_JOIN_EVENTS,
+    # the salted variant must produce byte-identical output: same oracle
+    "asof_join_events_salted": ORACLE_ASOF_JOIN_EVENTS,
     "range_join_events": ORACLE_RANGE_JOIN_EVENTS,
     "events_anomaly": ORACLE_EVENTS_ANOMALY,
     "events_quantiles": ORACLE_EVENTS_QUANTILES,

@@ -75,3 +75,46 @@ def test_range_join_bucket_boundaries(spark):
     # 21 and 29 are within ±10s of 19 (29 crosses the bucket boundary);
     # 30 is outside (|30-19| = 11); key 2 never joins
     assert got == [10, 11]
+
+
+def test_asof_salted_equals_plain_on_hot_key(spark):
+    """The salted operator must be byte-equivalent to the plain one on
+    a single pathologically hot key with multi-bucket gaps (incl. a
+    bucket with left rows but no right rows, fed by a seed from
+    several buckets back)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 1, 1)
+    left = spark.range(5000).select(
+        F.col("id").alias("event_id"), F.lit(7).alias("user_id"),
+        (F.lit(base) + F.make_interval(secs=F.col("id") * 37)).alias("ts"))
+    # sparse right side: long stretches of buckets with no right rows
+    right = spark.range(0, 5000, 400).select(
+        F.lit(7).alias("user_id"),
+        (F.lit(base) + F.make_interval(secs=F.col("id") * 37 + 1)).alias("ts"),
+        (F.col("id") * 2.0).alias("value"))
+    a = sorted(map(tuple, temporal.asof_join(
+        left, right, "user_id", "ts", ["value"]).collect()))
+    b = sorted(map(tuple, temporal.asof_join_salted(
+        left, right, "user_id", "ts", ["value"], bucket_sec=600).collect()))
+    assert a == b
+
+
+def test_asof_salted_edge_semantics(spark):
+    """Boundary semantics survive salting: same-instant inclusive
+    match, a right row exactly at a bucket start supersedes the seed,
+    and keys with no right rows stay NULL."""
+    rows_l = [(1, 1, _ts(10)), (2, 1, _ts(20)), (3, 1, _ts(25)), (4, 2, _ts(10))]
+    rows_r = [(1, _ts(10), 100.0), (1, _ts(20), 200.0)]
+    left = spark.createDataFrame(rows_l, "event_id int, k int, ts timestamp")
+    right = spark.createDataFrame(rows_r, "k int, ts timestamp, v double")
+    # bucket_sec=20 puts ts=20 exactly at a bucket boundary
+    out = {(r["event_id"]): r["v_asof"] for r in
+           temporal.asof_join_salted(left, right, "k", "ts", ["v"],
+                                     bucket_sec=20).collect()}
+    assert out[1] == 100.0   # same-instant inclusive
+    assert out[2] == 200.0   # right row AT the bucket start wins over the seed
+    assert out[3] == 200.0
+    assert out[4] is None    # key with no right rows
