@@ -338,12 +338,66 @@ FROM ex GROUP BY cell, d
 """
 
 
+# --- hybrid_search_rrf (keyword + vector rank fusion) ------------------------
+
+RRF_K = 60       # the standard reciprocal-rank-fusion damping constant
+RRF_TOPK = 10
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 keyword
+    top-k and the embedding-cosine top-k —
+    ``rrf = Σ 1/(60 + rank)`` over the lists a doc appears in (the
+    standard RAG-serving recipe for combining lexical and vector
+    recall; doc_id ≡ vec_id in the testdata catalog).
+
+    Determinism: both input rankings are total-ordered (score then id),
+    ranks are integers, and the fusion is a fixed-order two-term double
+    expression — bit-identical across engines, so even the fused
+    ranking is value-checked in SQL.
+
+    Plan shape at 100 TB: the heavy lifting is the two top-k searches
+    (each already scale-shaped: one corpus scan + TakeOrdered; bucketed
+    ANN as the vector path swap-in). The fusion itself ranks two k-row
+    result sets — driver-scale regardless of corpus size; the
+    single-partition rank windows here are over k rows, not data."""
+    kw = text.q_search_bm25(spark, sf_dir).select("doc_id", "score")
+    vec = similarity.q_embedding_cosine_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "cos_sim")
+    from pyspark.sql.window import Window
+    wb = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    wv = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    rb = kw.select("doc_id", F.row_number().over(wb).alias("rank_kw"))
+    rv = vec.select("doc_id", F.row_number().over(wv).alias("rank_vec"))
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_kw")), F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_vec")), F.lit(0.0)))
+    return (rb.join(rv, "doc_id", "full_outer")
+            .select("doc_id", "rank_kw", "rank_vec", rrf.alias("rrf"))
+            .orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOPK))
+
+
+def _oracle_hybrid_search_rrf() -> str:
+    return f"""
+WITH kw AS ({text.ORACLE_SEARCH_BM25}),
+vec AS ({similarity.ORACLE_EMBEDDING_COSINE_TOPK}),
+rb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank_kw FROM kw),
+rv AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank_vec FROM vec)
+SELECT COALESCE(rb.doc_id, rv.doc_id) AS doc_id, rank_kw, rank_vec,
+       COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + rank_kw), 0)
+         + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + rank_vec), 0) AS rrf
+FROM rb FULL OUTER JOIN rv ON rb.doc_id = rv.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {RRF_TOPK}
+"""
+
+
 QUERIES = {
     "pii_scrub": q_pii_scrub,
     "chunk_dedup": q_chunk_dedup,
     "domain_mix": q_domain_mix,
     "corpus_funnel": q_corpus_funnel,
     "ivf_recenter": q_ivf_recenter,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
 }
 
 ORACLES = {
@@ -352,4 +406,5 @@ ORACLES = {
     "domain_mix": ORACLE_DOMAIN_MIX,
     "corpus_funnel": _oracle_corpus_funnel(),
     "ivf_recenter": ORACLE_IVF_RECENTER,
+    "hybrid_search_rrf": _oracle_hybrid_search_rrf(),
 }

@@ -44,9 +44,10 @@ _MODULES = [relational, graph_queries, text, dedup, similarity, streamops, multi
 # rows are r03 and the changes are re-validated for them in
 # PARITY_LOCAL.json (dedup_near_guarded, dedup_minhash_lsh and
 # dedup_clusters consume the same index inside this window).
-# asof_join_events_salted was added after the round-4 window was spent:
-# it shares asof_join_events' oracle byte-for-byte, PARITY_LOCAL checks
-# it, and the ROUND-5 rotation must front it for its first driver row.
+# asof_join_events_salted and hybrid_search_rrf were added after the
+# round-4 window was spent: the former shares asof_join_events' oracle
+# byte-for-byte, PARITY_LOCAL checks both, and the ROUND-5 rotation must
+# front them for their first driver rows.
 # Local full-registry parity evidence lives in PARITY_LOCAL.json
 # (tools/harness_replica.py).
 _CHECK_FIRST = [

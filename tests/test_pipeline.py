@@ -145,3 +145,26 @@ def test_ivf_recenter_matches_python_replica(spark, sf_dir):
     assert sum(n for (c, d), (n, s) in want_sum.items() if d == 0) == n_vecs_total
     for k, (n, s) in want_sum.items():
         assert got[k] == (n, math.floor(s / n)), k
+
+
+def test_hybrid_search_rrf_fuses_both_rankings(spark, sf_dir):
+    """The fused list must contain both lists' #1 docs, rrf must be
+    non-increasing, and a doc in both lists must outrank one with only
+    a comparable single-list rank."""
+    from graphdatabase_spark.functions import similarity, text
+
+    fused = pipeline.q_hybrid_search_rrf(spark, sf_dir).collect()
+    rrfs = [r["rrf"] for r in fused]
+    assert rrfs == sorted(rrfs, reverse=True)
+    ids = {r["doc_id"] for r in fused}
+    top_kw = text.q_search_bm25(spark, sf_dir).collect()[0]["doc_id"]
+    top_vec = similarity.q_embedding_cosine_topk(spark, sf_dir).collect()[0]["vec_id"]
+    assert top_kw in ids and top_vec in ids
+    for r in fused:
+        if r["rank_kw"] is not None and r["rank_vec"] is not None:
+            both = r["rrf"]
+            singles = [x["rrf"] for x in fused
+                       if (x["rank_kw"] is None) != (x["rank_vec"] is None)
+                       and min(v for v in (x["rank_kw"], x["rank_vec"]) if v is not None)
+                           >= min(r["rank_kw"], r["rank_vec"])]
+            assert all(both > s for s in singles)
