@@ -81,9 +81,16 @@ def run_single(qid: str) -> None:
 def run_isolated(ids: list[str]) -> None:
     out: dict[str, dict] = {}
     for qid in ids:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single", qid],
-            capture_output=True, text=True, timeout=600)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single", qid],
+                capture_output=True, text=True, timeout=600)
+        except subprocess.TimeoutExpired:
+            # One hung query must not abort the sweep and discard the
+            # timings already collected — record it and move on.
+            out[qid] = {"error": "timeout after 600s"}
+            print(f"# isolated {qid}: TIMEOUT", file=sys.stderr)
+            continue
         parsed = None
         for line in reversed(proc.stdout.strip().splitlines()):
             try:
@@ -110,8 +117,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up the JVM, codegen, and parquet footer caches for every
-    # table a first-in-sort-order query would otherwise be charged for.
-    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+    # table a first-in-sort-order query would otherwise be charged for
+    # (same list as the isolated mode, so the two stay comparable).
+    for t in WARMUP_TABLES:
         spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
     _warm_engine(spark)
 

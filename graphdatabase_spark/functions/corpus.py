@@ -153,6 +153,17 @@ LIMIT {TOP_NGRAMS}
 
 # --- corpus_prep (the composed keep-list) ------------------------------------
 
+def exact_dedup_keep(docs: DataFrame) -> DataFrame:
+    """The exact-dedup survivor list: one ``doc_id`` per distinct text
+    (md5 groupBy, min doc_id wins the tie). THE single definition both
+    ``corpus_prep`` and ``corpus_funnel`` consume — the survivor rule
+    (hash choice, tie-break) must never fork between the keep-list and
+    the funnel's n_dedup stage."""
+    return (docs.select("doc_id", F.md5("text").alias("m"))
+            .groupBy("m").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The final pre-tokenization keep-list: English docs above the
     quality threshold that survive exact dedup, tagged with their
@@ -166,9 +177,7 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     quality = text.q_quality_score(spark, sf_dir).select(
         "doc_id", "n_tokens", "quality_score")
-    keep = (docs.select("doc_id", F.md5("text").alias("m"))
-            .groupBy("m").agg(F.min("doc_id").alias("doc_id"))
-            .select("doc_id"))
+    keep = exact_dedup_keep(docs)
     split = q_sample_split(spark, sf_dir).select("doc_id", "split")
     return (docs.select("doc_id", "lang")
             .join(keep, "doc_id", "left_semi")

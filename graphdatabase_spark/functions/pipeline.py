@@ -179,7 +179,11 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     no join, no second pass."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.size(text.tokens_col("text")).alias("n_toks"))
-    tier = F.substring("source", 4, 8).cast("int") % 4
+    # Full numeric suffix, overflow-safe: try_cast -> NULL for
+    # non-numeric/oversized suffixes, which the when-chain routes to
+    # the bottom tier — the identical TRY_CAST/ELSE semantics the
+    # oracle uses, so the two can't diverge on exotic source ids.
+    tier = F.expr("try_cast(substring(source, 4) AS BIGINT)") % 4
     pct = (F.when(tier == 0, MIX_PCTS[0]).when(tier == 1, MIX_PCTS[1])
            .when(tier == 2, MIX_PCTS[2]).otherwise(MIX_PCTS[3]))
     kept = (md5_int64(F.col("doc_id").cast("string"), salt=MIX_SALT) % 100 < pct) \
@@ -195,11 +199,11 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DOMAIN_MIX = f"""
 WITH t AS (
   SELECT source,
-         CAST(CASE CAST(substr(source, 4) AS INT) % 4
+         CAST(CASE TRY_CAST(substr(source, 4) AS BIGINT) % 4
               WHEN 0 THEN {MIX_PCTS[0]} WHEN 1 THEN {MIX_PCTS[1]}
               WHEN 2 THEN {MIX_PCTS[2]} ELSE {MIX_PCTS[3]} END AS INT) AS keep_pct,
          CASE WHEN {md5_int64_sql_duckdb("CAST(doc_id AS VARCHAR)", salt=MIX_SALT)} % 100
-                   < CASE CAST(substr(source, 4) AS INT) % 4
+                   < CASE TRY_CAST(substr(source, 4) AS BIGINT) % 4
                      WHEN 0 THEN {MIX_PCTS[0]} WHEN 1 THEN {MIX_PCTS[1]}
                      WHEN 2 THEN {MIX_PCTS[2]} ELSE {MIX_PCTS[3]} END
               THEN 1 ELSE 0 END AS kept,
@@ -230,14 +234,12 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-sum aggregate (map-side combined into a single row);
     the only join is the exact-dedup keep-list — a doc_id projection
     AQE broadcasts. Same single-scan shape regardless of corpus size."""
-    from graphdatabase_spark.functions.corpus import QUALITY_THRESHOLD
+    from graphdatabase_spark.functions.corpus import QUALITY_THRESHOLD, exact_dedup_keep
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars", "text")
     quality = text.q_quality_score(spark, sf_dir).select("doc_id", "quality_score")
-    keep = (docs.select("doc_id", F.md5("text").alias("m"))
-            .groupBy("m").agg(F.min("doc_id").alias("doc_id"))
-            .select("doc_id", F.lit(1).alias("is_keep")))
+    keep = exact_dedup_keep(docs).select("doc_id", F.lit(1).alias("is_keep"))
     flags = docs.join(quality, "doc_id").join(keep, "doc_id", "left")
     s1 = F.col("lang") == "en"
     s2 = s1 & (F.col("n_chars") >= FUNNEL_MIN_CHARS)
