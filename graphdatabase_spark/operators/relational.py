@@ -344,6 +344,21 @@ FROM customer GROUP BY c_mktsegment
 """
 
 
+def q_segment_distinct_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB distinct-count path: HyperLogLog++ sketches
+    (``approx_count_distinct``, rsd 1%) instead of exact
+    ``countDistinct``. Exact distinct aggregation shuffles every
+    distinct (group, key) pair — O(distinct values) network; the HLL
+    sketch is constant-size per group and merges map-side, so the
+    shuffle is O(groups) regardless of cardinality. Registered
+    rows-only (sketch estimates are engine-specific); the rsd-bound
+    accuracy vs the exact operator is pinned by a unit test."""
+    cust = load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey")
+    return (cust.groupBy("c_mktsegment")
+            .agg(F.approx_count_distinct("c_nationkey", rsd=0.01).alias("n_nations"),
+                 F.count(F.lit(1)).alias("n_customers")))
+
+
 # ---------------------------------------------------------------------------
 # q_set_ops — union / intersect / except coverage over key sets.
 # Customers that placed an order vs customers with positive balance.
@@ -735,6 +750,9 @@ QUERIES = {
     "running_revenue": q_running_revenue,
     "top_expensive_orders": q_top_expensive_orders,
     "segment_distinct_customers": q_segment_distinct_customers,
+    # rows-only (no ORACLES entry): HLL estimates are engine-specific;
+    # rsd-bound accuracy pinned by tests/test_relational.py.
+    "segment_distinct_customers_approx": q_segment_distinct_customers_approx,
     "set_ops": q_set_ops,
     "scalar_functions": q_scalar_functions,
     "local_supplier_volume": q_local_supplier_volume,
