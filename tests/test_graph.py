@@ -336,3 +336,40 @@ def test_pagerank_quantized_tracks_float(spark):
         assert abs(qnt[v] / 1e9 - flt[v]) < 1e-6, (v, qnt[v], flt[v])
     # truncation only ever loses mass, never invents it
     assert sum(qnt.values()) <= 4 * 10**9
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Seeded random graphs (varied density, self-loops, isolated
+    vertices) against a plain union-find replica — the large-star/
+    small-star kernel must produce the identical min-id component map
+    on shapes the fixtures don't cover."""
+    import random
+
+    from graphdatabase_spark.operators import pregel
+
+    for seed in (1, 7, 42, 2026):
+        rng = random.Random(seed)
+        n = rng.randint(2, 40)
+        m = rng.randint(0, 3 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: min(w for w in range(n) if find(w) == find(v))
+                for v in range(n)}
+        e_df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+        if not edges:
+            e_df = e_df.filter("src != src")  # empty edge relation
+        v_df = spark.createDataFrame([(v,) for v in range(n)], "vid long")
+        got = {r["vid"]: r["component"] for r in
+               pregel.connected_components(e_df, v_df).collect()}
+        assert got == want, f"seed {seed} (n={n}, m={m})"

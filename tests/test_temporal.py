@@ -118,3 +118,30 @@ def test_asof_salted_edge_semantics(spark):
     assert out[2] == 200.0   # right row AT the bucket start wins over the seed
     assert out[3] == 200.0
     assert out[4] is None    # key with no right rows
+
+
+def test_asof_salted_random_sweep_vs_plain(spark):
+    """Seeded random cases — random keys, clustered and sparse right
+    rows, timestamps straddling bucket boundaries — must match the
+    plain operator exactly for several bucket widths."""
+    import datetime
+    import random
+
+    base = datetime.datetime(2024, 1, 1)
+    for seed in (3, 11, 99):
+        rng = random.Random(seed)
+        lrows = [(i, rng.randint(1, 4),
+                  base + datetime.timedelta(seconds=rng.randint(0, 5000)))
+                 for i in range(200)]
+        rrows = list({(rng.randint(1, 4),
+                       base + datetime.timedelta(seconds=rng.randint(0, 5000))): None
+                      for _ in range(40)})
+        rrows = [(k, ts, float(i)) for i, (k, ts) in enumerate(sorted(rrows))]
+        left = spark.createDataFrame(lrows, "event_id int, k int, ts timestamp")
+        right = spark.createDataFrame(rrows, "k int, ts timestamp, v double")
+        want = sorted(map(tuple, temporal.asof_join(
+            left, right, "k", "ts", ["v"]).collect()))
+        for bucket_sec in (7, 600, 10**6):
+            got = sorted(map(tuple, temporal.asof_join_salted(
+                left, right, "k", "ts", ["v"], bucket_sec=bucket_sec).collect()))
+            assert got == want, f"seed {seed} bucket {bucket_sec}"
