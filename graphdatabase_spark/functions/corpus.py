@@ -154,14 +154,14 @@ LIMIT {TOP_NGRAMS}
 # --- corpus_prep (the composed keep-list) ------------------------------------
 
 def exact_dedup_keep(docs: DataFrame) -> DataFrame:
-    """The exact-dedup survivor list: one ``doc_id`` per distinct text
-    (md5 groupBy, min doc_id wins the tie). THE single definition both
-    ``corpus_prep`` and ``corpus_funnel`` consume — the survivor rule
-    (hash choice, tie-break) must never fork between the keep-list and
-    the funnel's n_dedup stage."""
-    return (docs.select("doc_id", F.md5("text").alias("m"))
-            .groupBy("m").agg(F.min("doc_id").alias("doc_id"))
-            .select("doc_id"))
+    """The exact-dedup survivor list: one ``doc_id`` per distinct
+    text, derived from :func:`dedup.exact_dedup_groups` — the single
+    definition of the survivor rule (md5 groupBy, min doc_id wins) —
+    so ``corpus_prep``, ``corpus_funnel`` and ``dedup_exact`` can
+    never fork on hash choice or tie-break."""
+    from graphdatabase_spark.functions.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(docs).select(F.col("keep_doc_id").alias("doc_id"))
 
 
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,13 +102,22 @@ def _hashes_cte() -> str:
 
 # --- dedup_exact -------------------------------------------------------------
 
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """THE exact-dedup survivor rule — one place only: group by
+    md5(text), survivor = min doc_id. ``(content_md5, keep_doc_id,
+    n_copies)``. Every exact-dedup consumer (q_dedup_exact,
+    corpus.exact_dedup_keep → corpus_prep / corpus_funnel) derives
+    from this relation so the hash choice and tie-break can never
+    fork between them."""
+    return (docs.select("doc_id", F.md5(F.col("text")).alias("content_md5"))
+            .groupBy("content_md5")
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return (
-        docs.select("doc_id", F.md5(F.col("text")).alias("content_md5"))
-        .groupBy("content_md5")
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
-    )
+    return exact_dedup_groups(docs)
 
 
 ORACLE_DEDUP_EXACT = """
