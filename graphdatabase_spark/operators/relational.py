@@ -344,6 +344,40 @@ FROM customer GROUP BY c_mktsegment
 """
 
 
+def q_pivot_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab) surface: revenue per l_linestatus with one
+    column per l_returnflag value — ``groupBy().pivot(values)``.
+    Passing the value list explicitly matters at scale: without it
+    Spark runs an extra distinct-scan job just to discover the
+    columns. The pivot compiles to the same conditional-aggregate
+    plan the oracle spells out — one map-side-combined shuffle, no
+    extra pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    piv = (li.select("l_linestatus", "l_returnflag", rev.alias("rev"))
+           .groupBy("l_linestatus")
+           .pivot("l_returnflag", ["A", "N", "R"])
+           .agg(F.sum("rev")))
+    return piv.select(
+        "l_linestatus",
+        F.col("A").cast("double").alias("rev_a"),
+        F.col("N").cast("double").alias("rev_n"),
+        F.col("R").cast("double").alias("rev_r"))
+
+
+_PIV_REV = ("CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))")
+
+ORACLE_PIVOT_RETURNS = f"""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN l_returnflag = 'A' THEN {_PIV_REV} END) AS DOUBLE) AS rev_a,
+       CAST(SUM(CASE WHEN l_returnflag = 'N' THEN {_PIV_REV} END) AS DOUBLE) AS rev_n,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN {_PIV_REV} END) AS DOUBLE) AS rev_r
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
 def q_segment_distinct_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB distinct-count path: HyperLogLog++ sketches
     (``approx_count_distinct``, rsd 1%) instead of exact
@@ -753,6 +787,7 @@ QUERIES = {
     # rows-only (no ORACLES entry): HLL estimates are engine-specific;
     # rsd-bound accuracy pinned by tests/test_relational.py.
     "segment_distinct_customers_approx": q_segment_distinct_customers_approx,
+    "pivot_returns": q_pivot_returns,
     "set_ops": q_set_ops,
     "scalar_functions": q_scalar_functions,
     "local_supplier_volume": q_local_supplier_volume,
@@ -776,6 +811,7 @@ ORACLES = {
     "running_revenue": ORACLE_RUNNING_REVENUE,
     "top_expensive_orders": ORACLE_TOP_EXPENSIVE_ORDERS,
     "segment_distinct_customers": ORACLE_SEGMENT_DISTINCT_CUSTOMERS,
+    "pivot_returns": ORACLE_PIVOT_RETURNS,
     "set_ops": ORACLE_SET_OPS,
     "scalar_functions": ORACLE_SCALAR_FUNCTIONS,
     "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphdatabase_spark.operators.derived_graph import COMMUNITY_EDGES_CTE
 from graphdatabase_spark.sources.tables import TABLE_NAMES, load_table
 
 
@@ -145,11 +146,43 @@ def q_window_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WINDOW_SHOWCASE = SQL_WINDOW_SHOWCASE
 
 
+# Native SQL recursion (WITH RECURSIVE landed in Spark 4.0): min-hop
+# levels over the derived community graph from region 0 — the SQL-text
+# counterpart of the Pregel BFS kernel, and the exact construction
+# every graph ORACLE in this repo uses DuckDB-side. Running the SAME
+# text through spark.sql proves the recursion surface itself, not just
+# the DataFrame loop. The hop bound (< 4; the graph is a depth-2 tree)
+# is the standard recursive-CTE termination guard. Scale note: SQL
+# recursion re-unions the full frontier per step with no
+# localCheckpoint, so the iterative Pregel kernels remain the 100 TB
+# path; this entry exists for surface parity and small/medium graphs.
+SQL_RECURSIVE_REACHABILITY = f"""
+WITH RECURSIVE {COMMUNITY_EDGES_CTE.strip()},
+reach(vid, lvl) AS (
+  SELECT CAST(0 AS BIGINT) AS vid, 0 AS lvl
+  UNION ALL
+  SELECT e.dst, r.lvl + 1
+  FROM reach r JOIN graph_edges e ON e.src = r.vid
+  WHERE r.lvl < 4
+)
+SELECT vid, CAST(MIN(lvl) AS INT) AS level FROM reach GROUP BY vid
+"""
+
+
+def q_sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(SQL_RECURSIVE_REACHABILITY)
+
+
+ORACLE_SQL_RECURSIVE_REACHABILITY = SQL_RECURSIVE_REACHABILITY
+
+
 QUERIES = {
     "sql_forecast_revenue": q_sql_forecast_revenue,
     "salted_join_orders": q_salted_join_orders,
     "sql_grouping_sets": q_sql_grouping_sets,
     "window_showcase": q_window_showcase,
+    "sql_recursive_reachability": q_sql_recursive_reachability,
 }
 
 ORACLES = {
@@ -157,4 +190,5 @@ ORACLES = {
     "salted_join_orders": ORACLE_SALTED_JOIN_ORDERS,
     "sql_grouping_sets": ORACLE_SQL_GROUPING_SETS,
     "window_showcase": ORACLE_WINDOW_SHOWCASE,
+    "sql_recursive_reachability": ORACLE_SQL_RECURSIVE_REACHABILITY,
 }
