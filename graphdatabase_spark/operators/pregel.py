@@ -249,6 +249,12 @@ def pagerank_quantized(edges: DataFrame, vertices: DataFrame,
     ev = e.join(out_deg, "src").select("src", "dst", "odeg").persist()
     verts = vertices.select(F.col("vid").cast("long")).distinct().persist()
     n = verts.count()
+    # The dangling-vertex SET (no outgoing edges) is static across
+    # supersteps — materialize it once; the unpersisted anti-join form
+    # re-ran the full out-degree aggregate inside every iteration.
+    dang = verts.join(out_deg, verts.vid == out_deg.src, "left_anti") \
+        .select("vid").persist()
+    dang.count()
     base_const = (15 * scale) // 100
     ranks = verts.withColumn("rank_q", F.lit(scale).cast("long"))
     ranks = ranks.localCheckpoint(eager=True)
@@ -260,7 +266,7 @@ def pagerank_quantized(edges: DataFrame, vertices: DataFrame,
             .groupBy("vid").agg(F.sum("c").alias("recv"))
         )
         dangling = (
-            ranks.join(out_deg, ranks.vid == out_deg.src, "left_anti")
+            ranks.join(dang, "vid", "left_semi")
             .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).cast("long").alias("__m"))
         )
         ranks = (
@@ -276,6 +282,7 @@ def pagerank_quantized(edges: DataFrame, vertices: DataFrame,
         ranks = ranks.localCheckpoint(eager=True)
     ev.unpersist()
     verts.unpersist()
+    dang.unpersist()
     e.unpersist()
     return ranks
 
@@ -313,6 +320,11 @@ def personalized_pagerank_quantized(edges: DataFrame, vertices: DataFrame,
     if n_src_present != s_n:
         raise ValueError(
             f"{s_n - n_src_present} source vertex id(s) not present in the graph")
+    # Static dangling set, as in the global kernel: never re-derive the
+    # out-degree aggregate inside the loop.
+    dang = verts.join(out_deg, verts.vid == out_deg.src, "left_anti") \
+        .select("vid").persist()
+    dang.count()
     base_const = (15 * scale) // 100
     ranks = verts.select(
         "vid", (F.col("is_src") * scale).cast("long").alias("rank_q"))
@@ -325,7 +337,7 @@ def personalized_pagerank_quantized(edges: DataFrame, vertices: DataFrame,
             .groupBy("vid").agg(F.sum("c").alias("recv"))
         )
         dangling = (
-            ranks.join(out_deg, ranks.vid == out_deg.src, "left_anti")
+            ranks.join(dang, "vid", "left_semi")
             .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).cast("long").alias("__m"))
         )
         ranks = (
@@ -341,6 +353,7 @@ def personalized_pagerank_quantized(edges: DataFrame, vertices: DataFrame,
         ranks = ranks.localCheckpoint(eager=True)
     ev.unpersist()
     verts.unpersist()
+    dang.unpersist()
     e.unpersist()
     return ranks
 
