@@ -160,6 +160,20 @@ class GraphEngine:
         levels = pregel.bfs_levels(self.edges(name).select("src", "dst"), [start])
         return levels.select(F.col("vid").cast("int").alias("vertex"), "level")
 
+    def bfs_all(self, start: int) -> DataFrame:
+        """Batched op 4: ``(graph, vertex, level)`` from ``start`` for
+        EVERY stored graph that contains the start vertex, in ONE
+        superstep loop over the store's single partitioned edge table
+        (the set-oriented form of the reference's one-graph-per-request
+        serving — SURVEY §1.4's "a directory of graphs is one table").
+        Per-graph results are identical to :meth:`bfs` (pinned by
+        tests over the reference fixture corpus)."""
+        starts = (self.vertices().filter(F.col("vid") == start)
+                  .select("graph", F.col("vid").cast("long")))
+        out = pregel.bfs_levels_grouped(
+            self.edges().select("graph", "src", "dst"), starts)
+        return out.select("graph", F.col("vid").cast("int").alias("vertex"), "level")
+
     # -- op 3: DFS-forest leaves ------------------------------------------
 
     def dfs_leaves(self, name: str, start: int) -> DataFrame:

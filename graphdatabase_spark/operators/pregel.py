@@ -98,6 +98,53 @@ def bfs_levels(edges: DataFrame, start_vids: list[int],
     return out
 
 
+def bfs_levels_grouped(edges: DataFrame, starts: DataFrame,
+                       max_iterations: int = DEFAULT_MAX_ITERATIONS) -> DataFrame:
+    """Batched multi-graph BFS: ``(graph, vid, level)`` for every
+    ``(graph, vid)`` start pair, ALL graphs traversed in ONE superstep
+    loop over the store's single partitioned edge table.
+
+    This is the set-oriented form of the reference's workload — it
+    serves one graph per request (``secondary_server.c:588-618``); here
+    a directory of graphs is one DataFrame keyed by ``graph`` (SURVEY
+    §1.4), so a fleet of traversals costs one job sequence instead of
+    one per graph: per superstep the UNION of all graphs' frontiers
+    shuffles once against the (graph, src)-partitioned edges. Graphs
+    that converge early simply stop contributing frontier rows; the
+    loop ends when the global frontier drains. Same per-graph
+    semantics as :func:`bfs_levels` (pinned by tests against the
+    per-graph kernel over the reference fixtures)."""
+    e = edges.select("graph", F.col("src").cast("long"), F.col("dst").cast("long"))
+    e = e.repartition("graph", "src").persist()
+    frontier = starts.select("graph", F.col("vid").cast("long")).distinct()
+    frontier = frontier.localCheckpoint(eager=True)
+    frontiers: list[DataFrame] = [frontier.withColumn("level", F.lit(0))]
+    visited = frontier
+
+    level = 0
+    while level < max_iterations:
+        level += 1
+        f = frontier.alias("f")
+        nxt = (
+            f.join(e.alias("e"), (F.col("f.graph") == F.col("e.graph"))
+                   & (F.col("f.vid") == F.col("e.src")))
+            .select(F.col("e.graph").alias("graph"), F.col("e.dst").alias("vid"))
+            .distinct()
+            .join(visited, ["graph", "vid"], "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        frontiers.append(nxt.withColumn("level", F.lit(level)))
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    e.unpersist()
+    out = frontiers[0]
+    for f in frontiers[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def reachability(edges: DataFrame, start_vids: list[int],
                  max_iterations: int = DEFAULT_MAX_ITERATIONS,
                  prepared: bool = False) -> DataFrame:

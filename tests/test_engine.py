@@ -144,3 +144,19 @@ def test_empty_store_reads_are_empty(spark, tmp_path):
     assert eng.graphs() == []
     assert eng.edges().count() == 0
     assert eng.vertices().count() == 0
+
+
+def test_bfs_all_matches_per_graph_bfs(engine):
+    """The batched multi-graph traversal must reproduce the per-graph
+    kernel's (vertex, level) sets for every stored fixture graph,
+    including graphs that converge at different depths and graphs
+    missing the start vertex entirely (the empty G12)."""
+    for name in ("G1", "G3", "G5", "G6", "G12"):
+        engine.add_graph(name, _fixture_text(name))
+    batched = {}
+    for r in engine.bfs_all(1).collect():
+        batched.setdefault(r["graph"], set()).add((r["vertex"], r["level"]))
+    assert "G12" not in batched  # empty graph: no start vertex, no rows
+    for name in ("G1", "G3", "G5", "G6"):
+        want = {(r["vertex"], r["level"]) for r in engine.bfs(name, 1).collect()}
+        assert batched[name] == want, name
