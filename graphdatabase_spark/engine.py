@@ -183,6 +183,18 @@ class GraphEngine:
         out = dfs_mod.dfs_leaves(self.edges(name).select("graph", "src", "dst"), starts)
         return out.select(F.col("leaf").cast("int").alias("leaf"))
 
+    def dfs_leaves_all(self, start: int) -> DataFrame:
+        """Batched op 3: ``(graph, leaf)`` from ``start`` for EVERY
+        stored graph containing the start vertex — the DFS kernel is
+        already group-per-graph (one ``applyInPandas`` group each), so
+        the whole store traverses in one job. Per-graph results equal
+        :meth:`dfs_leaves` (pinned by tests)."""
+        starts = (self.vertices().filter(F.col("vid") == start)
+                  .select("graph", F.col("vid").cast("long").alias("start")))
+        out = dfs_mod.dfs_leaves(
+            self.edges().select("graph", "src", "dst"), starts)
+        return out.select("graph", F.col("leaf").cast("int").alias("leaf"))
+
     # -- derived analytics --------------------------------------------------
 
     def reachable(self, name: str, start: int) -> DataFrame:

@@ -160,3 +160,15 @@ def test_bfs_all_matches_per_graph_bfs(engine):
     for name in ("G1", "G3", "G5", "G6"):
         want = {(r["vertex"], r["level"]) for r in engine.bfs(name, 1).collect()}
         assert batched[name] == want, name
+
+
+def test_dfs_leaves_all_matches_per_graph(engine):
+    for name in ("G1", "G3", "G5", "G12"):
+        engine.add_graph(name, _fixture_text(name))
+    batched = {}
+    for r in engine.dfs_leaves_all(1).collect():
+        batched.setdefault(r["graph"], set()).add(r["leaf"])
+    assert "G12" not in batched
+    for name in ("G1", "G3", "G5"):
+        want = {r["leaf"] for r in engine.dfs_leaves(name, 1).collect()}
+        assert batched[name] == want, name
