@@ -170,8 +170,12 @@ class GraphEngine:
         tests over the reference fixture corpus)."""
         starts = (self.vertices().filter(F.col("vid") == start)
                   .select("graph", F.col("vid").cast("long")))
-        out = pregel.bfs_levels_grouped(
-            self.edges().select("graph", "src", "dst"), starts)
+        # Only participating graphs' edges get shuffled/persisted: a
+        # store where most graphs lack the start vertex must not pay
+        # O(all edges) per superstep for graphs that can never traverse.
+        edges = (self.edges().select("graph", "src", "dst")
+                 .join(starts.select("graph").distinct(), "graph", "left_semi"))
+        out = pregel.bfs_levels_grouped(edges, starts)
         return out.select("graph", F.col("vid").cast("int").alias("vertex"), "level")
 
     # -- op 3: DFS-forest leaves ------------------------------------------
@@ -191,8 +195,9 @@ class GraphEngine:
         :meth:`dfs_leaves` (pinned by tests)."""
         starts = (self.vertices().filter(F.col("vid") == start)
                   .select("graph", F.col("vid").cast("long").alias("start")))
-        out = dfs_mod.dfs_leaves(
-            self.edges().select("graph", "src", "dst"), starts)
+        edges = (self.edges().select("graph", "src", "dst")
+                 .join(starts.select("graph").distinct(), "graph", "left_semi"))
+        out = dfs_mod.dfs_leaves(edges, starts)
         return out.select("graph", F.col("leaf").cast("int").alias("leaf"))
 
     # -- derived analytics --------------------------------------------------

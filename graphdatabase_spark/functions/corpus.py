@@ -37,6 +37,7 @@ from graphdatabase_spark.functions.dedup import (
     NEAR_DUP_THRESHOLD,
     _hashes_cte,
     cached_shingle_hashes,
+    exact_dedup_groups,
     near_dup_pairs,
 )
 from graphdatabase_spark.functions.hashing import md5_int64, md5_int64_sql_duckdb
@@ -159,8 +160,6 @@ def exact_dedup_keep(docs: DataFrame) -> DataFrame:
     definition of the survivor rule (md5 groupBy, min doc_id wins) —
     so ``corpus_prep``, ``corpus_funnel`` and ``dedup_exact`` can
     never fork on hash choice or tie-break."""
-    from graphdatabase_spark.functions.dedup import exact_dedup_groups
-
     return exact_dedup_groups(docs).select(F.col("keep_doc_id").alias("doc_id"))
 
 

@@ -62,39 +62,54 @@ def bfs_levels(edges: DataFrame, start_vids: list[int],
     spark = edges.sparkSession
     e = edges if prepared else _prepare_edges(edges)
     frontier = spark.createDataFrame([(int(v),) for v in start_vids], "vid long").distinct()
+    out = _bfs_loop(e, frontier, [], max_iterations)
+    if not prepared:
+        e.unpersist()
+    return out
+
+
+def _bfs_loop(e: DataFrame, frontier: DataFrame, key_cols: list[str],
+              max_iterations: int) -> DataFrame:
+    """THE level-synchronous superstep loop, shared by the single-graph
+    and batched kernels (``key_cols`` = extra grouping columns, e.g.
+    ["graph"]; empty for the single-graph form).
+
+    One checkpointed frontier per level; `visited` is their lazy
+    union. Each union leaf is already materialized, so lineage depth
+    stays 1 and — unlike checkpointing the cumulative set per level —
+    nothing re-materializes O(V) rows at every superstep (that costs
+    O(V·depth) total; this costs O(V)). distinct() before the
+    anti-join: a vertex reachable from two same-level parents must be
+    visited once (the reference's racy double-visit here is a bug not
+    carried forward, SURVEY §2.2)."""
     frontier = frontier.localCheckpoint(eager=True)
-    # One checkpointed frontier per level; `visited` is their lazy
-    # union. Each union leaf is already materialized, so lineage depth
-    # stays 1 and — unlike checkpointing the cumulative set per level —
-    # nothing re-materializes O(V) rows at every superstep (that costs
-    # O(V·depth) total; this costs O(V)).
     frontiers: list[DataFrame] = [frontier.withColumn("level", F.lit(0))]
-    visited_vids = frontier
+    visited = frontier
+    join_keys = list(key_cols) + ["vid"]
 
     level = 0
     while level < max_iterations:
         level += 1
-        # One superstep: expand frontier along edges, drop already-seen.
-        # distinct() before the anti-join: a vertex reachable from two
-        # same-level parents must be visited once (the reference's racy
-        # double-visit here is a bug not carried forward, SURVEY §2.2).
+        f, ee = frontier.alias("f"), e.alias("e")
+        cond = F.col("f.vid") == F.col("e.src")
+        for k in key_cols:
+            cond = cond & (F.col(f"f.{k}") == F.col(f"e.{k}"))
         nxt = (
-            frontier.join(e, frontier.vid == e.src)
-            .select(F.col("dst").alias("vid"))
+            f.join(ee, cond)
+            .select(*[F.col(f"e.{k}").alias(k) for k in key_cols],
+                    F.col("e.dst").alias("vid"))
             .distinct()
-            .join(visited_vids, "vid", "left_anti")
+            .join(visited, join_keys, "left_anti")
         )
         nxt = nxt.localCheckpoint(eager=True)  # also truncates lineage
         if nxt.isEmpty():
             break
         frontiers.append(nxt.withColumn("level", F.lit(level)))
-        visited_vids = visited_vids.unionByName(nxt)
+        visited = visited.unionByName(nxt)
         frontier = nxt
-    if not prepared:
-        e.unpersist()
     out = frontiers[0]
-    for f in frontiers[1:]:
-        out = out.unionByName(f)
+    for fr in frontiers[1:]:
+        out = out.unionByName(fr)
     return out
 
 
@@ -117,31 +132,8 @@ def bfs_levels_grouped(edges: DataFrame, starts: DataFrame,
     e = edges.select("graph", F.col("src").cast("long"), F.col("dst").cast("long"))
     e = e.repartition("graph", "src").persist()
     frontier = starts.select("graph", F.col("vid").cast("long")).distinct()
-    frontier = frontier.localCheckpoint(eager=True)
-    frontiers: list[DataFrame] = [frontier.withColumn("level", F.lit(0))]
-    visited = frontier
-
-    level = 0
-    while level < max_iterations:
-        level += 1
-        f = frontier.alias("f")
-        nxt = (
-            f.join(e.alias("e"), (F.col("f.graph") == F.col("e.graph"))
-                   & (F.col("f.vid") == F.col("e.src")))
-            .select(F.col("e.graph").alias("graph"), F.col("e.dst").alias("vid"))
-            .distinct()
-            .join(visited, ["graph", "vid"], "left_anti")
-        )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        frontiers.append(nxt.withColumn("level", F.lit(level)))
-        visited = visited.unionByName(nxt)
-        frontier = nxt
+    out = _bfs_loop(e, frontier, ["graph"], max_iterations)
     e.unpersist()
-    out = frontiers[0]
-    for f in frontiers[1:]:
-        out = out.unionByName(f)
     return out
 
 
@@ -238,6 +230,11 @@ def pagerank(edges: DataFrame, vertices: DataFrame, damping: float = 0.85,
     ev = e.join(out_deg, "src").select("src", "dst", "odeg").persist()
     verts = vertices.select(F.col("vid").cast("long")).distinct().persist()
     n = verts.count()
+    # Static dangling-vertex set, as in the quantized kernels: never
+    # re-derive the out-degree aggregate inside the loop.
+    dang = verts.join(out_deg, verts.vid == out_deg.src, "left_anti") \
+        .select("vid").persist()
+    dang.count()
     ranks = verts.withColumn("rank", F.lit(1.0))
     ranks = ranks.localCheckpoint(eager=True)
 
@@ -252,7 +249,7 @@ def pagerank(edges: DataFrame, vertices: DataFrame, damping: float = 0.85,
         # materialization per iteration (the checkpoint), no extra
         # driver round trip.
         dangling = (
-            ranks.join(out_deg, ranks.vid == out_deg.src, "left_anti")
+            ranks.join(dang, "vid", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__m"))
         )
         base = F.lit(1.0 - damping) + F.lit(damping) * F.col("__m") / F.lit(float(n))
@@ -264,6 +261,7 @@ def pagerank(edges: DataFrame, vertices: DataFrame, damping: float = 0.85,
         ranks = ranks.localCheckpoint(eager=True)
     ev.unpersist()
     verts.unpersist()
+    dang.unpersist()
     e.unpersist()
     return ranks
 
