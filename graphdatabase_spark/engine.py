@@ -200,6 +200,28 @@ class GraphEngine:
         out = dfs_mod.dfs_leaves(edges, starts)
         return out.select("graph", F.col("leaf").cast("int").alias("leaf"))
 
+    def stats(self) -> DataFrame:
+        """Catalog statistics for every stored graph in one pass:
+        ``(graph, n_vertices, n_edges, max_out_degree)`` — the numbers
+        a planner (or an operator like the k-core broadcast gate) asks
+        before choosing a strategy. Two map-side-combined aggregates
+        over the store tables + broadcast-able joins against the meta
+        graph list, so an EMPTY graph (zero vertex rows) still reports
+        0/0/0 instead of vanishing from the aggregate."""
+        base = self._read(self.meta_path, META_SCHEMA).select("graph").distinct()
+        v = (self.vertices().groupBy("graph")
+             .agg(F.count(F.lit(1)).alias("n_vertices")))
+        deg = (self.edges().groupBy("graph", "src")
+               .agg(F.count(F.lit(1)).alias("d")))
+        e = (deg.groupBy("graph")
+             .agg(F.sum("d").alias("n_edges"), F.max("d").alias("max_out_degree")))
+        return (base.join(v, "graph", "left").join(e, "graph", "left")
+                .select("graph",
+                        F.coalesce("n_vertices", F.lit(0)).cast("long").alias("n_vertices"),
+                        F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+                        F.coalesce("max_out_degree", F.lit(0)).cast("long")
+                        .alias("max_out_degree")))
+
     # -- derived analytics --------------------------------------------------
 
     def reachable(self, name: str, start: int) -> DataFrame:

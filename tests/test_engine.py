@@ -172,3 +172,21 @@ def test_dfs_leaves_all_matches_per_graph(engine):
     for name in ("G1", "G3", "G5"):
         want = {r["leaf"] for r in engine.dfs_leaves(name, 1).collect()}
         assert batched[name] == want, name
+
+
+def test_stats_matches_fixture_shapes(engine):
+    """Catalog stats must match hand-derived fixture shapes, including
+    the empty graph reporting zeros."""
+    engine.add_graph("G1", _fixture_text("G1"))   # star
+    engine.add_graph("G12", _fixture_text("G12"))  # empty
+    engine.add_graph("M", "3\n0 1 1\n0 0 1\n0 0 0\n")
+    got = {r["graph"]: (r["n_vertices"], r["n_edges"], r["max_out_degree"])
+           for r in engine.stats().collect()}
+    assert got["M"] == (3, 3, 2)
+    assert got["G12"] == (0, 0, 0)
+    nv, ne, mx = got["G1"]
+    ev = engine.edges("G1")
+    assert ne == ev.count()
+    assert nv == engine.vertices("G1").count()
+    from pyspark.sql import functions as F
+    assert mx == ev.groupBy("src").count().agg(F.max("count")).collect()[0][0]
