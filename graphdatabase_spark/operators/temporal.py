@@ -104,6 +104,10 @@ def asof_join_salted(left: DataFrame, right: DataFrame, key: str, ts: str,
     key's history exceeds single-task capacity (~10^8 rows); AQE skew
     handling cannot split a window partition, so this is the opt-in.
     Same right-side uniqueness contract as :func:`asof_join`."""
+    if bucket_sec <= 0:
+        # floor(__us / 0) would yield NULL buckets and silently collapse
+        # the salting into one partition — fail loudly instead.
+        raise ValueError(f"bucket_sec must be positive, got {bucket_sec}")
     bucket_us = bucket_sec * 1_000_000
     p_type = "struct<" + ",".join(
         f"{c}:{dict(right.dtypes)[c]}" for c in payload_cols) + ">"

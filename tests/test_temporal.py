@@ -120,6 +120,19 @@ def test_asof_salted_edge_semantics(spark):
     assert out[4] is None    # key with no right rows
 
 
+def test_asof_salted_rejects_nonpositive_bucket(spark):
+    """bucket_sec <= 0 must raise up front — floor(us / 0) would
+    otherwise NULL every bucket and silently collapse the salting."""
+    left = spark.createDataFrame([(1, 1, _ts(10))],
+                                 "event_id int, k int, ts timestamp")
+    right = spark.createDataFrame([(1, _ts(5), 1.0)],
+                                  "k int, ts timestamp, v double")
+    for bad in (0, -600):
+        with pytest.raises(ValueError, match="bucket_sec"):
+            temporal.asof_join_salted(left, right, "k", "ts", ["v"],
+                                      bucket_sec=bad)
+
+
 def test_asof_salted_random_sweep_vs_plain(spark):
     """Seeded random cases — random keys, clustered and sparse right
     rows, timestamps straddling bucket boundaries — must match the
