@@ -200,6 +200,48 @@ graph_edges AS (
 """
 
 
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed CYCLIC "trade" graph for SCC: the region–nation–customer
+    hierarchy plus deterministic return edges —
+
+        region  → nation      (always)
+        nation  → region      when n_nationkey is even
+        nation  → customer    (always)
+        customer→ nation      when c_custkey % 3 == 0
+
+    so mutual-reachability classes are non-trivial and varied: each
+    region forms an SCC with its even nations and THEIR %3 customers;
+    an odd nation forms an SCC with its own %3 customers; every other
+    vertex is a singleton. (The FK-derived full graph is a DAG — SCC on
+    it is all singletons, which exercises only the trim path.)"""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    n_down = nation.select(F.col("n_regionkey").cast("long").alias("src"),
+                           (F.col("n_nationkey") + OFF_NATION).cast("long").alias("dst"))
+    n_up = (nation.filter(F.col("n_nationkey") % 2 == 0)
+            .select((F.col("n_nationkey") + OFF_NATION).cast("long").alias("src"),
+                    F.col("n_regionkey").cast("long").alias("dst")))
+    c_down = customer.select((F.col("c_nationkey") + OFF_NATION).cast("long").alias("src"),
+                             (F.col("c_custkey") + OFF_CUSTOMER).cast("long").alias("dst"))
+    c_up = (customer.filter(F.col("c_custkey") % 3 == 0)
+            .select((F.col("c_custkey") + OFF_CUSTOMER).cast("long").alias("src"),
+                    (F.col("c_nationkey") + OFF_NATION).cast("long").alias("dst")))
+    return n_down.unionByName(n_up).unionByName(c_down).unionByName(c_up)
+
+
+TRADE_EDGES_CTE = f"""
+graph_edges AS (
+  SELECT CAST(n_regionkey AS BIGINT) AS src, CAST(n_nationkey + {OFF_NATION} AS BIGINT) AS dst FROM nation
+  UNION ALL
+  SELECT CAST(n_nationkey + {OFF_NATION} AS BIGINT), CAST(n_regionkey AS BIGINT) FROM nation WHERE n_nationkey % 2 = 0
+  UNION ALL
+  SELECT CAST(c_nationkey + {OFF_NATION} AS BIGINT), CAST(c_custkey + {OFF_CUSTOMER} AS BIGINT) FROM customer
+  UNION ALL
+  SELECT CAST(c_custkey + {OFF_CUSTOMER} AS BIGINT), CAST(c_nationkey + {OFF_NATION} AS BIGINT) FROM customer WHERE c_custkey % 3 = 0
+)
+"""
+
+
 def tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """region → nation → supplier: a strict tree (each child has one
     parent), used for the DFS-leaves oracle — on a tree, DFS-forest

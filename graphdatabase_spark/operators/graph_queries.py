@@ -436,6 +436,83 @@ def _lpa_oracle_sql(iterations: int = LPA_ITERATIONS) -> str:
 ORACLE_LABEL_PROPAGATION = _lpa_oracle_sql()
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components over the directed cyclic trade
+    graph (region⇄nation⇄customer with deterministic return edges —
+    :func:`derived_graph.trade_edges`): ``(vid, scc)``, scc = min
+    member id. The vertex set is derived from the edges (every trade
+    vertex has at least its hierarchy edge)."""
+    e = dg.trade_edges(spark, sf_dir)
+    verts = (e.select(F.col("src").alias("vid"))
+             .unionByName(e.select(F.col("dst").alias("vid"))).distinct())
+    return pregel.strongly_connected_components(e, verts)
+
+
+ORACLE_SCC = f"""
+WITH RECURSIVE {dg.TRADE_EDGES_CTE},
+verts AS (SELECT DISTINCT vid FROM
+  (SELECT src AS vid FROM graph_edges UNION ALL SELECT dst FROM graph_edges)),
+reach(a, b) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN graph_edges e ON e.src = r.b
+)
+SELECT r1.a AS vid, MIN(r1.b) AS scc
+FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+GROUP BY r1.a
+"""
+
+
+def _stats_one(label: str, e: DataFrame) -> DataFrame:
+    """One catalog-stats row ``(graph, n_vertices, n_edges,
+    max_out_degree)`` for one edge list — two map-side-combined
+    aggregates crossed as 1-row broadcasts (the engine.stats() shape,
+    per derived substrate)."""
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    eagg = deg.agg(F.sum("d").alias("n_edges"),
+                   F.max("d").alias("max_out_degree"))
+    vagg = (e.select(F.col("src").alias("vid"))
+            .unionByName(e.select(F.col("dst").alias("vid")))
+            .distinct().agg(F.count(F.lit(1)).alias("n_vertices")))
+    return (vagg.crossJoin(F.broadcast(eagg))
+            .select(F.lit(label).alias("graph"), "n_vertices",
+                    "n_edges", "max_out_degree"))
+
+
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics for every derived graph substrate in one
+    result — the numbers a planner (or the k-core broadcast gate) asks
+    before choosing a strategy; the registry-facing twin of
+    ``GraphEngine.stats()`` (engine.py), which serves the same rollup
+    over the Parquet store."""
+    return (_stats_one("community", dg.community_edges_cached(spark, sf_dir))
+            .unionByName(_stats_one("full", dg.full_edges_cached(spark, sf_dir)))
+            .unionByName(_stats_one("tree", dg.tree_edges(spark, sf_dir))))
+
+
+def _stats_oracle_one(label: str, cte_name: str) -> str:
+    return f"""
+SELECT '{label}' AS graph,
+  (SELECT COUNT(DISTINCT vid) FROM
+     (SELECT src AS vid FROM {cte_name} UNION ALL SELECT dst FROM {cte_name})) AS n_vertices,
+  (SELECT COUNT(*) FROM {cte_name}) AS n_edges,
+  (SELECT MAX(d) FROM (SELECT COUNT(*) AS d FROM {cte_name} GROUP BY src)) AS max_out_degree
+"""
+
+
+# The three substrate CTEs all name themselves graph_edges; rename each
+# (the name appears nowhere else in the CTE bodies).
+ORACLE_GRAPH_STATS = (
+    "WITH "
+    + dg.COMMUNITY_EDGES_CTE.strip().replace("graph_edges", "g_comm") + ",\n"
+    + dg.EDGES_CTE.strip().replace("graph_edges", "g_full") + ",\n"
+    + dg.TREE_EDGES_CTE.strip().replace("graph_edges", "g_tree") + "\n"
+    + _stats_oracle_one("community", "g_comm")
+    + "UNION ALL" + _stats_oracle_one("full", "g_full")
+    + "UNION ALL" + _stats_oracle_one("tree", "g_tree")
+)
+
+
 QUERIES = {
     "pagerank": q_pagerank,
     "personalized_pagerank": q_personalized_pagerank,
@@ -452,6 +529,8 @@ QUERIES = {
     "kcore": q_kcore,
     "dfs_leaves_tree": q_dfs_leaves_tree,
     "dfs_leaves": q_dfs_leaves,
+    "scc": q_scc,
+    "graph_stats": q_graph_stats,
 }
 
 ORACLES = {
@@ -470,4 +549,6 @@ ORACLES = {
     "kcore": ORACLE_KCORE,
     "dfs_leaves_tree": ORACLE_DFS_LEAVES_TREE,
     "dfs_leaves": ORACLE_DFS_LEAVES,
+    "scc": ORACLE_SCC,
+    "graph_stats": ORACLE_GRAPH_STATS,
 }

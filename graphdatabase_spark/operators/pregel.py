@@ -535,3 +535,137 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
         .join(comp, "vid", "left")
         .select("vid", F.coalesce("component", F.col("vid")).alias("component"))
     )
+
+
+def _restrict_edges(e: DataFrame, keep: DataFrame) -> DataFrame:
+    """Edges with BOTH endpoints in ``keep`` (a (vid) set) — two
+    semi-joins, checkpointed by the caller."""
+    return (e.join(keep.select(F.col("vid").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("vid").alias("dst")), "dst", "left_semi")
+            .select("src", "dst"))
+
+
+def strongly_connected_components(edges: DataFrame, vertices: DataFrame,
+                                  max_iterations: int = DEFAULT_MAX_ITERATIONS,
+                                  stats: dict | None = None) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph: ``(vid, scc)``
+    where ``scc`` = the minimum vertex id in the component. The directed
+    analogue :func:`connected_components` silently symmetrizes away —
+    the store honors asymmetric adjacency matrices (the reference's G2
+    fixture, SURVEY §1.1), so "mutually reachable" is a real question.
+
+    Trim + forward-backward decomposition with min-label pivots (the
+    coloring formulation of FW-BW — Orzan'04 / Slota et al. IPDPS'14;
+    McSherry et al. call the same forward pass "label propagation SCC").
+    Per outer round, entirely out of the existing superstep vocabulary:
+
+    1. **Trim to fixpoint**: a vertex with no in-edge or no out-edge in
+       the remaining subgraph is its own SCC (nothing can return to
+       it). On DAG-dominated graphs — every FK-derived hierarchy —
+       this alone collapses almost everything without any propagation.
+    2. **Color**: forward min-label propagation to fixpoint —
+       ``color(v)`` = min remaining vid that reaches v. Active-frontier
+       form: only vertices whose color improved last superstep re-send
+       (the sssp relaxation shape; edges stay put, labels shuffle).
+    3. **Extract**: every ``v`` with ``color(v) == v`` is a pivot (the
+       minimum remaining vertex always is, so progress is guaranteed);
+       one backward BFS from ALL pivots at once, restricted to each
+       pivot's own color class, yields every pivot's SCC in the same
+       superstep loop. (Membership proof: ``u ∈ SCC(r)`` ⟹ r reaches
+       u and nothing below r does ⟹ ``color(u) = r``; conversely any
+       v→…→r path from a member stays inside the class, so the
+       restriction drops no member.)
+    4. Remove extracted vertices and their edges; repeat.
+
+    Scale shape: identical per-superstep cost to BFS/CC — the remaining
+    edge set is checkpointed and only (vid, label) frontiers shuffle;
+    every removal shrinks the edge set monotonically. Worst case (one
+    huge cycle) needs O(cycle length) color supersteps — the same bound
+    HashMin CC has on a path; the trim phase is what keeps real
+    (DAG-heavy) graphs cheap. ``stats`` receives ``{"rounds": k,
+    "color_supersteps": m}``.
+    """
+    e = (edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+         .filter(F.col("src") != F.col("dst")).distinct()
+         .localCheckpoint(eager=True))
+    remaining = (vertices.select(F.col("vid").cast("long")).distinct()
+                 .localCheckpoint(eager=True))
+    done: list[DataFrame] = []
+    rounds = 0
+    color_steps = 0
+
+    for _ in range(max_iterations):
+        # 1. trim to fixpoint
+        while True:
+            nontrivial = (remaining
+                          .join(e.select(F.col("src").alias("vid")), "vid", "left_semi")
+                          .join(e.select(F.col("dst").alias("vid")), "vid", "left_semi")
+                          .localCheckpoint(eager=True))
+            trivial = remaining.join(nontrivial, "vid", "left_anti") \
+                .localCheckpoint(eager=True)
+            remaining = nontrivial
+            if trivial.isEmpty():
+                break
+            done.append(trivial.select("vid", F.col("vid").alias("scc")))
+            e = _restrict_edges(e, remaining).localCheckpoint(eager=True)
+        if remaining.isEmpty():
+            break
+        rounds += 1
+
+        # 2. forward min-label coloring (active-frontier fixpoint)
+        colors = remaining.select("vid", F.col("vid").alias("color")) \
+            .localCheckpoint(eager=True)
+        active = colors
+        for _ in range(max_iterations):
+            msgs = (active.join(e, active.vid == e.src)
+                    .select(F.col("dst").alias("vid"), "color")
+                    .groupBy("vid").agg(F.min("color").alias("mc")))
+            improved = (msgs.join(colors, "vid")
+                        .filter(F.col("mc") < F.col("color"))
+                        .select("vid", F.col("mc").alias("color"))
+                        .localCheckpoint(eager=True))
+            color_steps += 1
+            if improved.isEmpty():
+                break
+            colors = (colors.join(improved.withColumnRenamed("color", "nc"),
+                                  "vid", "left")
+                      .select("vid", F.coalesce("nc", "color").alias("color"))
+                      .localCheckpoint(eager=True))
+            active = improved
+
+        # 3. backward BFS from all pivots at once, within color classes
+        # visited = lazy union of checkpointed frontiers (each leaf is
+        # materialized, lineage depth stays 1 — the _bfs_loop pattern).
+        frontier = (colors.filter(F.col("vid") == F.col("color"))
+                    .select("vid", F.col("vid").alias("scc"))
+                    .localCheckpoint(eager=True))
+        extracted = frontier
+        while True:
+            preds = (frontier.join(e, frontier.vid == e.dst)
+                     .select(F.col("src").alias("vid"), "scc").distinct()
+                     .join(colors, "vid")
+                     .filter(F.col("color") == F.col("scc"))
+                     .select("vid", "scc")
+                     .join(extracted, "vid", "left_anti")
+                     .localCheckpoint(eager=True))
+            if preds.isEmpty():
+                break
+            extracted = extracted.unionByName(preds)
+            frontier = preds
+        done.append(extracted)
+
+        # 4. remove and iterate
+        remaining = remaining.join(extracted, "vid", "left_anti") \
+            .localCheckpoint(eager=True)
+        if remaining.isEmpty():
+            break
+        e = _restrict_edges(e, remaining).localCheckpoint(eager=True)
+
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["color_supersteps"] = color_steps
+    out = done[0] if done else remaining.select(
+        "vid", F.col("vid").alias("scc")).limit(0)
+    for part in done[1:]:
+        out = out.unionByName(part)
+    return out

@@ -213,6 +213,122 @@ def test_connected_components_isolated_and_multi(spark):
     assert comp == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 7: 7, 42: 42}
 
 
+def _tarjan_scc(vertices, edges):
+    """Pure-Python iterative Tarjan ground truth: {vid: min member of
+    its SCC}. Independent algorithm family from the distributed
+    trim+coloring kernel, so agreement is meaningful."""
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    onstack: set[int] = set()
+    stack: list[int] = []
+    out: dict[int, int] = {}
+    counter = [0]
+    for root in vertices:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstack.add(v)
+            descended = False
+            succs = adj.get(v, [])
+            for i in range(pi, len(succs)):
+                w = succs[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    descended = True
+                    break
+                if w in onstack:
+                    low[v] = min(low[v], index[w])
+            if not descended:
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        onstack.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    m = min(comp)
+                    for w in comp:
+                        out[w] = m
+                if work:
+                    low[work[-1][0]] = min(low[work[-1][0]], low[v])
+    return out
+
+
+def _spark_scc(spark, vertices, edges, stats=None):
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        e = e.filter("src > 0")
+    v = spark.createDataFrame([(x,) for x in vertices], "vid long")
+    return {r["vid"]: r["scc"] for r in
+            pregel.strongly_connected_components(e, v, stats=stats).collect()}
+
+
+def test_scc_known_small(spark):
+    """Two 3-cycles joined one-way, a tail, a self-loop, an isolated
+    vertex: {1,2,3} and {4,5,6} are distinct SCCs despite 3→4; 7 (tail),
+    8 (self-loop) and 9 (isolated) are singletons."""
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4),
+             (4, 5), (5, 6), (6, 4), (6, 7), (8, 8)]
+    got = _spark_scc(spark, range(1, 10), edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7, 8: 8, 9: 9}
+
+
+def test_scc_dag_is_all_singletons_via_trim(spark):
+    """On a DAG every SCC is a singleton and the trim phase alone must
+    collapse the graph — zero coloring rounds."""
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]
+    stats: dict = {}
+    got = _spark_scc(spark, range(5), edges, stats=stats)
+    assert got == {v: v for v in range(5)}
+    assert stats["rounds"] == 0, "a DAG must be fully trimmed away"
+
+
+def test_scc_single_cycle(spark):
+    """One directed n-cycle = one SCC labeled by its minimum."""
+    n = 12
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    got = _spark_scc(spark, range(n), edges)
+    assert got == {v: 0 for v in range(n)}
+
+
+def test_scc_asymmetric_g2_fixture(spark, fixture_edges):
+    """G2 (the reference's asymmetric matrix): 1→{1,4}, 2→{1,4},
+    3→{4}, 4→{4} — self-loops only, no mutual pair, so SCC must NOT
+    symmetrize (undirected CC would merge everything reachable)."""
+    g2 = fixture_edges.filter(F.col("graph") == "G2").select("src", "dst")
+    verts = spark.createDataFrame([(v,) for v in range(1, 5)], "vid long")
+    got = {r["vid"]: r["scc"] for r in
+           pregel.strongly_connected_components(g2, verts).collect()}
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_scc_random_digraphs_vs_tarjan(spark, seed):
+    """Seeded random digraphs (n ≤ 40, densities spanning mostly-DAG to
+    one-giant-SCC) vs the pure-Python Tarjan replica."""
+    import random
+
+    rng = random.Random(3000 + seed)
+    n = rng.randint(2, 40)
+    density = rng.choice([0.02, 0.05, 0.1, 0.2])
+    vertices = list(range(1, n + 1))
+    edges = sorted({(i, j) for i in vertices for j in vertices
+                    if rng.random() < density})
+    got = _spark_scc(spark, vertices, edges)
+    assert got == _tarjan_scc(vertices, edges), (seed, n, density)
+
+
 def test_triangle_count_known(spark):
     # Two triangles sharing an edge: (1,2,3) and (2,3,4).
     edges = spark.createDataFrame(

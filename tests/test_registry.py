@@ -29,3 +29,26 @@ def test_every_query_has_an_oracle_or_is_declared_rows_only():
 
 def test_window_has_no_duplicates():
     assert len(set(registry._CHECK_FIRST)) == len(registry._CHECK_FIRST)
+
+
+def test_rotation_covers_every_id_within_two_rounds():
+    """The round-4 advice made the rotation requirement executable: the
+    union of the previous and current windows must cover EVERY
+    registered id, so no query's latest driver correctness row can age
+    beyond two rounds. Fails the moment a new id is registered without
+    fronting it in _CHECK_FIRST (and reminds the rotator to copy the
+    old window into _PREV_WINDOW)."""
+    all_ids = set(registry.queries())
+    covered = set(registry._PREV_WINDOW) | set(registry._CHECK_FIRST)
+    stale = sorted(all_ids - covered)
+    assert not stale, \
+        f"ids whose driver row would age beyond two rounds: {stale}"
+
+
+def test_first_time_ids_are_fronted():
+    """An id never seen by the driver (absent from the previous window)
+    must be in the current window — otherwise its first external
+    correctness evidence is deferred yet another round."""
+    first_timers = set(registry.queries()) - set(registry._PREV_WINDOW)
+    missing = sorted(first_timers - set(registry._CHECK_FIRST))
+    assert not missing, f"first-driver-row ids outside the window: {missing}"
