@@ -10,21 +10,41 @@ reference does with message queues, shared memory, semaphore RW locks
 and replica routing collapses into Spark's own scheduler + storage
 semantics (SURVEY.md §3.3, §4.1):
 
-- **Write atomicity** (the reference's per-file named-semaphore RW
-  lock, ``primary_server.c:110-146``): dynamic partition overwrite on
-  a ``graph``-partitioned Parquet table — readers see the old or the
-  new snapshot of a graph, never a torn one, and other graphs'
-  partitions are untouched.
+- **Snapshot isolation** (the reference's per-file named-semaphore RW
+  lock, ``primary_server.c:110-146``, which covered ALL of a graph's
+  state at once): a manifest-pointer commit, the miniature of what
+  table formats (Delta/Iceberg) do. Every write lands its three
+  tables' files under a fresh immutable ``c=<commit>`` directory and
+  then atomically publishes ONE manifest mapping each graph to the
+  commit that currently serves it. A snapshot resolves the manifest
+  once; every read through it — edges AND vertices AND meta — sees
+  exactly that commit set, so a reader can never observe new edges
+  with old vertices (the documented race of the previous
+  dynamic-partition-overwrite design). A modify that empties N graphs
+  is still one commit: the manifest just points those graphs at a
+  commit with no files for them — no per-graph clearing jobs.
 - **Full-overwrite semantics** (op 1 ≡ op 2): both map to
-  ``add_graph``; the partition is replaced wholesale.
+  ``add_graph``; the graph's state is replaced wholesale by pointing
+  it at the new commit.
 - **1-indexed vertices** user-facing, exactly as the reference
   (``client.c:185`` subtracts 1 on the way in; we skip the dance and
   store 1-indexed ids end to end).
+
+Single-writer assumption, as in the reference (one primary server
+serializes writes). Manifest publish is write-temp + ``os.replace`` —
+atomic on a POSIX filesystem; an object-store deployment would swap
+``_load_manifest``/``_publish_manifest`` for a conditional-put pair
+(the data-file layout needs no change: commit dirs are immutable).
+Old commits are retained (time travel is possible by reading an old
+manifest); a vacuum that drops commits unreferenced by the newest K
+manifests is a straightforward extension.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import uuid
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
@@ -36,9 +56,75 @@ from graphdatabase_spark.operators import dfs as dfs_mod
 from graphdatabase_spark.operators import graph_algos, pregel
 from graphdatabase_spark.sources import matrix as matrix_mod
 
-EDGES_SCHEMA = "src int, dst int, graph string"
-VERTICES_SCHEMA = "vid int, graph string"
-META_SCHEMA = "n int, graph string"
+class GraphSnapshot:
+    """One consistent, immutable view of the store: the manifest is
+    resolved ONCE at construction, and every read serves exactly the
+    commit set it pinned — concurrent writes publish new manifests and
+    new commit dirs, never touching the files this snapshot reads."""
+
+    def __init__(self, spark: SparkSession, store: str, manifest: dict | None):
+        self.spark = spark
+        self.store = store
+        self.manifest = manifest
+        # graphs grouped by the commit currently serving them: the
+        # all-graphs read is one parquet scan per distinct commit,
+        # partition-pruned to that commit's still-current graphs.
+        self._by_commit: dict[str, list[str]] = {}
+        for g, cid in (manifest or {}).get("graphs", {}).items():
+            self._by_commit.setdefault(cid, []).append(g)
+
+    def graphs(self) -> list[str]:
+        """Catalog membership — pure manifest metadata, no Spark job."""
+        return sorted((self.manifest or {}).get("graphs", {}))
+
+    def _read_or_empty(self, path: str, schema: str) -> DataFrame:
+        # The not-yet-written case (a commit in which this graph wrote
+        # zero rows for this table) is detected from Spark's own
+        # PATH_NOT_FOUND error rather than a driver-local filesystem
+        # check: os.path.exists is always false for hdfs:// / s3a://
+        # store paths and would silently empty every remote read.
+        try:
+            return self.spark.read.schema(schema).parquet(path)
+        except AnalysisException as exc:
+            cond = exc.getCondition() if hasattr(exc, "getCondition") else None
+            if "PATH_NOT_FOUND" in (cond or str(exc)):
+                return self.spark.createDataFrame([], schema)
+            raise
+
+    def _table(self, table: str, row_schema: str, name: str | None) -> DataFrame:
+        full_schema = row_schema + ", graph string"
+        if name is not None:
+            cid = (self.manifest or {}).get("graphs", {}).get(name)
+            if cid is None:
+                return self.spark.createDataFrame([], full_schema)
+            part = os.path.join(self.store, "data", table, f"c={cid}",
+                                f"graph={name}")
+            return (self._read_or_empty(part, row_schema)
+                    .withColumn("graph", F.lit(name)))
+        parts = [
+            # Explicit schema includes the graph partition column; the
+            # isin filter prunes partitions belonging to graphs this
+            # commit no longer serves (they were overwritten later).
+            self._read_or_empty(os.path.join(self.store, "data", table,
+                                             f"c={cid}"), full_schema)
+            .filter(F.col("graph").isin(gs))
+            for cid, gs in sorted(self._by_commit.items())
+        ]
+        if not parts:
+            return self.spark.createDataFrame([], full_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def edges(self, name: str | None = None) -> DataFrame:
+        return self._table("edges", "src int, dst int", name)
+
+    def vertices(self, name: str | None = None) -> DataFrame:
+        return self._table("vertices", "vid int", name)
+
+    def meta(self) -> DataFrame:
+        return self._table("meta", "n int", None)
 
 
 class GraphEngine:
@@ -50,9 +136,7 @@ class GraphEngine:
     def __init__(self, spark: SparkSession, store_path: str):
         self.spark = spark
         self.store = store_path
-        self.edges_path = os.path.join(store_path, "edges")
-        self.vertices_path = os.path.join(store_path, "vertices")
-        self.meta_path = os.path.join(store_path, "meta")
+        self.manifest_dir = os.path.join(store_path, "manifests")
 
     # -- op 1 / op 2: add / modify (full overwrite of one graph) ---------
 
@@ -71,84 +155,85 @@ class GraphEngine:
         self._write(matrix_mod.read_matrix_files(self.spark, path))
 
     def _write(self, lines: DataFrame) -> None:
-        # Dynamic partition overwrite = replace exactly the graphs
-        # present in this write, atomically per partition; concurrent
-        # readers keep the prior snapshot (immutable files). The meta
-        # table records every graph — including N=0 graphs, whose edge/
-        # vertex partitions are legitimately empty (the reference's
-        # G12.txt edge case).
-        #
-        # The three tables are three independent per-partition-atomic
-        # writes, NOT one cross-table transaction (the reference's
-        # per-graph RW lock covers all state at once). Meta is
-        # deliberately written LAST as the commit marker: a reader that
-        # takes `graphs()` membership from meta before touching edges/
-        # vertices never observes a half-written new graph. A reader
-        # that races a *modify* of a graph it already knows can still
-        # see new edges with old vertices during the window — callers
-        # needing full snapshot isolation should version the store path.
+        # One COMMIT: land all three tables' files under a fresh
+        # immutable c=<cid> directory (one distributed write each, still
+        # graph-partitioned so single-graph reads prune by path), then
+        # publish a manifest pointing every graph in this write at the
+        # new commit — and every other graph at whatever commit already
+        # served it. Readers resolve the manifest once per snapshot, so
+        # they see the whole write or none of it. The meta table records
+        # every graph — including N=0 graphs, whose edge/vertex files
+        # are legitimately absent (the reference's G12.txt edge case):
+        # a modify that EMPTIES any number of graphs needs no per-graph
+        # clearing, the pointer flip is the clear.
         meta = lines.filter(F.col("line_no") == 0).select(
             F.trim(F.col("line")).cast("int").alias("n"), "graph")
-        # Every graph in this write, from the meta rows (one per graph,
-        # even N=0). Needed below: dynamic overwrite only replaces
-        # partitions that RECEIVE rows, so a modify that empties a graph
-        # (all-zero matrix, N=0) would otherwise leave the old edges/
-        # vertices partitions serving stale data.
-        write_graphs = {r["graph"] for r in meta.select("graph").distinct().collect()}
+        cid = uuid.uuid4().hex[:12]
         writes = (
-            (matrix_mod.melt_matrix_lines(lines), self.edges_path),
-            (matrix_mod.matrix_vertices(lines), self.vertices_path),
-            (meta, self.meta_path),
+            (matrix_mod.melt_matrix_lines(lines), "edges"),
+            (matrix_mod.matrix_vertices(lines), "vertices"),
+            (meta, "meta"),
         )
-        for df, path in writes:
+        for df, table in writes:
             out = df.select(*[c for c in df.columns if c != "graph"], "graph")
-            (out.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("graph").parquet(path))
-            present = {r["graph"] for r in out.select("graph").distinct().collect()}
-            for g in sorted(write_graphs - present):
-                # Explicitly clear the partition the dynamic write never
-                # touched: an empty overwrite of graph=<g> removes the
-                # stale files (the explicit-schema read then yields 0
-                # rows for it).
-                (out.filter(F.lit(False)).drop("graph")
-                    .write.mode("overwrite").parquet(os.path.join(path, f"graph={g}")))
+            (out.write.mode("overwrite").partitionBy("graph")
+                .parquet(os.path.join(self.store, "data", table, f"c={cid}")))
+        # The graph set of this write (one small driver-side collect of
+        # catalog metadata — graph NAMES, not data; one per commit, not
+        # per table).
+        write_graphs = {r["graph"] for r in meta.select("graph").distinct().collect()}
+        prev = self._load_manifest()
+        graphs_map = dict(prev["graphs"]) if prev else {}
+        graphs_map.update({g: cid for g in write_graphs})
+        self._publish_manifest((prev["seq"] + 1) if prev else 1, cid, graphs_map)
+
+    # -- manifest commit log ----------------------------------------------
+
+    def _load_manifest(self) -> dict | None:
+        """Newest published manifest, or None for a virgin store.
+        Driver-side POSIX file IO — see the module docstring for the
+        object-store variant (conditional put on the same layout)."""
+        try:
+            names = [n for n in os.listdir(self.manifest_dir)
+                     if n.endswith(".json")]
+        except FileNotFoundError:
+            return None
+        if not names:
+            return None
+        with open(os.path.join(self.manifest_dir, max(names))) as f:
+            return json.load(f)
+
+    def _publish_manifest(self, seq: int, cid: str, graphs_map: dict) -> None:
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        doc = {"seq": seq, "commit": cid, "graphs": graphs_map}
+        # zero-padded seq ⇒ max(listdir) is the newest; os.replace ⇒
+        # readers see a complete file or none.
+        final = os.path.join(self.manifest_dir, f"{seq:012d}-{cid}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
 
     # -- catalog ----------------------------------------------------------
 
-    def _read(self, path: str, schema: str) -> DataFrame:
-        # Explicit schema: correct result even when a table has no
-        # partitions yet (e.g. only empty graphs written). A store no
-        # write has touched yet has no table directory at all — an
-        # empty relation, not an error, so every query path (edges,
-        # vertices, bfs, ...) shares graphs()' empty-store contract.
-        # The not-yet-written case is detected from Spark's own
-        # PATH_NOT_FOUND error rather than a driver-local filesystem
-        # check: os.path.exists is always false for hdfs:// / s3a://
-        # store paths and would silently turn every remote read into an
-        # empty relation.
-        try:
-            return self.spark.read.schema(schema).parquet(path)
-        except AnalysisException as exc:
-            cond = exc.getCondition() if hasattr(exc, "getCondition") else None
-            if "PATH_NOT_FOUND" in (cond or str(exc)):
-                return self.spark.createDataFrame([], schema)
-            raise
+    def snapshot(self) -> GraphSnapshot:
+        """Pin ONE consistent view of the whole store (every graph's
+        edges + vertices + meta from the same manifest). Multi-table
+        operations below always run inside a single snapshot — the
+        reference's all-state-at-once RW lock, re-expressed as an
+        immutable pointer read."""
+        return GraphSnapshot(self.spark, self.store, self._load_manifest())
 
     def graphs(self) -> list[str]:
-        return [r["graph"] for r in
-                self._read(self.meta_path, META_SCHEMA)
-                .select("graph").distinct().orderBy("graph").collect()]
+        return self.snapshot().graphs()
 
     def edges(self, name: str | None = None) -> DataFrame:
-        df = self._read(self.edges_path, EDGES_SCHEMA)
-        # graph is the partition column → partition pruning, no scan of
-        # other graphs' files.
-        return df.filter(F.col("graph") == name) if name else df
+        return self.snapshot().edges(name)
 
     def vertices(self, name: str | None = None) -> DataFrame:
-        df = self._read(self.vertices_path, VERTICES_SCHEMA)
-        return df.filter(F.col("graph") == name) if name else df
+        return self.snapshot().vertices(name)
 
     # -- op 4: BFS level order -------------------------------------------
 
@@ -168,12 +253,13 @@ class GraphEngine:
         serving — SURVEY §1.4's "a directory of graphs is one table").
         Per-graph results are identical to :meth:`bfs` (pinned by
         tests over the reference fixture corpus)."""
-        starts = (self.vertices().filter(F.col("vid") == start)
+        snap = self.snapshot()  # one consistent view across both tables
+        starts = (snap.vertices().filter(F.col("vid") == start)
                   .select("graph", F.col("vid").cast("long")))
         # Only participating graphs' edges get shuffled/persisted: a
         # store where most graphs lack the start vertex must not pay
         # O(all edges) per superstep for graphs that can never traverse.
-        edges = (self.edges().select("graph", "src", "dst")
+        edges = (snap.edges().select("graph", "src", "dst")
                  .join(starts.select("graph").distinct(), "graph", "left_semi"))
         out = pregel.bfs_levels_grouped(edges, starts)
         return out.select("graph", F.col("vid").cast("int").alias("vertex"), "level")
@@ -193,9 +279,10 @@ class GraphEngine:
         already group-per-graph (one ``applyInPandas`` group each), so
         the whole store traverses in one job. Per-graph results equal
         :meth:`dfs_leaves` (pinned by tests)."""
-        starts = (self.vertices().filter(F.col("vid") == start)
+        snap = self.snapshot()  # one consistent view across both tables
+        starts = (snap.vertices().filter(F.col("vid") == start)
                   .select("graph", F.col("vid").cast("long").alias("start")))
-        edges = (self.edges().select("graph", "src", "dst")
+        edges = (snap.edges().select("graph", "src", "dst")
                  .join(starts.select("graph").distinct(), "graph", "left_semi"))
         out = dfs_mod.dfs_leaves(edges, starts)
         return out.select("graph", F.col("leaf").cast("int").alias("leaf"))
@@ -208,10 +295,11 @@ class GraphEngine:
         over the store tables + broadcast-able joins against the meta
         graph list, so an EMPTY graph (zero vertex rows) still reports
         0/0/0 instead of vanishing from the aggregate."""
-        base = self._read(self.meta_path, META_SCHEMA).select("graph").distinct()
-        v = (self.vertices().groupBy("graph")
+        snap = self.snapshot()  # one consistent view across all tables
+        base = snap.meta().select("graph").distinct()
+        v = (snap.vertices().groupBy("graph")
              .agg(F.count(F.lit(1)).alias("n_vertices")))
-        deg = (self.edges().groupBy("graph", "src")
+        deg = (snap.edges().groupBy("graph", "src")
                .agg(F.count(F.lit(1)).alias("d")))
         e = (deg.groupBy("graph")
              .agg(F.sum("d").alias("n_edges"), F.max("d").alias("max_out_degree")))
@@ -232,15 +320,28 @@ class GraphEngine:
         return graph_algos.degrees(self.edges(name).select("src", "dst"))
 
     def connected_components(self, name: str) -> DataFrame:
+        snap = self.snapshot()
         return pregel.connected_components(
-            self.edges(name).select("src", "dst"),
-            self.vertices(name).select("vid"))
+            snap.edges(name).select("src", "dst"),
+            snap.vertices(name).select("vid"))
+
+    def scc(self, name: str) -> DataFrame:
+        """``(vid, scc)`` strongly connected components of one stored
+        graph, honoring edge DIRECTION (the store accepts asymmetric
+        adjacency matrices — the reference's G2 fixture — and
+        :meth:`connected_components` deliberately symmetrizes; this is
+        the directed analogue)."""
+        snap = self.snapshot()
+        return pregel.strongly_connected_components(
+            snap.edges(name).select("src", "dst"),
+            snap.vertices(name).select("vid"))
 
     def pagerank(self, name: str, iterations: int = 10) -> DataFrame:
         """``(vid, rank)`` over one stored graph (float API; the
         registry's oracle-checked path is the quantized variant)."""
-        return pregel.pagerank(self.edges(name).select("src", "dst"),
-                               self.vertices(name).select("vid"),
+        snap = self.snapshot()
+        return pregel.pagerank(snap.edges(name).select("src", "dst"),
+                               snap.vertices(name).select("vid"),
                                iterations=iterations)
 
     def _canonical_undirected(self, name: str) -> DataFrame:

