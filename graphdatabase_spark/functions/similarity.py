@@ -301,7 +301,13 @@ def cached_ivf_cells(spark: SparkSession, sf_dir: str,
     semdedup kernel at sf0.1); at production scale cells ≈ sqrt(N) ≫
     cores, so cell partitioning is exactly the layout you want. A
     pathologically hot cell bounds one task — resize cells (more
-    centroids), don't re-shuffle."""
+    centroids), don't re-shuffle.
+
+    The cells ≈ sqrt(N) rule is MEASURED, not argued (BENCH_SF1.json,
+    round 5): at a 10× scale-up the fixed 16-cell registry config ran
+    the semdedup pair stage 33× slower (quadratic-per-cell, as
+    predicted) while n_cells = sqrt(N) restored ~linear scaling
+    (warm 36.3 s → 8.6 s at sf1)."""
     emb = load_table(spark, sf_dir, "embeddings")
     quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
     quant = quant.select("vec_id", "v", _norm_sq(F.col("v")).alias("nsq"))

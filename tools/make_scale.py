@@ -30,9 +30,14 @@ workload's *shape* under scale-up rather than degenerating it:
   (which would quadratically blow up candidate pairs and measure a
   different workload). ``n_chars`` keeps the source value (length is
   whitespace-normalization-close, and no headline kernel reads it).
-- **embeddings**: vec_id offset; each replica's vectors get a small
-  deterministic per-dimension perturbation so IVF/LSH cells don't fill
-  with exact duplicates (same rationale as documents).
+- **embeddings**: vec_id offset; replica i's vectors are dimension-
+  ROTATED by i positions — a permutation preserves every intra-replica
+  distance and cosine (each replica is workload-identical to the
+  source) while cross-replica vectors decorrelate, so near-dup/ANN
+  structure scales linearly. (A small additive perturbation was tried
+  first and rejected: it left every vector with K-1 near-duplicate
+  replicas, and semdedup measured 35× at 10× data — an artificial
+  quadratic workload, not a scaling curve.)
 
 Everything is expression-level (one scan crossed with ``range(K)``, no
 Python row paths) — generating sf10 from sf0.1 is the same one job.
@@ -126,9 +131,9 @@ def main() -> None:
             rep = rep.withColumn("text", _permute_tokens("text", F.col("__r")))
         if t == "embeddings":
             rep = rep.withColumn("embedding", F.expr(
-                "transform(embedding, (x, j) -> x + "
-                "cast((vec_id % 97 + j * 13 + __r * 29) % 11 - 5 as float)"
-                " * cast(0.01 as float))"))
+                "concat(slice(embedding, cast(__r % size(embedding) as int) + 1, "
+                "size(embedding) - cast(__r % size(embedding) as int)), "
+                "slice(embedding, 1, cast(__r % size(embedding) as int)))"))
         cols = [c for c in rep.columns if c != "__r"]
         rep.select(*cols).write.mode("overwrite") \
             .parquet(os.path.join(out, f"{t}.parquet"))
