@@ -36,8 +36,11 @@ atomic on a POSIX filesystem; an object-store deployment would swap
 ``_load_manifest``/``_publish_manifest`` for a conditional-put pair
 (the data-file layout needs no change: commit dirs are immutable).
 Old commits are retained (time travel is possible by reading an old
-manifest); a vacuum that drops commits unreferenced by the newest K
-manifests is a straightforward extension.
+manifest) until maintenance runs: :meth:`GraphEngine.compact` rewrites
+the current state into one commit (collapsing the one-scan-per-live-
+commit union in the all-graphs read path), and
+:meth:`GraphEngine.vacuum` drops everything the newest manifest no
+longer references.
 """
 
 from __future__ import annotations
@@ -215,6 +218,64 @@ class GraphEngine:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, final)
+
+    # -- store maintenance -------------------------------------------------
+
+    def compact(self) -> None:
+        """Rewrite the store's CURRENT state into one fresh commit and
+        point every graph at it. A long-lived store accumulates one
+        live commit per surviving write, and the all-graphs read unions
+        one scan per live commit — compaction collapses that back to a
+        single scan (the table-format maintenance op, like Iceberg
+        rewrite). Snapshot-safe: runs as an ordinary commit, readers
+        pinned to older manifests are untouched until :meth:`vacuum`."""
+        snap = self.snapshot()
+        graphs = snap.graphs()
+        if not graphs:
+            return
+        cid = uuid.uuid4().hex[:12]
+        for table in ("edges", "vertices", "meta"):
+            df = snap._table(table, {"edges": "src int, dst int",
+                                     "vertices": "vid int",
+                                     "meta": "n int"}[table], None)
+            (df.select(*[c for c in df.columns if c != "graph"], "graph")
+               .write.mode("overwrite").partitionBy("graph")
+               .parquet(os.path.join(self.store, "data", table, f"c={cid}")))
+        prev = self._load_manifest()
+        self._publish_manifest(prev["seq"] + 1, cid, {g: cid for g in graphs})
+
+    def vacuum(self) -> int:
+        """Delete commit directories and manifests no longer referenced
+        by the NEWEST manifest; returns the number of commit dirs
+        removed. DESTRUCTIVE for time travel and for snapshots pinned
+        before the newest manifest — run only when no such readers
+        exist (the same contract as Delta's VACUUM). Typical lifecycle:
+        ``compact()`` then ``vacuum()`` leaves exactly one live commit
+        per table. Local-filesystem implementation, like the manifest
+        IO it complements."""
+        import shutil
+
+        newest = self._load_manifest()
+        if newest is None:
+            return 0
+        live = set(newest["graphs"].values())
+        removed = 0
+        for table in ("edges", "vertices", "meta"):
+            root = os.path.join(self.store, "data", table)
+            try:
+                dirs = os.listdir(root)
+            except FileNotFoundError:
+                continue
+            for d in dirs:
+                if d.startswith("c=") and d[2:] not in live:
+                    shutil.rmtree(os.path.join(root, d))
+                    removed += 1
+        keep = f"{newest['seq']:012d}-{newest['commit']}.json"
+        for n in os.listdir(self.manifest_dir):
+            if n.endswith(".json") and n != keep and json.load(
+                    open(os.path.join(self.manifest_dir, n)))["seq"] < newest["seq"]:
+                os.remove(os.path.join(self.manifest_dir, n))
+        return removed
 
     # -- catalog ----------------------------------------------------------
 

@@ -198,6 +198,38 @@ def test_bulk_modify_emptying_many_graphs_is_one_commit(engine, tmp_path):
     assert len(commit_dirs) == 2  # one per ingest, NOT one per emptied graph
 
 
+def test_compact_and_vacuum_lifecycle(engine):
+    """Three writes = three live commits unioned per read; compact
+    collapses to one commit, vacuum removes the rest; results identical
+    before and after at every step (including an emptied graph)."""
+    engine.add_graph("CA", "2\n0 1\n0 0\n")
+    engine.add_graph("CB", "3\n0 1 0\n0 0 1\n0 0 0\n")
+    engine.modify_graph("CA", "2\n0 0\n0 0\n")   # CA now empty of edges
+    want_edges = {(r["graph"], r["src"], r["dst"])
+                  for r in engine.edges().collect()}
+    want_verts = {(r["graph"], r["vid"]) for r in engine.vertices().collect()}
+    assert want_edges == {("CB", 1, 2), ("CB", 2, 3)}
+    engine.compact()
+    assert {(r["graph"], r["src"], r["dst"])
+            for r in engine.edges().collect()} == want_edges
+    removed = engine.vacuum()
+    assert removed > 0
+    # exactly one live commit dir per table after compact+vacuum
+    for table in ("edges", "vertices", "meta"):
+        dirs = [d for d in os.listdir(os.path.join(engine.store, "data", table))
+                if d.startswith("c=")]
+        assert len(dirs) == 1, (table, dirs)
+    assert {(r["graph"], r["src"], r["dst"])
+            for r in engine.edges().collect()} == want_edges
+    assert {(r["graph"], r["vid"])
+            for r in engine.vertices().collect()} == want_verts
+    assert engine.graphs() == ["CA", "CB"]
+    assert engine.edges("CA").count() == 0
+    # the store stays writable after maintenance
+    engine.add_graph("CC", "2\n0 1\n1 0\n")
+    assert engine.graphs() == ["CA", "CB", "CC"]
+
+
 def test_empty_store_reads_are_empty(spark, tmp_path):
     """A store no write has touched yet answers queries with empty
     relations, matching graphs() == [] — not PATH_NOT_FOUND."""
