@@ -100,10 +100,16 @@ class GraphSnapshot:
             cid = (self.manifest or {}).get("graphs", {}).get(name)
             if cid is None:
                 return self.spark.createDataFrame([], full_schema)
-            part = os.path.join(self.store, "data", table, f"c={cid}",
-                                f"graph={name}")
-            return (self._read_or_empty(part, row_schema)
-                    .withColumn("graph", F.lit(name)))
+            # Read the commit dir and filter on the partition COLUMN —
+            # never hand-build the graph=<name> leaf path: Spark
+            # percent-escapes special characters in partition dir names
+            # (a graph called "G#1" lands in graph=G%231), so a raw-name
+            # path would PATH_NOT_FOUND and silently read as empty.
+            # Partition pruning on the filter keeps this one-partition IO.
+            return (self._read_or_empty(
+                        os.path.join(self.store, "data", table, f"c={cid}"),
+                        full_schema)
+                    .filter(F.col("graph") == name))
         parts = [
             # Explicit schema includes the graph partition column; the
             # isin filter prunes partitions belonging to graphs this
@@ -272,8 +278,11 @@ class GraphEngine:
                     removed += 1
         keep = f"{newest['seq']:012d}-{newest['commit']}.json"
         for n in os.listdir(self.manifest_dir):
-            if n.endswith(".json") and n != keep and json.load(
-                    open(os.path.join(self.manifest_dir, n)))["seq"] < newest["seq"]:
+            if not n.endswith(".json") or n == keep:
+                continue
+            with open(os.path.join(self.manifest_dir, n)) as f:
+                seq = json.load(f)["seq"]
+            if seq < newest["seq"]:
                 os.remove(os.path.join(self.manifest_dir, n))
         return removed
 
@@ -386,16 +395,21 @@ class GraphEngine:
             snap.edges(name).select("src", "dst"),
             snap.vertices(name).select("vid"))
 
-    def scc(self, name: str) -> DataFrame:
+    def scc(self, name: str,
+            max_iterations: int = pregel.DEFAULT_MAX_ITERATIONS) -> DataFrame:
         """``(vid, scc)`` strongly connected components of one stored
         graph, honoring edge DIRECTION (the store accepts asymmetric
         adjacency matrices — the reference's G2 fixture — and
         :meth:`connected_components` deliberately symmetrizes; this is
-        the directed analogue)."""
+        the directed analogue). The kernel fails loudly if the coloring
+        fixpoint needs more than ``max_iterations`` supersteps (e.g. a
+        directed cycle longer than the bound) — pass a larger bound
+        then; truncation would be wrong, not approximate."""
         snap = self.snapshot()
         return pregel.strongly_connected_components(
             snap.edges(name).select("src", "dst"),
-            snap.vertices(name).select("vid"))
+            snap.vertices(name).select("vid"),
+            max_iterations=max_iterations)
 
     def pagerank(self, name: str, iterations: int = 10) -> DataFrame:
         """``(vid, rank)`` over one stored graph (float API; the

@@ -436,16 +436,20 @@ def _lpa_oracle_sql(iterations: int = LPA_ITERATIONS) -> str:
 ORACLE_LABEL_PROPAGATION = _lpa_oracle_sql()
 
 
-def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_scc(spark: SparkSession, sf_dir: str,
+          max_iterations: int = pregel.DEFAULT_MAX_ITERATIONS) -> DataFrame:
     """Strongly connected components over the directed cyclic trade
     graph (region⇄nation⇄customer with deterministic return edges —
     :func:`derived_graph.trade_edges`): ``(vid, scc)``, scc = min
     member id. The vertex set is derived from the edges (every trade
-    vertex has at least its hierarchy edge)."""
+    vertex has at least its hierarchy edge). ``max_iterations`` is
+    plumbed through because the kernel refuses to return truncated
+    (wrong) results — callers with deeper graphs raise the bound."""
     e = dg.trade_edges(spark, sf_dir)
     verts = (e.select(F.col("src").alias("vid"))
              .unionByName(e.select(F.col("dst").alias("vid"))).distinct())
-    return pregel.strongly_connected_components(e, verts)
+    return pregel.strongly_connected_components(e, verts,
+                                                max_iterations=max_iterations)
 
 
 ORACLE_SCC = f"""

@@ -612,10 +612,16 @@ def strongly_connected_components(edges: DataFrame, vertices: DataFrame,
             break
         rounds += 1
 
-        # 2. forward min-label coloring (active-frontier fixpoint)
+        # 2. forward min-label coloring (active-frontier fixpoint).
+        # MUST reach the fixpoint: truncated colors mis-identify pivots
+        # and the backward phase then extracts sets that are not SCCs —
+        # silently WRONG results, unlike BFS where a depth cap merely
+        # truncates. Fail loudly instead (BFS-style bounded semantics
+        # are not offered here for that reason).
         colors = remaining.select("vid", F.col("vid").alias("color")) \
             .localCheckpoint(eager=True)
         active = colors
+        converged = False
         for _ in range(max_iterations):
             msgs = (active.join(e, active.vid == e.src)
                     .select(F.col("dst").alias("vid"), "color")
@@ -626,12 +632,20 @@ def strongly_connected_components(edges: DataFrame, vertices: DataFrame,
                         .localCheckpoint(eager=True))
             color_steps += 1
             if improved.isEmpty():
+                converged = True
                 break
             colors = (colors.join(improved.withColumnRenamed("color", "nc"),
                                   "vid", "left")
                       .select("vid", F.coalesce("nc", "color").alias("color"))
                       .localCheckpoint(eager=True))
             active = improved
+        if not converged:
+            raise RuntimeError(
+                f"SCC coloring did not reach its fixpoint within "
+                f"{max_iterations} supersteps (propagation distance exceeds "
+                f"the bound, e.g. a longer directed cycle); raise "
+                f"max_iterations — truncated colors would yield wrong "
+                f"components, not approximate ones")
 
         # 3. backward BFS from all pivots at once, within color classes
         # visited = lazy union of checkpointed frontiers (each leaf is
@@ -661,6 +675,11 @@ def strongly_connected_components(edges: DataFrame, vertices: DataFrame,
             break
         e = _restrict_edges(e, remaining).localCheckpoint(eager=True)
 
+    if not remaining.isEmpty():
+        raise RuntimeError(
+            f"SCC decomposition did not drain within {max_iterations} outer "
+            f"rounds; raise max_iterations — a partial result would be "
+            f"missing vertices, not approximate")
     if stats is not None:
         stats["rounds"] = rounds
         stats["color_supersteps"] = color_steps

@@ -198,6 +198,21 @@ def test_bulk_modify_emptying_many_graphs_is_one_commit(engine, tmp_path):
     assert len(commit_dirs) == 2  # one per ingest, NOT one per emptied graph
 
 
+def test_graph_names_with_partition_escaped_chars(engine):
+    """Spark percent-escapes special characters in partition dir names
+    (graph "G#1" lands in graph=G%231). Single-graph reads must filter
+    on the partition COLUMN, never hand-build the leaf path — the
+    path form silently read such graphs as empty."""
+    engine.add_graph("G#1", "2\n0 1\n0 0\n")
+    engine.add_graph("G 2", "2\n0 1\n1 0\n")  # space also escapes
+    assert engine.graphs() == ["G 2", "G#1"]
+    assert {(r["src"], r["dst"]) for r in engine.edges("G#1").collect()} == {(1, 2)}
+    assert {r["vid"] for r in engine.vertices("G#1").collect()} == {1, 2}
+    assert {(r["src"], r["dst"]) for r in engine.edges("G 2").collect()} == {(1, 2), (2, 1)}
+    got = {(r["vertex"], r["level"]) for r in engine.bfs("G#1", 1).collect()}
+    assert got == {(1, 0), (2, 1)}
+
+
 def test_compact_and_vacuum_lifecycle(engine):
     """Three writes = three live commits unioned per read; compact
     collapses to one commit, vacuum removes the rest; results identical

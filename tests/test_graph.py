@@ -313,6 +313,19 @@ def test_scc_asymmetric_g2_fixture(spark, fixture_edges):
     assert got == {1: 1, 2: 2, 3: 3, 4: 4}
 
 
+def test_scc_refuses_truncated_coloring(spark):
+    """An iteration bound too small for the coloring fixpoint must
+    raise, never return: truncated colors mis-identify pivots and the
+    result would be silently WRONG (unlike BFS, where a depth cap just
+    truncates levels)."""
+    n = 12
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(x,) for x in range(n)], "vid long")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        pregel.strongly_connected_components(e, v, max_iterations=5)
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_scc_random_digraphs_vs_tarjan(spark, seed):
     """Seeded random digraphs (n ≤ 40, densities spanning mostly-DAG to

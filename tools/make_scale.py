@@ -77,13 +77,25 @@ OFFSET_BASE = {
 }
 
 
+_INT_MAX = {"int": 2**31 - 1, "bigint": 2**63 - 1, "smallint": 2**15 - 1}
+
+
 def _replicate(df: DataFrame, keys: list[str], bases: dict[str, int],
                k: int) -> DataFrame:
     rep = df.crossJoin(F.broadcast(
         df.sparkSession.range(k).select(F.col("id").alias("__r"))))
     for c in keys:
+        dtype = dict(df.dtypes)[c]
+        # Guard the cast-back: non-ANSI Spark WRAPS on overflow, which
+        # would silently mint colliding/negative keys at large K (or
+        # when re-scaling an already-scaled directory).
+        bound = _INT_MAX.get(dtype)
+        if bound is not None and bases[c] * k > bound:
+            raise ValueError(
+                f"{c}: replica offset {bases[c]} * K={k} overflows {dtype}; "
+                f"lower K or widen the source column to bigint first")
         rep = rep.withColumn(c, (F.col(c) + F.col("__r") * bases[c])
-                             .cast(dict(df.dtypes)[c]))
+                             .cast(dtype))
     return rep
 
 
