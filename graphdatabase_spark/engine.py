@@ -411,6 +411,45 @@ class GraphEngine:
             snap.vertices(name).select("vid"),
             max_iterations=max_iterations)
 
+    def scc_all(self,
+                max_iterations: int = pregel.DEFAULT_MAX_ITERATIONS) -> DataFrame:
+        """Batched SCC: ``(graph, vid, scc)`` for EVERY stored graph in
+        ONE kernel run (the set-oriented form, like :meth:`bfs_all`).
+        No inter-graph edges exist, so components can never span
+        graphs — mapping each graph's vids into a disjoint long range
+        (``graph_index * stride + vid``, stride > any vid, derived from
+        the store's own meta) lets the single-graph kernel decompose
+        the whole store at once, and the labels decode back to
+        (graph, min member vid) exactly. Per-graph results equal
+        :meth:`scc` (pinned by tests)."""
+        snap = self.snapshot()
+        graphs = snap.graphs()
+        if not graphs:
+            return self.spark.createDataFrame([], "graph string, vid int, scc int")
+        # stride from the catalog: > max declared N across graphs (vids
+        # are 1..N; empty graphs contribute nothing). One metadata-sized
+        # driver read of the meta table.
+        max_n = snap.meta().agg(F.max("n")).collect()[0][0] or 0
+        stride = int(max_n) + 1
+        gidx = {g: i for i, g in enumerate(graphs)}
+        gmap = F.create_map(*[x for g, i in gidx.items()
+                              for x in (F.lit(g), F.lit(i))])
+
+        def enc(col: str) -> F.Column:
+            return gmap[F.col("graph")].cast("long") * stride \
+                + F.col(col).cast("long")
+
+        e = snap.edges().select(enc("src").alias("src"), enc("dst").alias("dst"))
+        v = snap.vertices().select(enc("vid").alias("vid"))
+        out = pregel.strongly_connected_components(e, v,
+                                                   max_iterations=max_iterations)
+        inv = F.create_map(*[x for g, i in gidx.items()
+                             for x in (F.lit(i), F.lit(g))])
+        return out.select(
+            inv[(F.col("vid") / stride).cast("long")].alias("graph"),
+            (F.col("vid") % stride).cast("int").alias("vid"),
+            (F.col("scc") % stride).cast("int").alias("scc"))
+
     def pagerank(self, name: str, iterations: int = 10) -> DataFrame:
         """``(vid, rank)`` over one stored graph (float API; the
         registry's oracle-checked path is the quantized variant)."""

@@ -282,6 +282,23 @@ def test_dfs_leaves_all_matches_per_graph(engine):
         assert batched[name] == want, name
 
 
+def test_scc_all_matches_per_graph(engine):
+    """Batched SCC must equal the per-graph kernel for every stored
+    graph — including the asymmetric G2, the empty G12 (no rows), and
+    a cyclic hand graph — with labels decoded back to per-graph vids."""
+    for name in ("G1", "G2", "G12"):
+        engine.add_graph(name, _fixture_text(name))
+    engine.add_graph("CYC", "4\n0 1 0 0\n0 0 1 0\n1 0 0 1\n0 0 0 0\n")
+    batched = {}
+    for r in engine.scc_all().collect():
+        batched.setdefault(r["graph"], set()).add((r["vid"], r["scc"]))
+    assert "G12" not in batched  # empty graph: no vertices, no rows
+    for name in ("G1", "G2", "CYC"):
+        want = {(r["vid"], r["scc"]) for r in engine.scc(name).collect()}
+        assert batched[name] == want, name
+    assert batched["CYC"] == {(1, 1), (2, 1), (3, 1), (4, 4)}
+
+
 def test_stats_matches_fixture_shapes(engine):
     """Catalog stats must match hand-derived fixture shapes, including
     the empty graph reporting zeros."""
