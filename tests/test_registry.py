@@ -31,6 +31,12 @@ def test_window_has_no_duplicates():
     assert len(set(registry._CHECK_FIRST)) == len(registry._CHECK_FIRST)
 
 
+def test_window_uses_all_fifty_driver_slots():
+    """The driver records exactly 50 rows; a shorter window wastes
+    slots, a longer one lies about what gets checked."""
+    assert len(registry._CHECK_FIRST) == 50
+
+
 def test_rotation_covers_every_id_within_two_rounds():
     """The round-4 advice made the rotation requirement executable: the
     union of the previous and current windows must cover EVERY
