@@ -35,8 +35,8 @@ serializes writes). Manifest publish is write-temp + ``os.replace`` —
 atomic on a POSIX filesystem; an object-store deployment would swap
 ``_load_manifest``/``_publish_manifest`` for a conditional-put pair
 (the data-file layout needs no change: commit dirs are immutable).
-Old commits are retained (time travel is possible by reading an old
-manifest) until maintenance runs: :meth:`GraphEngine.compact` rewrites
+Old commits are retained (time travel: ``snapshot(seq=N)`` pins any
+historical manifest) until maintenance runs: :meth:`GraphEngine.compact` rewrites
 the current state into one commit (collapsing the one-scan-per-live-
 commit union in the all-graphs read path), and
 :meth:`GraphEngine.vacuum` drops everything the newest manifest no
@@ -198,15 +198,23 @@ class GraphEngine:
 
     # -- manifest commit log ----------------------------------------------
 
-    def _load_manifest(self) -> dict | None:
-        """Newest published manifest, or None for a virgin store.
-        Driver-side POSIX file IO — see the module docstring for the
-        object-store variant (conditional put on the same layout)."""
+    def _load_manifest(self, seq: int | None = None) -> dict | None:
+        """Newest published manifest (or the one with sequence ``seq``
+        for time travel), or None for a virgin store. Driver-side POSIX
+        file IO — see the module docstring for the object-store variant
+        (conditional put on the same layout)."""
         try:
             names = [n for n in os.listdir(self.manifest_dir)
                      if n.endswith(".json")]
         except FileNotFoundError:
             return None
+        if seq is not None:
+            names = [n for n in names if n.startswith(f"{seq:012d}-")]
+            if not names:
+                raise FileNotFoundError(
+                    f"no manifest with seq {seq} (vacuumed, or never "
+                    f"published); available history starts at the oldest "
+                    f"retained manifest")
         if not names:
             return None
         with open(os.path.join(self.manifest_dir, max(names))) as f:
@@ -288,13 +296,15 @@ class GraphEngine:
 
     # -- catalog ----------------------------------------------------------
 
-    def snapshot(self) -> GraphSnapshot:
+    def snapshot(self, seq: int | None = None) -> GraphSnapshot:
         """Pin ONE consistent view of the whole store (every graph's
         edges + vertices + meta from the same manifest). Multi-table
         operations below always run inside a single snapshot — the
         reference's all-state-at-once RW lock, re-expressed as an
-        immutable pointer read."""
-        return GraphSnapshot(self.spark, self.store, self._load_manifest())
+        immutable pointer read. ``seq`` pins a HISTORICAL manifest
+        instead of the newest (time travel over the immutable commit
+        dirs); raises FileNotFoundError if that manifest was vacuumed."""
+        return GraphSnapshot(self.spark, self.store, self._load_manifest(seq))
 
     def graphs(self) -> list[str]:
         return self.snapshot().graphs()

@@ -172,6 +172,26 @@ def test_snapshot_isolation_under_concurrent_modify(engine, spark):
     assert {r["vid"] for r in after.vertices("R").collect()} == {1, 2, 3, 4}
 
 
+def test_time_travel_snapshots(engine):
+    """snapshot(seq=N) pins any retained historical manifest: versions
+    stay readable after later modifies, and vacuum invalidates them
+    loudly (FileNotFoundError), never silently serving mixed state."""
+    engine.add_graph("T", "2\n0 1\n0 0\n")                      # seq 1
+    engine.modify_graph("T", "3\n0 0 0\n0 0 0\n1 0 0\n")        # seq 2
+    v1 = engine.snapshot(seq=1)
+    assert {(r["src"], r["dst"]) for r in v1.edges("T").collect()} == {(1, 2)}
+    assert {r["vid"] for r in v1.vertices("T").collect()} == {1, 2}
+    v2 = engine.snapshot(seq=2)
+    assert {(r["src"], r["dst"]) for r in v2.edges("T").collect()} == {(3, 1)}
+    assert {r["vid"] for r in v2.vertices("T").collect()} == {1, 2, 3}
+    engine.vacuum()
+    with pytest.raises(FileNotFoundError, match="seq 1"):
+        engine.snapshot(seq=1)
+    # the newest seq survives vacuum
+    assert {(r["src"], r["dst"]) for r in
+            engine.snapshot(seq=2).edges("T").collect()} == {(3, 1)}
+
+
 def test_bulk_modify_emptying_many_graphs_is_one_commit(engine, tmp_path):
     """A modify that empties N graphs must be O(1) write jobs, not
     O(N): one commit dir per table + one manifest flip (the round-4
