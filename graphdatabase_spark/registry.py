@@ -38,14 +38,38 @@ _MODULES = [relational, graph_queries, text, dedup, similarity, streamops, multi
 # i.e. ids whose first driver row is still pending — are fronted in
 # ``_CHECK_FIRST``.  When rotating for round N+1: copy ``_CHECK_FIRST``
 # into ``_PREV_WINDOW`` first.
-# Round-5 window: the five ids added after round 4's window was spent
-# (their FIRST driver rows), the two ids new this round (scc,
-# graph_stats), then all 43 ids whose latest driver row is round 3 —
-# 5 + 2 + 43 = 50 exactly, so after this round every id's latest row
-# is r04 or r05.  Local full-registry parity evidence lives in
-# PARITY_LOCAL.json (tools/harness_replica.py).
+# Round-6 window: with 100 registered ids and no additions this round
+# (round 6 is a storage/engine-hardening round — new surface lives on
+# the GraphEngine facade, pytest-pinned, not in the registry), the
+# rotation is a clean swap: the 50 ids whose latest driver row is
+# round 4 (= the round-4 window) come to the front, and the round-5
+# window moves to ``_PREV_WINDOW``.  After this round every id's
+# latest driver row is r05 or r06 — nothing ages beyond two rounds.
+# Local full-registry parity evidence lives in PARITY_LOCAL.json
+# (tools/harness_replica.py).
 _PREV_WINDOW = [
-    # round-4 window (CORRECTNESS_r04.json's 50 rows, in order)
+    # round-5 window (CORRECTNESS_r05.json's 50 rows, in order)
+    "asof_join_events_salted", "hybrid_search_rrf",
+    "segment_distinct_customers_approx", "pivot_returns",
+    "sql_recursive_reachability", "scc", "graph_stats",
+    "asof_join_events", "bfs_levels", "contamination_check",
+    "corpus_histogram", "corpus_prep", "dedup_embedding", "dedup_near",
+    "embedding_ann_lsh", "embedding_ivf_topk", "events_anomaly",
+    "events_enriched", "events_funnel", "events_quantiles",
+    "events_retention", "events_rollup_daily", "events_sessionization",
+    "events_sliding_avg", "events_stream_dedup", "events_stream_join",
+    "events_trending", "events_tumbling_counts", "graph_ingest_matrix",
+    "kcore", "multimodal_features", "multimodal_frames", "multimodal_meta",
+    "multimodal_resize", "pagerank", "pricing_summary",
+    "quality_repetition", "range_join_events", "revenue_by_nation",
+    "salted_join_orders", "sample_split", "sequence_pack",
+    "similarity_topk", "sql_forecast_revenue", "sql_grouping_sets",
+    "sssp_weighted", "tfidf_top_terms", "top_ngrams", "triangle_count",
+    "window_showcase",
+]
+
+_CHECK_FIRST = [
+    # -- latest driver row is round 4 (the full round-4 window) --
     "shipping_priority", "customers_without_orders", "order_priority_rollup",
     "returns_cube", "top_orders_per_customer", "running_revenue",
     "top_expensive_orders", "segment_distinct_customers", "set_ops",
@@ -61,30 +85,6 @@ _PREV_WINDOW = [
     "chunk_dedup", "domain_mix", "corpus_funnel", "ivf_recenter",
     "connected_components", "dedup_clusters", "dedup_minhash_lsh",
     "running_user_stats", "search_bm25", "semdedup_ivf", "knn_join",
-]
-
-_CHECK_FIRST = [
-    # -- first driver row pending (added after round 4's window) --
-    "asof_join_events_salted", "hybrid_search_rrf",
-    "segment_distinct_customers_approx", "pivot_returns",
-    "sql_recursive_reachability",
-    # -- new this round (first driver row) --
-    "scc", "graph_stats",
-    # -- latest driver row is round 3 --
-    "asof_join_events", "bfs_levels", "contamination_check",
-    "corpus_histogram", "corpus_prep", "dedup_embedding", "dedup_near",
-    "embedding_ann_lsh", "embedding_ivf_topk", "events_anomaly",
-    "events_enriched", "events_funnel", "events_quantiles",
-    "events_retention", "events_rollup_daily", "events_sessionization",
-    "events_sliding_avg", "events_stream_dedup", "events_stream_join",
-    "events_trending", "events_tumbling_counts", "graph_ingest_matrix",
-    "kcore", "multimodal_features", "multimodal_frames", "multimodal_meta",
-    "multimodal_resize", "pagerank", "pricing_summary",
-    "quality_repetition", "range_join_events", "revenue_by_nation",
-    "salted_join_orders", "sample_split", "sequence_pack",
-    "similarity_topk", "sql_forecast_revenue", "sql_grouping_sets",
-    "sssp_weighted", "tfidf_top_terms", "top_ngrams", "triangle_count",
-    "window_showcase",
 ]
 
 # Query ids registered WITHOUT a DuckDB oracle (the driver records a
