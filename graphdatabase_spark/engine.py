@@ -30,22 +30,28 @@ semantics (SURVEY.md §3.3, §4.1):
   (``client.c:185`` subtracts 1 on the way in; we skip the dance and
   store 1-indexed ids end to end).
 
-Single-writer assumption, as in the reference (one primary server
-serializes writes). Manifest publish is write-temp + ``os.replace`` —
-atomic on a POSIX filesystem; an object-store deployment would swap
-``_load_manifest``/``_publish_manifest`` for a conditional-put pair
-(the data-file layout needs no change: commit dirs are immutable).
+The manifest commit log lives behind the pluggable
+:class:`~graphdatabase_spark.metastore.ManifestStore` interface
+(metastore.py): the default is a POSIX directory next to the data,
+and the same four blob calls map onto an object store's conditional
+put — the data-file layout needs no change, commit dirs are
+immutable. Publishing is an optimistic compare-and-swap append
+(put-if-absent on the next sequence number, re-read + re-merge on a
+lost race), which upgrades the reference's single-writer assumption
+(one primary server serializes writes, ``load_balancer.c``) to
+multi-writer safety: concurrent writers to different graphs both
+land, and compaction merges around — never over — a concurrent write.
 Old commits are retained (time travel: ``snapshot(seq=N)`` pins any
 historical manifest) until maintenance runs: :meth:`GraphEngine.compact` rewrites
 the current state into one commit (collapsing the one-scan-per-live-
 commit union in the all-graphs read path), and
-:meth:`GraphEngine.vacuum` drops everything the newest manifest no
-longer references.
+:meth:`GraphEngine.vacuum` drops manifests outside its retention
+window and every commit dir the retained manifests no longer
+reference.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import uuid
 
@@ -53,7 +59,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graphdatabase_spark import cache
+from graphdatabase_spark import cache, metastore
 from graphdatabase_spark.functions.text import tokens_col
 from graphdatabase_spark.operators import dfs as dfs_mod
 from graphdatabase_spark.operators import graph_algos, pregel
@@ -142,10 +148,15 @@ class GraphEngine:
     graphs (that layout — not a file per graph — is what scales;
     SURVEY.md §1.4)."""
 
-    def __init__(self, spark: SparkSession, store_path: str):
+    def __init__(self, spark: SparkSession, store_path: str,
+                 manifest_store: metastore.ManifestStore | None = None):
         self.spark = spark
         self.store = store_path
         self.manifest_dir = os.path.join(store_path, "manifests")
+        # Metadata layer: pluggable (see metastore.py) so the commit
+        # log can live on an object store; POSIX directory by default.
+        self.manifests = metastore.ManifestLog(
+            manifest_store or metastore.PosixManifestStore(self.manifest_dir))
 
     # -- op 1 / op 2: add / modify (full overwrite of one graph) ---------
 
@@ -191,47 +202,26 @@ class GraphEngine:
         # catalog metadata — graph NAMES, not data; one per commit, not
         # per table).
         write_graphs = {r["graph"] for r in meta.select("graph").distinct().collect()}
-        prev = self._load_manifest()
-        graphs_map = dict(prev["graphs"]) if prev else {}
-        graphs_map.update({g: cid for g in write_graphs})
-        self._publish_manifest((prev["seq"] + 1) if prev else 1, cid, graphs_map)
+
+        def update(prev: dict | None) -> dict:
+            # Pure merge onto whatever manifest is newest AT PUBLISH
+            # TIME: on a lost CAS race this re-applies over the
+            # winner's map, so two writers to different graphs both
+            # land (the multi-writer analogue of the reference's
+            # per-graph RW lock).
+            graphs_map = dict(prev["graphs"]) if prev else {}
+            graphs_map.update({g: cid for g in write_graphs})
+            return {"commit": cid, "graphs": graphs_map}
+
+        self.manifests.commit(update)
 
     # -- manifest commit log ----------------------------------------------
 
     def _load_manifest(self, seq: int | None = None) -> dict | None:
         """Newest published manifest (or the one with sequence ``seq``
-        for time travel), or None for a virgin store. Driver-side POSIX
-        file IO — see the module docstring for the object-store variant
-        (conditional put on the same layout)."""
-        try:
-            names = [n for n in os.listdir(self.manifest_dir)
-                     if n.endswith(".json")]
-        except FileNotFoundError:
-            return None
-        if seq is not None:
-            names = [n for n in names if n.startswith(f"{seq:012d}-")]
-            if not names:
-                raise FileNotFoundError(
-                    f"no manifest with seq {seq} (vacuumed, or never "
-                    f"published); available history starts at the oldest "
-                    f"retained manifest")
-        if not names:
-            return None
-        with open(os.path.join(self.manifest_dir, max(names))) as f:
-            return json.load(f)
-
-    def _publish_manifest(self, seq: int, cid: str, graphs_map: dict) -> None:
-        os.makedirs(self.manifest_dir, exist_ok=True)
-        doc = {"seq": seq, "commit": cid, "graphs": graphs_map}
-        # zero-padded seq ⇒ max(listdir) is the newest; os.replace ⇒
-        # readers see a complete file or none.
-        final = os.path.join(self.manifest_dir, f"{seq:012d}-{cid}.json")
-        tmp = final + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(doc, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, final)
+        for time travel), or None for a virgin store. Delegates to the
+        pluggable metadata store (metastore.py)."""
+        return self.manifests.load(seq)
 
     # -- store maintenance -------------------------------------------------
 
@@ -241,8 +231,12 @@ class GraphEngine:
         live commit per surviving write, and the all-graphs read unions
         one scan per live commit — compaction collapses that back to a
         single scan (the table-format maintenance op, like Iceberg
-        rewrite). Snapshot-safe: runs as an ordinary commit, readers
-        pinned to older manifests are untouched until :meth:`vacuum`."""
+        rewrite). Snapshot-safe: readers pinned to older manifests are
+        untouched until :meth:`vacuum`. Concurrency-safe: the publish
+        only points a graph at the compacted copy if that graph's
+        pointer is UNCHANGED since compaction pinned its snapshot — a
+        write landing mid-compaction keeps its (newer) pointer instead
+        of being reverted to the stale rewrite."""
         snap = self.snapshot()
         graphs = snap.graphs()
         if not graphs:
@@ -255,24 +249,34 @@ class GraphEngine:
             (df.select(*[c for c in df.columns if c != "graph"], "graph")
                .write.mode("overwrite").partitionBy("graph")
                .parquet(os.path.join(self.store, "data", table, f"c={cid}")))
-        prev = self._load_manifest()
-        self._publish_manifest(prev["seq"] + 1, cid, {g: cid for g in graphs})
+        pinned = snap.manifest["graphs"]
 
-    def vacuum(self) -> int:
-        """Delete commit directories and manifests no longer referenced
-        by the NEWEST manifest; returns the number of commit dirs
-        removed. DESTRUCTIVE for time travel and for snapshots pinned
-        before the newest manifest — run only when no such readers
-        exist (the same contract as Delta's VACUUM). Typical lifecycle:
-        ``compact()`` then ``vacuum()`` leaves exactly one live commit
-        per table. Local-filesystem implementation, like the manifest
-        IO it complements."""
+        def update(prev: dict | None) -> dict:
+            graphs_map = {
+                g: cid if pinned.get(g) == ptr else ptr
+                for g, ptr in (prev["graphs"] if prev else {}).items()}
+            return {"commit": cid, "graphs": graphs_map}
+
+        self.manifests.commit(update)
+
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Delete manifests outside the newest-``keep_last`` retention
+        window and every commit directory no retained manifest
+        references; returns the number of commit dirs removed.
+        ``keep_last`` is how time travel and space reclamation coexist:
+        ``snapshot(seq=N)`` keeps working for the retained window, and
+        DESTRUCTIVE only applies to snapshots pinned before it (the
+        same contract as Delta's VACUUM retention period, expressed in
+        versions instead of hours). Typical lifecycle: ``compact()``
+        then ``vacuum()`` leaves exactly one live commit per table.
+        Manifest deletion goes through the pluggable metadata store;
+        data-dir deletion is filesystem IO (an object-store deployment
+        deletes the same ``c=<cid>`` prefixes through its own API)."""
         import shutil
 
-        newest = self._load_manifest()
-        if newest is None:
+        live = self.manifests.vacuum(keep_last=keep_last)
+        if not live:
             return 0
-        live = set(newest["graphs"].values())
         removed = 0
         for table in ("edges", "vertices", "meta"):
             root = os.path.join(self.store, "data", table)
@@ -284,14 +288,6 @@ class GraphEngine:
                 if d.startswith("c=") and d[2:] not in live:
                     shutil.rmtree(os.path.join(root, d))
                     removed += 1
-        keep = f"{newest['seq']:012d}-{newest['commit']}.json"
-        for n in os.listdir(self.manifest_dir):
-            if not n.endswith(".json") or n == keep:
-                continue
-            with open(os.path.join(self.manifest_dir, n)) as f:
-                seq = json.load(f)["seq"]
-            if seq < newest["seq"]:
-                os.remove(os.path.join(self.manifest_dir, n))
         return removed
 
     # -- catalog ----------------------------------------------------------

@@ -1,0 +1,252 @@
+"""Manifest commit log behind a pluggable metadata store.
+
+The engine's store (engine.py) separates DATA from METADATA exactly
+like a table format (Delta/Iceberg): data files are immutable parquet
+under ``data/<table>/c=<commit>/``, written and read by Spark (so an
+``hdfs://`` / ``s3a://`` store path already works for data), and the
+current state is ONE small JSON manifest mapping each graph to the
+commit that serves it. Publishing a manifest is the commit point — the
+reference's all-state-at-once RW lock (``primary_server.c:110-146``)
+re-expressed as an atomic pointer swap.
+
+This module is that metadata layer, extracted behind a four-call blob
+interface (:class:`ManifestStore`) so the commit log itself is
+deployment-agnostic:
+
+- :class:`PosixManifestStore` — a local directory of manifest files.
+  Put-if-absent is write-temp + ``os.link`` (hard-linking an existing
+  name fails with EEXIST), so the published file is always complete
+  AND creation is atomic-if-absent.
+- :class:`InMemoryManifestStore` — the object-store contract
+  (S3/GCS conditional put, ``If-None-Match: *``) as executable
+  documentation: a real bucket adapter only has to map the same four
+  calls onto list/get/put-if-absent/delete API calls.
+
+On either store, :class:`ManifestLog.commit` is an optimistic
+compare-and-swap append: read the newest manifest, apply the caller's
+pure update function, publish at ``seq+1`` with put-if-absent, and on
+collision re-read and re-apply. That upgrades the engine from the
+reference's single-writer assumption (one primary serializes writes)
+to multi-writer safety: two concurrent writers both land, the loser
+of the race re-merges onto the winner's manifest instead of
+clobbering it.
+
+The CAS key is the sequence number ALONE (``{seq:012d}.json``) — keying
+by ``{seq}-{commit}.json`` would let two writers at the same seq with
+different commit ids both "succeed" under different names, and the
+lexicographically larger one would silently win. The commit id lives
+inside the manifest document.
+"""
+
+from __future__ import annotations
+
+import abc
+import json
+import os
+import re
+import threading
+import uuid
+from collections.abc import Callable
+
+# Accepts both the current seq-only key and the legacy
+# ``{seq:012d}-{cid}.json`` name so stores written by older code stay
+# readable; new publishes always use the seq-only key.
+_NAME_RE = re.compile(r"^(\d{12})(-[0-9a-f]+)?\.json$")
+
+
+class CommitConflict(RuntimeError):
+    """A CAS commit lost the publish race more times than the retry
+    budget allows — the store is under pathological write contention."""
+
+
+def manifest_name(seq: int) -> str:
+    return f"{seq:012d}.json"
+
+
+def parse_seq(name: str) -> int | None:
+    """Sequence number encoded in a manifest file name, or None if the
+    name is not a manifest (temp files, foreign junk)."""
+    m = _NAME_RE.match(name)
+    return int(m.group(1)) if m else None
+
+
+class ManifestStore(abc.ABC):
+    """Minimal blob surface the manifest log needs — the four calls
+    every object store and every POSIX directory can provide."""
+
+    @abc.abstractmethod
+    def list(self) -> list[str]:
+        """All blob names (unordered). An uninitialized store lists
+        empty rather than raising — a virgin store is not an error."""
+
+    @abc.abstractmethod
+    def get(self, name: str) -> bytes:
+        """Blob content; raises FileNotFoundError if absent."""
+
+    @abc.abstractmethod
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        """Atomically create ``name`` with ``data`` iff it does not
+        exist. True on success; False if the name already exists (the
+        CAS failure arm). Readers must never observe partial content."""
+
+    @abc.abstractmethod
+    def delete(self, name: str) -> None:
+        """Remove a blob; deleting an absent name is a no-op (vacuum
+        races with itself harmlessly)."""
+
+
+class PosixManifestStore(ManifestStore):
+    """Directory-of-files store for local / NFS deployments."""
+
+    def __init__(self, directory: str):
+        self.directory = directory
+
+    def list(self) -> list[str]:
+        try:
+            return os.listdir(self.directory)
+        except FileNotFoundError:
+            return []
+
+    def get(self, name: str) -> bytes:
+        with open(os.path.join(self.directory, name), "rb") as f:
+            return f.read()
+
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        os.makedirs(self.directory, exist_ok=True)
+        final = os.path.join(self.directory, name)
+        # Land the full content under a unique temp name first, then
+        # hard-link to the final name: link(2) fails with EEXIST if the
+        # name is taken, and a reader can never open a half-written
+        # manifest because the temp name never matches _NAME_RE.
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def delete(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self.directory, name))
+        except FileNotFoundError:
+            pass
+
+
+class InMemoryManifestStore(ManifestStore):
+    """The object-store conditional-put contract, in memory: what an
+    S3/GCS adapter must guarantee (atomic ``If-None-Match: *``),
+    plus a test hook to interleave a competing commit at the worst
+    possible moment."""
+
+    def __init__(self):
+        self._blobs: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+        # Test hook: called (without the lock) before each put attempt —
+        # a contention test injects a competing writer here.
+        self.before_put: Callable[[str], None] | None = None
+
+    def list(self) -> list[str]:
+        with self._lock:
+            return list(self._blobs)
+
+    def get(self, name: str) -> bytes:
+        with self._lock:
+            try:
+                return self._blobs[name]
+            except KeyError:
+                raise FileNotFoundError(name) from None
+
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        if self.before_put is not None:
+            self.before_put(name)
+        with self._lock:
+            if name in self._blobs:
+                return False
+            self._blobs[name] = data
+            return True
+
+    def delete(self, name: str) -> None:
+        with self._lock:
+            self._blobs.pop(name, None)
+
+
+class ManifestLog:
+    """The commit log: versioned manifests over any ManifestStore."""
+
+    def __init__(self, store: ManifestStore):
+        self.store = store
+
+    def names(self) -> list[tuple[int, str]]:
+        """Retained manifests as (seq, blob name), ascending by seq —
+        the seq comes from the NAME, so listing the history never opens
+        a single manifest."""
+        out = []
+        for n in self.store.list():
+            seq = parse_seq(n)
+            if seq is not None:
+                out.append((seq, n))
+        out.sort()
+        return out
+
+    def load(self, seq: int | None = None) -> dict | None:
+        """Newest manifest, or the one with sequence ``seq`` for time
+        travel. Returns None only for "no manifest yet" with no seq
+        requested; an explicit seq that is not retained — including on
+        a virgin store — raises FileNotFoundError (vacuumed or never
+        published), never a silently-empty snapshot."""
+        names = self.names()
+        if seq is not None:
+            hit = [n for s, n in names if s == seq]
+            if not hit:
+                raise FileNotFoundError(
+                    f"no manifest with seq {seq} (vacuumed, or never "
+                    f"published); retained history: "
+                    f"{[s for s, _ in names] or 'none'}")
+            return json.loads(self.store.get(hit[0]))
+        if not names:
+            return None
+        return json.loads(self.store.get(names[-1][1]))
+
+    def commit(self, update: Callable[[dict | None], dict | None],
+               max_attempts: int = 50) -> dict | None:
+        """Optimistic CAS append. ``update(prev_manifest)`` returns the
+        next manifest body (``{"commit": cid, "graphs": {...}}``) or
+        None to abort (nothing to publish). Must be a pure function of
+        its argument: on a lost race it is re-applied to the winner's
+        manifest, which is exactly how two concurrent writers merge
+        instead of clobbering each other."""
+        for _ in range(max_attempts):
+            prev = self.load()
+            body = update(prev)
+            if body is None:
+                return None
+            seq = (prev["seq"] + 1) if prev else 1
+            doc = {"seq": seq, **body}
+            data = json.dumps(doc).encode()
+            if self.store.put_if_absent(manifest_name(seq), data):
+                return doc
+        raise CommitConflict(
+            f"lost the manifest publish race {max_attempts} times")
+
+    def vacuum(self, keep_last: int = 1) -> set[str]:
+        """Drop all but the newest ``keep_last`` manifests; returns the
+        set of commit ids the RETAINED manifests still reference (the
+        live set the data-file vacuum must preserve). ``keep_last`` is
+        the retention window that lets time travel and space
+        reclamation coexist: seqs inside it stay pinnable."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        names = self.names()
+        retained = names[-keep_last:]
+        live = set()
+        for _, n in retained:
+            live.update(json.loads(self.store.get(n))["graphs"].values())
+        for _, n in names[:-keep_last]:
+            self.store.delete(n)
+        return live
