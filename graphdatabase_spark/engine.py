@@ -65,6 +65,20 @@ from graphdatabase_spark.operators import dfs as dfs_mod
 from graphdatabase_spark.operators import graph_algos, pregel
 from graphdatabase_spark.sources import matrix as matrix_mod
 
+def _pack_ids(df: DataFrame, gidx: DataFrame, stride: int,
+              cols: tuple[str, ...]) -> DataFrame:
+    """Map per-graph vertex ids into disjoint long ranges
+    (``gidx * stride + id``) via a broadcast join against the small
+    ``(gidx, graph)`` index DataFrame. The join keeps the PLAN size
+    constant regardless of catalog size — the previous literal
+    ``create_map`` encode grew the plan by two entries per stored
+    graph, which blows up at a 10^5-graph catalog even though the data
+    path is fine (pinned by the plan-size test in test_engine.py)."""
+    packed = [(F.col("gidx") * stride + F.col(c).cast("long")).alias(c)
+              for c in cols]
+    return df.join(F.broadcast(gidx), "graph").select(*packed)
+
+
 class GraphSnapshot:
     """One consistent, immutable view of the store: the manifest is
     resolved ONCE at construction, and every read serves exactly the
@@ -417,14 +431,46 @@ class GraphEngine:
             snap.vertices(name).select("vid"),
             max_iterations=max_iterations)
 
+    def _packed_union(self, snap: GraphSnapshot, graphs: list[str]):
+        """One consistent packed view of the whole store for batched
+        per-graph-disjoint kernels: ``(gidx_df, stride, edges,
+        vertices)`` with every graph's 1..N vids mapped into a disjoint
+        long range. Stride comes from the catalog's own meta (one
+        metadata-sized driver read); encode/decode are broadcast joins
+        against the (gidx, graph) index — constant plan size."""
+        max_n = snap.meta().agg(F.max("n")).collect()[0][0] or 0
+        stride = int(max_n) + 1
+        if len(graphs) * stride >= 2 ** 62:
+            raise ValueError(
+                f"packed vertex ids would overflow int64: {len(graphs)} "
+                f"graphs x stride {stride}; run the per-graph kernels or "
+                f"partition the catalog")
+        gidx = self.spark.createDataFrame(
+            list(enumerate(graphs)), "gidx long, graph string")
+        e = _pack_ids(snap.edges(), gidx, stride, ("src", "dst"))
+        v = _pack_ids(snap.vertices(), gidx, stride, ("vid",))
+        return gidx, stride, e, v
+
+    def _unpack_labels(self, out: DataFrame, gidx: DataFrame, stride: int,
+                       label_col: str) -> DataFrame:
+        """Decode a packed kernel result ``(vid, <label>)`` back to
+        ``(graph, vid, <label>)``. ``div`` is exact integer division
+        on longs — float division was exact only below 2^53 and could
+        mis-decode labels on a very large store."""
+        dec = out.select(
+            F.expr(f"vid div {stride}").alias("gidx"),
+            (F.col("vid") % stride).cast("int").alias("vid"),
+            (F.col(label_col) % stride).cast("int").alias(label_col))
+        return dec.join(F.broadcast(gidx), "gidx") \
+            .select("graph", "vid", label_col)
+
     def scc_all(self,
                 max_iterations: int = pregel.DEFAULT_MAX_ITERATIONS) -> DataFrame:
         """Batched SCC: ``(graph, vid, scc)`` for EVERY stored graph in
         ONE kernel run (the set-oriented form, like :meth:`bfs_all`).
         No inter-graph edges exist, so components can never span
-        graphs — mapping each graph's vids into a disjoint long range
-        (``graph_index * stride + vid``, stride > any vid, derived from
-        the store's own meta) lets the single-graph kernel decompose
+        graphs — packing each graph's vids into a disjoint long range
+        (:meth:`_packed_union`) lets the single-graph kernel decompose
         the whole store at once, and the labels decode back to
         (graph, min member vid) exactly. Per-graph results equal
         :meth:`scc` (pinned by tests)."""
@@ -432,29 +478,52 @@ class GraphEngine:
         graphs = snap.graphs()
         if not graphs:
             return self.spark.createDataFrame([], "graph string, vid int, scc int")
-        # stride from the catalog: > max declared N across graphs (vids
-        # are 1..N; empty graphs contribute nothing). One metadata-sized
-        # driver read of the meta table.
-        max_n = snap.meta().agg(F.max("n")).collect()[0][0] or 0
-        stride = int(max_n) + 1
-        gidx = {g: i for i, g in enumerate(graphs)}
-        gmap = F.create_map(*[x for g, i in gidx.items()
-                              for x in (F.lit(g), F.lit(i))])
-
-        def enc(col: str) -> F.Column:
-            return gmap[F.col("graph")].cast("long") * stride \
-                + F.col(col).cast("long")
-
-        e = snap.edges().select(enc("src").alias("src"), enc("dst").alias("dst"))
-        v = snap.vertices().select(enc("vid").alias("vid"))
+        gidx, stride, e, v = self._packed_union(snap, graphs)
         out = pregel.strongly_connected_components(e, v,
                                                    max_iterations=max_iterations)
-        inv = F.create_map(*[x for g, i in gidx.items()
-                             for x in (F.lit(i), F.lit(g))])
-        return out.select(
-            inv[(F.col("vid") / stride).cast("long")].alias("graph"),
-            (F.col("vid") % stride).cast("int").alias("vid"),
-            (F.col("scc") % stride).cast("int").alias("scc"))
+        return self._unpack_labels(out, gidx, stride, "scc")
+
+    def cc_all(self,
+               max_iterations: int = pregel.DEFAULT_MAX_ITERATIONS) -> DataFrame:
+        """Batched connected components: ``(graph, vid, component)``
+        for EVERY stored graph (viewed undirected, like
+        :meth:`connected_components`) in ONE large-star/small-star run
+        over the packed union. Min-label components can never cross the
+        disjoint vid ranges, so per-graph results equal the per-graph
+        kernel exactly (pinned by tests); whole-store cost is one
+        O(log n) contraction, not one run per graph."""
+        snap = self.snapshot()
+        graphs = snap.graphs()
+        if not graphs:
+            return self.spark.createDataFrame(
+                [], "graph string, vid int, component int")
+        gidx, stride, e, v = self._packed_union(snap, graphs)
+        out = pregel.connected_components(e, v, max_iterations=max_iterations)
+        return self._unpack_labels(out, gidx, stride, "component")
+
+    def pagerank_all(self, iterations: int = 10) -> DataFrame:
+        """Batched PageRank: ``(graph, vid, rank)`` for EVERY stored
+        graph in ONE superstep loop, with per-graph semantics equal to
+        :meth:`pagerank` (pinned by tests). PageRank CANNOT run on the
+        packed disjoint union — teleport and dangling mass would leak
+        across graphs — so this routes to the grouped kernel
+        (:func:`pregel.pagerank_grouped`), which keeps those terms
+        per-group; the graph name still joins through the small
+        broadcast index, never a per-graph literal in the plan."""
+        snap = self.snapshot()
+        graphs = snap.graphs()
+        if not graphs:
+            return self.spark.createDataFrame(
+                [], "graph string, vid int, rank double")
+        gidx = self.spark.createDataFrame(
+            list(enumerate(graphs)), "gidx long, graph string")
+        e = (snap.edges().join(F.broadcast(gidx), "graph")
+             .select(F.col("gidx").alias("g"), "src", "dst"))
+        v = (snap.vertices().join(F.broadcast(gidx), "graph")
+             .select(F.col("gidx").alias("g"), "vid"))
+        out = pregel.pagerank_grouped(e, v, iterations=iterations)
+        return (out.join(F.broadcast(gidx), out.g == gidx.gidx)
+                .select("graph", F.col("vid").cast("int").alias("vid"), "rank"))
 
     def pagerank(self, name: str, iterations: int = 10) -> DataFrame:
         """``(vid, rank)`` over one stored graph (float API; the

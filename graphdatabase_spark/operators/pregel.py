@@ -266,6 +266,76 @@ def pagerank(edges: DataFrame, vertices: DataFrame, damping: float = 0.85,
     return ranks
 
 
+def pagerank_grouped(edges: DataFrame, vertices: DataFrame,
+                     damping: float = 0.85, iterations: int = 10) -> DataFrame:
+    """PageRank over MANY disjoint graphs in ONE superstep loop:
+    edges ``(g, src, dst)``, vertices ``(g, vid)`` → ``(g, vid, rank)``,
+    with per-group semantics identical to :func:`pagerank` run on each
+    group alone — teleport mass is ``(1-d)`` per vertex OF THAT GROUP
+    and dangling mass redistributes within its group only. (Running the
+    ungrouped kernel on a packed disjoint union would be wrong for
+    exactly that reason: teleport and dangling mass would leak across
+    graphs in proportion to their sizes.)
+
+    The batched form of the reference's one-graph-per-request serving
+    (``secondary_server.c:588-618``; SURVEY §1.4): per superstep the
+    union of all graphs' contributions shuffles once against the
+    (g, src)-partitioned edges, and the per-group scalars (vertex
+    count, dangling mass) are one-row-per-group aggregates joined back
+    on ``g`` — never collected, and broadcast by AQE while the catalog
+    is small. Whole-store cost ≈ the cost of the largest graph's
+    iterations, not the sum of per-graph runs."""
+    e = edges.select(F.col("g").cast("long"), F.col("src").cast("long"),
+                     F.col("dst").cast("long"))
+    e = e.repartition("g", "src").persist()
+    out_deg = e.groupBy("g", "src").agg(F.count(F.lit(1)).alias("odeg"))
+    ev = e.join(out_deg, ["g", "src"]).select("g", "src", "dst", "odeg").persist()
+    verts = (vertices.select(F.col("g").cast("long"), F.col("vid").cast("long"))
+             .distinct().persist())
+    # per-group vertex count: the grouped analogue of pagerank's scalar n
+    ng = verts.groupBy("g").agg(F.count(F.lit(1)).alias("__n")).persist()
+    ng.count()
+    dang = (verts.join(out_deg,
+                       (verts.g == out_deg.g) & (verts.vid == out_deg.src),
+                       "left_anti")
+            .select("g", "vid").persist())
+    dang.count()
+    ranks = verts.withColumn("rank", F.lit(1.0))
+    ranks = ranks.localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(ev, (ranks.g == ev.g) & (ranks.vid == ev.src))
+            .select(ev.g.alias("g"), F.col("dst").alias("vid"),
+                    (F.col("rank") / F.col("odeg")).alias("c"))
+            .groupBy("g", "vid").agg(F.sum("c").alias("recv"))
+        )
+        # dangling mass per group — one row per graph, joined back on g
+        # (groups with no dangling vertices get no row → coalesce 0)
+        dangling = (
+            ranks.join(dang, ["g", "vid"], "left_semi")
+            .groupBy("g").agg(F.sum("rank").alias("__m"))
+        )
+        base = (F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("__m"), F.lit(0.0))
+                / F.col("__n"))
+        ranks = (
+            verts.join(contribs, ["g", "vid"], "left")
+            .join(dangling, "g", "left")
+            .join(ng, "g")
+            .select("g", "vid",
+                    (base + F.lit(damping)
+                     * F.coalesce(F.col("recv"), F.lit(0.0))).alias("rank"))
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    ev.unpersist()
+    verts.unpersist()
+    ng.unpersist()
+    dang.unpersist()
+    e.unpersist()
+    return ranks
+
+
 def pagerank_quantized(edges: DataFrame, vertices: DataFrame,
                        iterations: int = 10, scale: int = 10**9) -> DataFrame:
     """PageRank in scaled-int64 arithmetic: ``(vid, rank_q)`` where

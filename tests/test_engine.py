@@ -319,6 +319,67 @@ def test_scc_all_matches_per_graph(engine):
     assert batched["CYC"] == {(1, 1), (2, 1), (3, 1), (4, 4)}
 
 
+def test_packed_encode_plan_size_is_catalog_independent(spark):
+    """The batched kernels encode (graph, vid) → packed long via a
+    broadcast join against a small index DataFrame. The PLAN must stay
+    constant-size as the catalog grows — the previous literal
+    create_map encode grew it by two entries per stored graph, which
+    explodes at a 10^5-graph catalog."""
+    from graphdatabase_spark.engine import _pack_ids
+    e = spark.createDataFrame([("g0", 1, 2)], "graph string, src int, dst int")
+    sizes = {}
+    for n in (10, 2000):
+        gidx = spark.createDataFrame([(i, f"g{i}") for i in range(n)],
+                                     "gidx long, graph string")
+        packed = _pack_ids(e, gidx, 1000, ("src", "dst"))
+        sizes[n] = len(packed._jdf.queryExecution().optimizedPlan().toString())
+        assert packed.collect() == [(1000 * 0 + 1, 2)]  # g0 → gidx 0
+    assert sizes[2000] <= sizes[10] + 50, sizes  # constant, not O(catalog)
+
+
+def test_cc_all_matches_per_graph(engine):
+    """Batched CC over the packed union must equal the per-graph kernel
+    for every stored graph — min labels cannot cross the disjoint vid
+    ranges — including the empty G12 (no rows) and a multi-component
+    hand graph."""
+    for name in ("G1", "G3", "G12"):
+        engine.add_graph(name, _fixture_text(name))
+    engine.add_graph("MC", "5\n0 1 0 0 0\n1 0 0 0 0\n0 0 0 1 0\n0 0 1 0 0\n0 0 0 0 0\n")
+    batched = {}
+    for r in engine.cc_all().collect():
+        batched.setdefault(r["graph"], set()).add((r["vid"], r["component"]))
+    assert "G12" not in batched
+    for name in ("G1", "G3", "MC"):
+        want = {(r["vid"], r["component"])
+                for r in engine.connected_components(name).collect()}
+        assert batched[name] == want, name
+    assert batched["MC"] == {(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)}
+
+
+def test_pagerank_all_matches_per_graph(engine):
+    """Batched PageRank must reproduce the per-graph kernel for every
+    stored graph — the grouped kernel keeps teleport and dangling mass
+    within each graph (a packed-union run would leak them across
+    graphs, which is exactly why pagerank_all doesn't use packing).
+    Graphs of DIFFERENT sizes are the discriminating case: any
+    cross-graph mass leak shifts every rank."""
+    engine.add_graph("PA", "2\n0 1\n0 0\n")               # dangling vertex 2
+    engine.add_graph("PB", "4\n0 1 1 0\n0 0 1 0\n1 0 0 1\n0 0 0 0\n")
+    engine.add_graph("PC", _fixture_text("G1"))
+    batched = {}
+    for r in engine.pagerank_all(iterations=8).collect():
+        batched.setdefault(r["graph"], {})[r["vid"]] = r["rank"]
+    for name in ("PA", "PB", "PC"):
+        want = {r["vid"]: r["rank"]
+                for r in engine.pagerank(name, iterations=8).collect()}
+        got = batched[name]
+        assert got.keys() == want.keys(), name
+        for vid, rank in want.items():
+            assert abs(got[vid] - rank) < 1e-9, (name, vid, got[vid], rank)
+        # per-graph mass conservation: ranks sum to that graph's n
+        assert abs(sum(got.values()) - len(got)) < 1e-6, name
+
+
 def test_stats_matches_fixture_shapes(engine):
     """Catalog stats must match hand-derived fixture shapes, including
     the empty graph reporting zeros."""
