@@ -149,6 +149,17 @@ class GraphSnapshot:
     def edges(self, name: str | None = None) -> DataFrame:
         return self._table("edges", "src int, dst int", name)
 
+    def weighted_edges(self, name: str | None = None) -> DataFrame:
+        """``(src, dst, w, graph)`` — the stored integer edge weights
+        (cell values of the generalized matrix ingest). Commits written
+        before weights existed have no ``w`` column in their parquet;
+        the explicit-schema read surfaces those as NULL and they
+        coalesce to weight 1, the only weight the 0/1 format could
+        express — so old stores read identically."""
+        e = self._table("edges", "src int, dst int, w int", name)
+        return e.select("src", "dst",
+                        F.coalesce("w", F.lit(1)).alias("w"), "graph")
+
     def vertices(self, name: str | None = None) -> DataFrame:
         return self._table("vertices", "vid int", name)
 
@@ -204,7 +215,10 @@ class GraphEngine:
             F.trim(F.col("line")).cast("int").alias("n"), "graph")
         cid = uuid.uuid4().hex[:12]
         writes = (
-            (matrix_mod.melt_matrix_lines(lines), "edges"),
+            # weighted melt: on the reference's 0/1 matrices this is
+            # exactly the 0/1 edge set with w=1 (pinned by tests); a
+            # nonzero integer cell generalizes to a weighted edge.
+            (matrix_mod.melt_matrix_lines_weighted(lines), "edges"),
             (matrix_mod.matrix_vertices(lines), "vertices"),
             (meta, "meta"),
         )
@@ -257,9 +271,13 @@ class GraphEngine:
             return
         cid = uuid.uuid4().hex[:12]
         for table in ("edges", "vertices", "meta"):
-            df = snap._table(table, {"edges": "src int, dst int",
-                                     "vertices": "vid int",
-                                     "meta": "n int"}[table], None)
+            if table == "edges":
+                # the weighted read normalizes legacy commits (no w
+                # column) to w=1, so compaction also migrates them
+                df = snap.weighted_edges()
+            else:
+                df = snap._table(table, {"vertices": "vid int",
+                                         "meta": "n int"}[table], None)
             (df.select(*[c for c in df.columns if c != "graph"], "graph")
                .write.mode("overwrite").partitionBy("graph")
                .parquet(os.path.join(self.store, "data", table, f"c={cid}")))
@@ -321,6 +339,9 @@ class GraphEngine:
 
     def edges(self, name: str | None = None) -> DataFrame:
         return self.snapshot().edges(name)
+
+    def weighted_edges(self, name: str | None = None) -> DataFrame:
+        return self.snapshot().weighted_edges(name)
 
     def vertices(self, name: str | None = None) -> DataFrame:
         return self.snapshot().vertices(name)
@@ -524,6 +545,23 @@ class GraphEngine:
         out = pregel.pagerank_grouped(e, v, iterations=iterations)
         return (out.join(F.broadcast(gidx), out.g == gidx.gidx)
                 .select("graph", F.col("vid").cast("int").alias("vid"), "rank"))
+
+    def sssp(self, name: str, start: int) -> DataFrame:
+        """``(vertex, dist)`` weighted single-source shortest paths
+        over one STORED graph, using the integer weights of the
+        generalized matrix ingest (cell value = weight; plain 0/1
+        matrices give hop counts). Rejects negative weights up front —
+        the relaxation kernel assumes non-negativity, and on a cyclic
+        graph a negative weight would silently converge to the
+        iteration bound instead of a meaningful distance."""
+        we = self.weighted_edges(name) \
+            .select("src", "dst", F.col("w").alias("weight"))
+        if not we.filter(F.col("weight") < 0).isEmpty():
+            raise ValueError(
+                f"graph {name!r} has negative edge weights; shortest "
+                f"paths are defined here for non-negative weights only")
+        out = pregel.sssp_weighted(we, [start])
+        return out.select(F.col("vid").cast("int").alias("vertex"), "dist")
 
     def pagerank(self, name: str, iterations: int = 10) -> DataFrame:
         """``(vid, rank)`` over one stored graph (float API; the

@@ -54,6 +54,36 @@ def melt_matrix_lines(lines: DataFrame) -> DataFrame:
             .select("graph", "src", (F.col("pos") + 1).cast("int").alias("dst")))
 
 
+def melt_matrix_lines_weighted(lines: DataFrame) -> DataFrame:
+    """Weighted melt — a strict generalization of the reference's 0/1
+    exchange format: any NONZERO integer cell is an edge whose weight
+    is the cell value, so ``A[i][j]=w ⇒ edge i+1 → j+1 with weight w``.
+    Output: ``(graph, src, dst, w)``. On a 0/1 matrix this emits
+    exactly :func:`melt_matrix_lines`'s edge set with ``w = 1``
+    everywhere (pinned by tests), so the reference's own fixtures
+    round-trip unchanged; the declared-N bounding is identical.
+    Non-integer cells parse to NULL and are non-edges, like the 0/1
+    melt's "anything but '1' is a non-edge"."""
+    n_per_graph = lines.filter(F.col("line_no") == 0).select(
+        "graph", F.trim(F.col("line")).cast("int").alias("__n"))
+    rows = (lines.filter(F.col("line_no") >= 1)
+            .filter(F.trim(F.col("line")) != "")
+            .join(n_per_graph, "graph")
+            .filter(F.col("line_no") <= F.col("__n")))
+    cells = rows.select(
+        "graph", "__n",
+        F.col("line_no").cast("int").alias("src"),
+        F.posexplode(F.split(F.trim(F.col("line")), r"\s+")).alias("pos", "cell"),
+    )
+    return (cells
+            .select("graph", "__n", "src", "pos",
+                    F.col("cell").cast("int").alias("w"))
+            .filter(F.col("w").isNotNull() & (F.col("w") != 0)
+                    & (F.col("pos") < F.col("__n")))
+            .select("graph", "src",
+                    (F.col("pos") + 1).cast("int").alias("dst"), "w"))
+
+
 def matrix_vertices(lines: DataFrame) -> DataFrame:
     """``(graph, vid)`` for vids 1..N — present even for isolated
     vertices (N comes from line 0 of each file)."""

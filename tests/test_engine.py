@@ -380,6 +380,111 @@ def test_pagerank_all_matches_per_graph(engine):
         assert abs(sum(got.values()) - len(got)) < 1e-6, name
 
 
+def test_weighted_ingest_roundtrip(engine):
+    """The generalized matrix ingest: nonzero integer cells are edges
+    with the cell value as weight. The unweighted view of the same
+    store is just the edge set."""
+    engine.add_graph("W", "3\n0 2 0\n0 0 5\n1 0 0\n")
+    got = {(r["src"], r["dst"], r["w"])
+           for r in engine.weighted_edges("W").collect()}
+    assert got == {(1, 2, 2), (2, 3, 5), (3, 1, 1)}
+    assert {(r["src"], r["dst"]) for r in engine.edges("W").collect()} == \
+        {(1, 2), (2, 3), (3, 1)}
+
+
+def test_weighted_melt_matches_01_melt_on_reference_format(engine, spark):
+    """On the reference's own 0/1 exchange format the weighted melt
+    must emit exactly the 0/1 melt's edge set with w=1 everywhere —
+    the generalization is strict, old fixtures round-trip unchanged."""
+    from graphdatabase_spark.sources import matrix as matrix_mod
+    lines = matrix_mod.lines_from_text(spark, "G6", _fixture_text("G6"))
+    plain = {(r["src"], r["dst"])
+             for r in matrix_mod.melt_matrix_lines(lines).collect()}
+    weighted = {(r["src"], r["dst"], r["w"])
+                for r in matrix_mod.melt_matrix_lines_weighted(lines).collect()}
+    assert weighted == {(s, d, 1) for s, d in plain}
+    assert len(plain) > 0
+
+
+def test_legacy_unweighted_commits_read_as_weight_one(engine, spark):
+    """Commits written before edge weights existed have no w column in
+    their parquet; the weighted read must surface them as weight 1 (the
+    only weight the 0/1 format could express), and compaction migrates
+    them to the new layout."""
+    import shutil
+    engine.add_graph("L", "2\n0 1\n0 0\n")
+    cid = engine.manifests.load()["graphs"]["L"]
+    path = os.path.join(engine.store, "data", "edges", f"c={cid}")
+    rows = [(r["src"], r["dst"], r["graph"])
+            for r in spark.read.parquet(path).select("src", "dst", "graph").collect()]
+    shutil.rmtree(path)
+    (spark.createDataFrame(rows, "src int, dst int, graph string")
+     .write.partitionBy("graph").parquet(path))
+    assert {(r["src"], r["dst"], r["w"])
+            for r in engine.weighted_edges("L").collect()} == {(1, 2, 1)}
+    engine.compact()
+    cid2 = engine.manifests.load()["graphs"]["L"]
+    assert cid2 != cid
+    post = spark.read.parquet(
+        os.path.join(engine.store, "data", "edges", f"c={cid2}"))
+    assert "w" in post.columns  # compaction wrote the weight column
+    assert {(r["src"], r["dst"], r["w"])
+            for r in engine.weighted_edges("L").collect()} == {(1, 2, 1)}
+
+
+def test_compact_preserves_weights(engine):
+    engine.add_graph("WC", "2\n0 7\n3 0\n")
+    engine.add_graph("WD", "2\n0 1\n0 0\n")
+    engine.compact()
+    engine.vacuum()
+    got = {(r["graph"], r["src"], r["dst"], r["w"])
+           for r in engine.weighted_edges().collect()}
+    assert got == {("WC", 1, 2, 7), ("WC", 2, 1, 3), ("WD", 1, 2, 1)}
+
+
+def test_sssp_facade_matches_bellman_ford_oracle(engine):
+    """Weighted shortest paths over a STORED graph vs an independent
+    recursive-CTE Bellman-Ford oracle (DuckDB) on a seeded random
+    weighted digraph — path length bounded by n, so the CTE is exact."""
+    import random
+
+    import duckdb
+    rng = random.Random(7)
+    n = 10
+    m = [[0] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(n):
+            if i != j and rng.random() < 0.3:
+                m[i][j] = rng.randint(1, 9)
+    text = f"{n}\n" + "\n".join(" ".join(str(c) for c in row) for row in m) + "\n"
+    engine.add_graph("BF", text)
+    got = {r["vertex"]: r["dist"] for r in engine.sssp("BF", 1).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src INT, dst INT, w INT)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)",
+                    [(i + 1, j + 1, m[i][j])
+                     for i in range(n) for j in range(n) if m[i][j]])
+    want = dict(con.execute(f"""
+        WITH RECURSIVE bf(i, vid, dist) AS (
+            SELECT 0, 1, 0
+            UNION
+            SELECT i + 1, e.dst, bf.dist + e.w
+            FROM bf JOIN e ON e.src = bf.vid
+            WHERE i < {n}
+        )
+        SELECT vid, MIN(dist) FROM bf GROUP BY vid""").fetchall())
+    assert {v: int(d) for v, d in got.items()} == want
+    assert len(want) > 3  # non-trivial reachable set under seed 7
+
+
+def test_sssp_rejects_negative_weights(engine):
+    engine.add_graph("NEG", "2\n0 -2\n0 0\n")
+    assert {(r["src"], r["dst"], r["w"])
+            for r in engine.weighted_edges("NEG").collect()} == {(1, 2, -2)}
+    with pytest.raises(ValueError, match="negative"):
+        engine.sssp("NEG", 1)
+
+
 def test_stats_matches_fixture_shapes(engine):
     """Catalog stats must match hand-derived fixture shapes, including
     the empty graph reporting zeros."""
