@@ -7,6 +7,19 @@ Timing = full wall-clock per query including plan build and collect to
 the driver (what a user of the engine experiences). One warm-up action
 runs first so JVM/codegen startup is not charged to the first query.
 
+Committed sweeps are MEDIANS: the full sweep runs ``--repeat N`` times
+(default 3, env SPARK_GRAFT_BENCH_REPEAT) with the shared operator
+caches released between sweeps, and every per-query figure is the
+median across completed sweeps. Single-run sweeps on this host swing
+2-12x on individual queries (three rounds of outlier triage concluded
+"host noise" every time — BENCH_ISO_r0{4,5}.json); the median absorbs
+a one-off swing without a manual isolated cross-check. The JSON line
+is (re)printed after EVERY completed sweep — consumers that parse the
+tail of the output get medians of however many sweeps finished, so a
+timeout degrades to fewer sweeps instead of no result. BENCH_FULL.json
+additionally records each sweep's raw totals (``sweep_totals``) so
+median-of-3 rounds stay comparable to older single-sweep rounds.
+
 Regression triage mode: ``bench.py --isolate id1,id2,...`` runs each
 query in a FRESH subprocess (own JVM) with the standard table warm-up,
 timing one cold execution and one immediately-following warm execution
@@ -107,7 +120,51 @@ def run_isolated(ids: list[str]) -> None:
                      sort_keys=True))
 
 
-def main() -> None:
+def _emit(medians: dict[str, float], sweep_totals: list[float],
+          repeat: int) -> None:
+    """Write BENCH_FULL.json and print the budgeted one-line JSON for
+    the current median state. Called after every completed sweep so a
+    killed run still leaves the latest completed medians in the output
+    tail and on disk."""
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(medians.values()), 4),
+        "unit": "sec",
+        "n_queries": len(medians),
+        "queries": medians,
+        "sf": _sf_num(),
+        "sweeps_completed": len(sweep_totals),
+        "repeat": repeat,
+        "sweep_totals": [round(t, 4) for t in sweep_totals],
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    # The driver keeps only the last ~2000 chars of output and parses the
+    # JSON line from that window (BENCH_r02 failed to parse because the
+    # full 87-query map pushed the line past 2000 chars).  Keep the
+    # stdout line under budget by including the slowest queries until
+    # ~1600 bytes (slack for any stderr noise sharing the tail window),
+    # summarizing the rest.
+    budget = 1600
+    shown: dict[str, float] = {}
+    line = ""
+    for name in sorted(medians, key=medians.get, reverse=True):
+        trial = dict(shown)
+        trial[name] = round(medians[name], 2)
+        cand = json.dumps({**full, "queries": trial,
+                           "queries_omitted": len(medians) - len(trial)},
+                          separators=(",", ":"))
+        if len(cand) > budget:
+            break
+        shown, line = trial, cand
+    print(line, flush=True)
+
+
+def main(repeat: int) -> None:
+    import statistics
+
     from graphdatabase_spark import get_spark, registry
 
     # No console progress bars: the driver parses the result JSON from
@@ -123,51 +180,23 @@ def main() -> None:
         spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
     _warm_engine(spark)
 
-    timings: dict[str, float] = {}
-    for name, fn in sorted(registry.queries().items()):
-        t0 = time.perf_counter()
-        rows = fn(spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
-
-    # Free the session-shared operator caches (shingle index, LSH
-    # buckets, …) so back-to-back bench runs in one process start cold.
-    registry.release()
-
-    sf_num = _sf_num()
-
-    # The driver keeps only the last ~2000 chars of output and parses the
-    # JSON line from that window (BENCH_r02 failed to parse because the
-    # full 87-query map pushed the line past 2000 chars).  Emit the full
-    # per-query map to BENCH_FULL.json for the judge, and keep the stdout
-    # line under budget by including the slowest queries until ~1600
-    # bytes (slack for any stderr noise sharing the tail window),
-    # summarizing the rest.
-    full = {
-        "metric": "total_query_wall_seconds",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
-        "n_queries": len(timings),
-        "queries": timings,
-        "sf": sf_num,
-    }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
-
-    budget = 1600
-    shown: dict[str, float] = {}
-    line = ""
-    for name in sorted(timings, key=timings.get, reverse=True):
-        trial = dict(shown)
-        trial[name] = round(timings[name], 2)
-        cand = json.dumps({**full, "queries": trial,
-                           "queries_omitted": len(timings) - len(trial)},
-                          separators=(",", ":"))
-        if len(cand) > budget:
-            break
-        shown, line = trial, cand
-    print(line)
+    sweeps: list[dict[str, float]] = []
+    for s in range(repeat):
+        timings: dict[str, float] = {}
+        for name, fn in sorted(registry.queries().items()):
+            t0 = time.perf_counter()
+            rows = fn(spark, SF_DIR).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+            print(f"# [{s + 1}/{repeat}] {name}: {timings[name]:.3f}s "
+                  f"({len(rows)} rows)", file=sys.stderr)
+        # Free the session-shared operator caches (shingle index, LSH
+        # buckets, …) so every sweep — and any back-to-back bench run
+        # in one process — starts cold with respect to them.
+        registry.release()
+        sweeps.append(timings)
+        medians = {name: round(statistics.median(sw[name] for sw in sweeps), 4)
+                   for name in timings}
+        _emit(medians, [sum(sw.values()) for sw in sweeps], repeat)
 
 
 if __name__ == "__main__":
@@ -175,5 +204,7 @@ if __name__ == "__main__":
         run_single(sys.argv[2])
     elif len(sys.argv) >= 3 and sys.argv[1] == "--isolate":
         run_isolated([q for arg in sys.argv[2:] for q in arg.split(",") if q])
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--repeat":
+        main(max(1, int(sys.argv[2])))
     else:
-        main()
+        main(max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))))
