@@ -1,0 +1,128 @@
+"""Measure batched whole-store analytics vs per-graph loops.
+
+The engine's batched kernels (bfs_all, scc_all, cc_all, pagerank_all)
+claim set-oriented economics: ONE superstep loop over the packed /
+grouped union of every stored graph, so whole-store cost tracks the
+LARGEST graph's superstep count, not the SUM of per-graph runs (each
+of which pays its own kernel setup + its own sequence of driver-side
+superstep barriers). This tool makes that a measured fact:
+
+- builds a store of ``N_GRAPHS`` seeded random digraphs of varied size
+  (the reference's matrix envelope, ``secondary_server.c:30`` caps
+  N at 100) in one bulk ingest commit,
+- times each batched kernel once,
+- times the per-graph loop (the reference's one-graph-per-request
+  serving pattern) over every graph,
+- times the largest graph alone (the batched lower bound),
+
+and writes ``BENCH_STORE.json`` at the repo root.
+
+Usage: python tools/bench_store.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_GRAPHS = 16
+SIZES = [20 + (80 * i) // (N_GRAPHS - 1) for i in range(N_GRAPHS)]  # 20..100
+EDGE_P = 0.08
+PAGERANK_ITERS = 8
+SEED = 20260814
+
+
+def make_matrix(rng: random.Random, n: int) -> str:
+    rows = []
+    for i in range(n):
+        rows.append(" ".join(
+            "1" if (j != i and rng.random() < EDGE_P) else "0"
+            for j in range(n)))
+    return f"{n}\n" + "\n".join(rows) + "\n"
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    n = fn().count()
+    return round(time.perf_counter() - t0, 3), n
+
+
+def main() -> None:
+    from graphdatabase_spark import get_spark
+    from graphdatabase_spark.engine import GraphEngine
+
+    spark = get_spark("bench-store",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="bench_store_")
+    try:
+        rng = random.Random(SEED)
+        gdir = os.path.join(tmp, "graphs")
+        os.makedirs(gdir)
+        names = []
+        for i, n in enumerate(SIZES):
+            name = f"B{i:02d}"
+            names.append(name)
+            with open(os.path.join(gdir, f"{name}.txt"), "w") as f:
+                f.write(make_matrix(rng, n))
+        largest = names[SIZES.index(max(SIZES))]
+        eng = GraphEngine(spark, os.path.join(tmp, "store"))
+        eng.ingest_dir(gdir)
+
+        # warm the JVM + the store's parquet footers off the clock
+        eng.stats().count()
+
+        out: dict[str, dict] = {}
+        kernels = {
+            "bfs": (lambda: eng.bfs_all(1),
+                    lambda g: eng.bfs(g, 1)),
+            "scc": (lambda: eng.scc_all(),
+                    lambda g: eng.scc(g)),
+            "cc": (lambda: eng.cc_all(),
+                   lambda g: eng.connected_components(g)),
+            "pagerank": (lambda: eng.pagerank_all(iterations=PAGERANK_ITERS),
+                         lambda g: eng.pagerank(g, iterations=PAGERANK_ITERS)),
+        }
+        for key, (batched, per_graph) in kernels.items():
+            b_sec, b_rows = timed(batched)
+            l_sec, _ = timed(lambda: per_graph(largest))
+            s_sec = 0.0
+            for g in names:
+                t, _ = timed(lambda: per_graph(g))
+                s_sec = round(s_sec + t, 3)
+            out[key] = {
+                "batched_sec": b_sec,
+                "largest_graph_sec": l_sec,
+                "per_graph_sum_sec": s_sec,
+                "rows": b_rows,
+                "speedup_vs_sum": round(s_sec / b_sec, 2),
+                "ratio_vs_largest": round(b_sec / l_sec, 2),
+            }
+            print(f"# {key}: batched {b_sec}s, largest-alone {l_sec}s, "
+                  f"per-graph sum {s_sec}s", file=sys.stderr)
+
+        doc = {
+            "metric": "whole_store_batched_vs_per_graph_seconds",
+            "n_graphs": N_GRAPHS,
+            "sizes": SIZES,
+            "edge_p": EDGE_P,
+            "seed": SEED,
+            "kernels": out,
+        }
+        with open(os.path.join(REPO, "BENCH_STORE.json"), "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        print(json.dumps(doc, sort_keys=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
