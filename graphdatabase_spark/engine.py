@@ -32,10 +32,12 @@ semantics (SURVEY.md §3.3, §4.1):
 
 The manifest commit log lives behind the pluggable
 :class:`~graphdatabase_spark.metastore.ManifestStore` interface
-(metastore.py): the default is a POSIX directory next to the data,
-and the same four blob calls map onto an object store's conditional
-put — the data-file layout needs no change, commit dirs are
-immutable. Publishing is an optimistic compare-and-swap append
+(metastore.py): auto-selected from the store path — a plain local
+path keeps manifests in a POSIX directory next to the data, a URI
+scheme path (``hdfs://``, ``file:``, ``abfs://``, …) keeps them on
+that same Hadoop filesystem — and the same four blob calls map onto
+an object store's conditional put. The data-file layout needs no
+change, commit dirs are immutable. Publishing is an optimistic compare-and-swap append
 (put-if-absent on the next sequence number, re-read + re-merge on a
 lost race), which upgrades the reference's single-writer assumption
 (one primary server serializes writes, ``load_balancer.c``) to
@@ -64,6 +66,16 @@ from graphdatabase_spark.functions.text import tokens_col
 from graphdatabase_spark.operators import dfs as dfs_mod
 from graphdatabase_spark.operators import graph_algos, pregel
 from graphdatabase_spark.sources import matrix as matrix_mod
+
+
+def _path_scheme(path: str) -> str:
+    """URI scheme of a store path (``hdfs``, ``s3a``, ``file``, …), or
+    ``""`` for a plain local path."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    return scheme if len(scheme) > 1 else ""
+
 
 def _pack_ids(df: DataFrame, gidx: DataFrame, stride: int,
               cols: tuple[str, ...]) -> DataFrame:
@@ -178,10 +190,20 @@ class GraphEngine:
         self.spark = spark
         self.store = store_path
         self.manifest_dir = os.path.join(store_path, "manifests")
-        # Metadata layer: pluggable (see metastore.py) so the commit
-        # log can live on an object store; POSIX directory by default.
-        self.manifests = metastore.ManifestLog(
-            manifest_store or metastore.PosixManifestStore(self.manifest_dir))
+        # Metadata layer: pluggable (see metastore.py). Auto-selected
+        # by the store path's URI scheme so the commit log lives where
+        # the data lives: a plain local path gets the POSIX store, a
+        # scheme path (hdfs://, file:, abfs://, …) gets the Hadoop-
+        # filesystem store reached through the same Spark session that
+        # reads and writes the parquet data dirs.
+        if manifest_store is None:
+            if _path_scheme(store_path):
+                manifest_store = metastore.HadoopFsManifestStore(
+                    spark, self.manifest_dir)
+            else:
+                manifest_store = metastore.PosixManifestStore(
+                    self.manifest_dir)
+        self.manifests = metastore.ManifestLog(manifest_store)
 
     # -- op 1 / op 2: add / modify (full overwrite of one graph) ---------
 
@@ -302,25 +324,48 @@ class GraphEngine:
         versions instead of hours). Typical lifecycle: ``compact()``
         then ``vacuum()`` leaves exactly one live commit per table.
         Manifest deletion goes through the pluggable metadata store;
-        data-dir deletion is filesystem IO (an object-store deployment
-        deletes the same ``c=<cid>`` prefixes through its own API)."""
-        import shutil
-
+        dead commit dirs are removed through Hadoop's FileSystem API
+        when the store path has a URI scheme (so vacuum works end to
+        end on hdfs:// / file: / abfs:// stores) and plain local IO
+        otherwise."""
         live = self.manifests.vacuum(keep_last=keep_last)
         if not live:
             return 0
         removed = 0
         for table in ("edges", "vertices", "meta"):
             root = os.path.join(self.store, "data", table)
-            try:
-                dirs = os.listdir(root)
-            except FileNotFoundError:
-                continue
-            for d in dirs:
-                if d.startswith("c=") and d[2:] not in live:
-                    shutil.rmtree(os.path.join(root, d))
+            for name, rm in self._list_commit_dirs(root):
+                if name.startswith("c=") and name[2:] not in live:
+                    rm()
                     removed += 1
         return removed
+
+    def _list_commit_dirs(self, root: str):
+        """Yield ``(dir name, delete thunk)`` for each entry of a data
+        table's root, via Hadoop FS for scheme paths or POSIX locally;
+        a missing root (a graphless table) yields nothing."""
+        import shutil
+
+        if _path_scheme(self.store):
+            jpath = self.spark._jvm.org.apache.hadoop.fs.Path(root)
+            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            try:
+                statuses = fs.listStatus(jpath)
+            except Exception as exc:
+                if metastore._is_java_file_not_found(exc):
+                    return
+                raise
+            for st in statuses:
+                p = st.getPath()
+                yield p.getName(), (lambda p=p: fs.delete(p, True))
+        else:
+            try:
+                names = os.listdir(root)
+            except FileNotFoundError:
+                return
+            for n in names:
+                full = os.path.join(root, n)
+                yield n, (lambda full=full: shutil.rmtree(full))
 
     # -- catalog ----------------------------------------------------------
 

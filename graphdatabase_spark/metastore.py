@@ -17,6 +17,10 @@ deployment-agnostic:
   Put-if-absent is write-temp + ``os.link`` (hard-linking an existing
   name fails with EEXIST), so the published file is always complete
   AND creation is atomic-if-absent.
+- :class:`HadoopFsManifestStore` — any Hadoop-supported filesystem
+  (``hdfs://``, ``file:``, ``abfs://``, …) reached through Spark's
+  JVM gateway, so the commit log can live NEXT TO the data on the
+  same remote store the parquet tables already use.
 - :class:`InMemoryManifestStore` — the object-store contract
   (S3/GCS conditional put, ``If-None-Match: *``) as executable
   documentation: a real bucket adapter only has to map the same four
@@ -136,6 +140,79 @@ class PosixManifestStore(ManifestStore):
             os.remove(os.path.join(self.directory, name))
         except FileNotFoundError:
             pass
+
+
+def _is_java_file_not_found(exc: Exception) -> bool:
+    """True when a py4j-wrapped Java exception is a FileNotFoundException
+    (any of the java.io / Hadoop flavors)."""
+    je = getattr(exc, "java_exception", None)
+    return je is not None and je.getClass().getName().endswith(
+        "FileNotFoundException")
+
+
+class HadoopFsManifestStore(ManifestStore):
+    """Manifest store on any Hadoop-supported filesystem, reached via
+    Spark's JVM gateway — the commit log lives on the SAME remote store
+    (``hdfs://…/manifests``) as the parquet data dirs next to it.
+
+    Put-if-absent lands the full content under a temp name (which never
+    matches ``_NAME_RE``, so readers ignore it), then renames to the
+    final name: ``FileSystem.rename`` is specified to fail (return
+    False) when the destination exists, and is atomic on HDFS / ABFS /
+    local filesystems. Object stores whose rename is a non-atomic
+    copy+delete (plain S3A without conditional writes) should use a
+    true conditional-put adapter instead — the
+    :class:`InMemoryManifestStore` documents that contract.
+    """
+
+    def __init__(self, spark, directory: str):
+        self.directory = directory
+        self._jvm = spark._jvm
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        self._dir = self._Path(directory)
+        self._fs = self._dir.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _p(self, name: str):
+        return self._Path(self._dir, name)
+
+    def list(self) -> list[str]:
+        try:
+            statuses = self._fs.listStatus(self._dir)
+        except Exception as exc:
+            if _is_java_file_not_found(exc):
+                return []
+            raise
+        return [s.getPath().getName() for s in statuses]
+
+    def get(self, name: str) -> bytes:
+        try:
+            stream = self._fs.open(self._p(name))
+        except Exception as exc:
+            if _is_java_file_not_found(exc):
+                raise FileNotFoundError(name) from None
+            raise
+        try:
+            return bytes(self._jvm.org.apache.commons.io.IOUtils
+                         .toByteArray(stream))
+        finally:
+            stream.close()
+
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        self._fs.mkdirs(self._dir)
+        tmp = self._p(f"{name}.tmp-{uuid.uuid4().hex[:8]}")
+        out = self._fs.create(tmp, False)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+        if self._fs.rename(tmp, self._p(name)):
+            return True
+        self._fs.delete(tmp, False)
+        return False
+
+    def delete(self, name: str) -> None:
+        # FileSystem.delete on an absent path returns False, no raise
+        self._fs.delete(self._p(name), False)
 
 
 class InMemoryManifestStore(ManifestStore):

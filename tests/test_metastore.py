@@ -38,6 +38,24 @@ def test_put_if_absent_is_conditional(tmp_path, make_store):
     assert store.list() == []
 
 
+def test_hadoopfs_store_contract(spark, tmp_path):
+    """The Hadoop-filesystem adapter honors the same blob contract as
+    the POSIX/in-memory stores, exercised here through the real Hadoop
+    FileSystem API on the ``file:`` scheme (the same code path serves
+    hdfs:// and abfs:// deployments)."""
+    store = metastore.HadoopFsManifestStore(spark, f"file:{tmp_path}/m")
+    assert store.list() == []  # virgin store lists empty, no raise
+    with pytest.raises(FileNotFoundError):
+        store.get("000000000001.json")
+    assert store.put_if_absent("000000000001.json", b'{"a": 1}') is True
+    assert store.put_if_absent("000000000001.json", b'{"a": 2}') is False
+    assert store.get("000000000001.json") == b'{"a": 1}'
+    assert store.list() == ["000000000001.json"]  # no .tmp-* residue
+    store.delete("000000000001.json")
+    store.delete("000000000001.json")  # absent delete is a no-op
+    assert store.list() == []
+
+
 def test_posix_put_leaves_no_temp_litter(tmp_path):
     store = PosixManifestStore(str(tmp_path / "m"))
     store.put_if_absent("000000000001.json", b"{}")
@@ -140,6 +158,33 @@ def test_engine_runs_on_conditional_put_store(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         eng.snapshot(seq=1)
     assert {(r["src"], r["dst"]) for r in eng.edges("A").collect()} == {(3, 1)}
+
+
+def test_engine_lifecycle_on_scheme_store_path(spark, tmp_path):
+    """A store path WITH a URI scheme runs the whole engine lifecycle
+    — ingest, modify, time travel, compact, vacuum — through Hadoop's
+    FileSystem API for both manifests and dead-commit cleanup: the
+    deployment shape where the store lives on hdfs:// or an object
+    store, exercised on file: (the scheme this container can serve)."""
+    eng = GraphEngine(spark, f"file:{tmp_path}/s")
+    assert isinstance(eng.manifests.store, metastore.HadoopFsManifestStore)
+    eng.add_graph("A", "2\n0 1\n0 0\n")
+    eng.modify_graph("A", "3\n0 0 0\n0 0 0\n1 0 0\n")
+    assert {(r["src"], r["dst"]) for r in eng.edges("A").collect()} == {(3, 1)}
+    assert {(r["src"], r["dst"])
+            for r in eng.snapshot(seq=1).edges("A").collect()} == {(1, 2)}
+    eng.compact()
+    removed = eng.vacuum()
+    assert removed > 0  # dead commit dirs went through the Hadoop API
+    with pytest.raises(FileNotFoundError):
+        eng.snapshot(seq=1)
+    assert {(r["src"], r["dst"]) for r in eng.edges("A").collect()} == {(3, 1)}
+    # exactly one live commit per table after compact+vacuum
+    import os
+    for table in ("edges", "vertices", "meta"):
+        dirs = [d for d in os.listdir(tmp_path / "s" / "data" / table)
+                if d.startswith("c=")]
+        assert len(dirs) == 1
 
 
 def test_engine_snapshot_seq_on_virgin_store_raises(spark, tmp_path):
