@@ -78,17 +78,22 @@ def _path_scheme(path: str) -> str:
 
 
 def _pack_ids(df: DataFrame, gidx: DataFrame, stride: int,
-              cols: tuple[str, ...]) -> DataFrame:
+              cols: tuple[str, ...],
+              keep: tuple[str, ...] = ()) -> DataFrame:
     """Map per-graph vertex ids into disjoint long ranges
     (``gidx * stride + id``) via a broadcast join against the small
-    ``(gidx, graph)`` index DataFrame. The join keeps the PLAN size
+    ``(gidx, graph)`` index DataFrame, carrying ``keep`` columns (edge
+    weights) through unchanged. The join keeps the PLAN size
     constant regardless of catalog size — the previous literal
     ``create_map`` encode grew the plan by two entries per stored
     graph, which blows up at a 10^5-graph catalog even though the data
-    path is fine (pinned by the plan-size test in test_engine.py)."""
+    path is fine (pinned by the plan-size test in test_engine.py).
+    The inner join also restricts the pack to the graphs LISTED in
+    ``gidx``, which is how batched kernels scope themselves to
+    participating graphs without a second filter."""
     packed = [(F.col("gidx") * stride + F.col(c).cast("long")).alias(c)
               for c in cols]
-    return df.join(F.broadcast(gidx), "graph").select(*packed)
+    return df.join(F.broadcast(gidx), "graph").select(*packed, *keep)
 
 
 class GraphSnapshot:
@@ -607,6 +612,42 @@ class GraphEngine:
                 f"paths are defined here for non-negative weights only")
         out = pregel.sssp_weighted(we, [start])
         return out.select(F.col("vid").cast("int").alias("vertex"), "dist")
+
+    def sssp_all(self, start: int,
+                 max_iterations: int = pregel.DEFAULT_MAX_ITERATIONS) -> DataFrame:
+        """Batched weighted SSSP: ``(graph, vertex, dist)`` from
+        ``start`` for EVERY stored graph containing the start vertex,
+        in ONE relaxation loop over the packed union (disjoint vid
+        ranges — no inter-graph edges, so distances cannot leak across
+        graphs; the per-graph seed is just ``gidx * stride + start``).
+        Per-graph results equal :meth:`sssp` (pinned by tests); weights
+        are validated non-negative in one scan, mirroring the
+        single-graph facade."""
+        snap = self.snapshot()
+        # metadata-sized: which graphs contain the start vertex (the
+        # same participation rule as bfs_all / dfs_leaves_all)
+        graphs = sorted(
+            r["graph"] for r in snap.vertices()
+            .filter(F.col("vid") == start).select("graph").distinct().collect())
+        if not graphs:
+            return self.spark.createDataFrame(
+                [], "graph string, vertex int, dist double")
+        gidx, stride, _, _ = self._packed_union(snap, graphs)
+        we = _pack_ids(snap.weighted_edges(), gidx, stride,
+                       ("src", "dst"), keep=("w",)) \
+            .select("src", "dst", F.col("w").cast("double").alias("weight"))
+        if not we.filter(F.col("weight") < 0).isEmpty():
+            raise ValueError(
+                "a stored graph has negative edge weights; shortest "
+                "paths are defined here for non-negative weights only")
+        sources = [i * stride + start for i in range(len(graphs))]
+        out = pregel.sssp_weighted(we, sources,
+                                   max_iterations=max_iterations)
+        dec = out.select(
+            F.expr(f"vid div {stride}").alias("gidx"),
+            (F.col("vid") % stride).cast("int").alias("vertex"), "dist")
+        return dec.join(F.broadcast(gidx), "gidx") \
+            .select("graph", "vertex", "dist")
 
     def pagerank(self, name: str, iterations: int = 10) -> DataFrame:
         """``(vid, rank)`` over one stored graph (float API; the

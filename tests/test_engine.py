@@ -477,6 +477,33 @@ def test_sssp_facade_matches_bellman_ford_oracle(engine):
     assert len(want) > 3  # non-trivial reachable set under seed 7
 
 
+def test_sssp_all_matches_per_graph(engine):
+    """Batched weighted SSSP over the packed union must equal the
+    per-graph facade for every stored graph containing the start
+    vertex — mixing a weighted graph, a 0/1 graph (hop counts), a
+    graph whose vid range excludes the start, and the empty G12."""
+    engine.add_graph("W", "3\n0 7 0\n0 0 2\n4 0 0\n")     # weighted cycle
+    engine.add_graph("H", "4\n0 1 0 0\n0 0 1 0\n0 0 0 1\n0 0 0 0\n")  # 0/1 path
+    engine.add_graph("G12", _fixture_text("G12"))          # empty
+    batched = {}
+    for r in engine.sssp_all(1).collect():
+        batched.setdefault(r["graph"], {})[r["vertex"]] = r["dist"]
+    assert set(batched) == {"W", "H"}  # G12 lacks vertex 1 entirely
+    for name in ("W", "H"):
+        want = {r["vertex"]: r["dist"]
+                for r in engine.sssp(name, 1).collect()}
+        assert batched[name] == want, name
+    assert batched["W"] == {1: 0.0, 2: 7.0, 3: 9.0}        # weights honored
+    assert batched["H"] == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0}  # hops
+
+
+def test_sssp_all_rejects_negative_weights(engine):
+    engine.add_graph("OK", "2\n0 1\n0 0\n")
+    engine.add_graph("NEG", "2\n0 -2\n0 0\n")
+    with pytest.raises(ValueError, match="negative"):
+        engine.sssp_all(1)
+
+
 def test_sssp_rejects_negative_weights(engine):
     engine.add_graph("NEG", "2\n0 -2\n0 0\n")
     assert {(r["src"], r["dst"], r["w"])

@@ -63,6 +63,35 @@ def test_posix_put_leaves_no_temp_litter(tmp_path):
     assert store.list() == ["000000000001.json"]  # no .tmp-* residue
 
 
+def test_posix_put_race_has_exactly_one_winner(tmp_path):
+    """8 threads race put_if_absent on the SAME manifest name: the
+    hard-link gate must admit exactly one, and the surviving content
+    must be the winner's (os.link is the POSIX conditional-put
+    primitive — this is the actual kernel-level race, not the
+    sequential contract check)."""
+    store = PosixManifestStore(str(tmp_path / "m"))
+    barrier = threading.Barrier(8)
+    wins, errors = [], []
+
+    def racer(i):
+        try:
+            barrier.wait(timeout=30)
+            if store.put_if_absent("000000000001.json", b"%d" % i):
+                wins.append(i)
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors
+    assert len(wins) == 1
+    assert store.get("000000000001.json") == b"%d" % wins[0]
+    assert store.list() == ["000000000001.json"]  # no temp litter either
+
+
 def test_manifest_names_parse_current_and_legacy():
     assert parse_seq(manifest_name(7)) == 7
     assert parse_seq("000000000002-ab12cd34ef56.json") == 2  # legacy layout

@@ -1,6 +1,7 @@
 """Measure batched whole-store analytics vs per-graph loops.
 
-The engine's batched kernels (bfs_all, scc_all, cc_all, pagerank_all)
+The engine's batched kernels (bfs_all, scc_all, cc_all, pagerank_all,
+sssp_all)
 claim set-oriented economics: ONE superstep loop over the packed /
 grouped union of every stored graph, so whole-store cost tracks the
 LARGEST graph's superstep count, not the SUM of per-graph runs (each
@@ -90,6 +91,8 @@ def main() -> None:
                    lambda g: eng.connected_components(g)),
             "pagerank": (lambda: eng.pagerank_all(iterations=PAGERANK_ITERS),
                          lambda g: eng.pagerank(g, iterations=PAGERANK_ITERS)),
+            "sssp": (lambda: eng.sssp_all(1),
+                     lambda g: eng.sssp(g, 1)),
         }
         for key, (batched, per_graph) in kernels.items():
             b_sec, b_rows = timed(batched)
