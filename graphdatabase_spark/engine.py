@@ -255,7 +255,11 @@ class GraphEngine:
                 .parquet(os.path.join(self.store, "data", table, f"c={cid}")))
         # The graph set of this write (one small driver-side collect of
         # catalog metadata — graph NAMES, not data; one per commit, not
-        # per table).
+        # per table). Envelope: the manifest itself stores one entry
+        # per graph, so a catalog is bounded by what a single JSON doc
+        # can hold (~10^6 graphs) long before this collect matters; a
+        # larger corpus belongs in fewer, bigger graphs or a
+        # partitioned catalog, not a bigger manifest.
         write_graphs = {r["graph"] for r in meta.select("graph").distinct().collect()}
 
         def update(prev: dict | None) -> dict:
@@ -373,6 +377,22 @@ class GraphEngine:
                 yield n, (lambda full=full: shutil.rmtree(full))
 
     # -- catalog ----------------------------------------------------------
+
+    def history(self) -> DataFrame:
+        """Retained commit history as a small DataFrame ``(seq, commit,
+        n_graphs)``, ascending by seq — the store's DESCRIBE HISTORY
+        twin, pairing with ``snapshot(seq=N)`` time travel. Metadata-
+        sized: one manifest read per retained seq through the pluggable
+        store, no Spark job over data."""
+        import json
+
+        rows = []
+        for seq, name in self.manifests.names():
+            doc = json.loads(self.manifests.store.get(name))
+            rows.append((seq, doc.get("commit"),
+                         len(doc.get("graphs", {}))))
+        return self.spark.createDataFrame(
+            rows, "seq long, commit string, n_graphs int")
 
     def snapshot(self, seq: int | None = None) -> GraphSnapshot:
         """Pin ONE consistent view of the whole store (every graph's

@@ -167,10 +167,19 @@ class HadoopFsManifestStore(ManifestStore):
 
     def __init__(self, spark, directory: str):
         self.directory = directory
-        self._jvm = spark._jvm
+        try:
+            self._jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+        except Exception as exc:
+            raise RuntimeError(
+                "HadoopFsManifestStore needs a classic (JVM-gateway) "
+                "SparkSession; a Spark Connect session cannot reach the "
+                "Hadoop FileSystem API — pass an explicit ManifestStore "
+                "(e.g. an object-store conditional-put adapter) to "
+                "GraphEngine instead") from exc
         self._Path = self._jvm.org.apache.hadoop.fs.Path
         self._dir = self._Path(directory)
-        self._fs = self._dir.getFileSystem(spark._jsc.hadoopConfiguration())
+        self._fs = self._dir.getFileSystem(hconf)
 
     def _p(self, name: str):
         return self._Path(self._dir, name)

@@ -216,6 +216,22 @@ def test_engine_lifecycle_on_scheme_store_path(spark, tmp_path):
         assert len(dirs) == 1
 
 
+def test_engine_history_tracks_commits_and_retention(spark, tmp_path):
+    """history() mirrors the retained manifest log: one row per commit
+    with the live graph count, shrinking with vacuum's retention
+    window and staying consistent with time travel."""
+    eng = GraphEngine(spark, str(tmp_path / "s"))
+    assert eng.history().count() == 0  # virgin store: empty, no raise
+    eng.add_graph("A", "2\n0 1\n0 0\n")
+    eng.add_graph("B", "2\n0 1\n1 0\n")
+    eng.modify_graph("A", "2\n0 0\n0 0\n")
+    hist = eng.history().collect()
+    assert [(r["seq"], r["n_graphs"]) for r in hist] == [(1, 1), (2, 2), (3, 2)]
+    assert len({r["commit"] for r in hist}) == 3  # distinct commit ids
+    eng.vacuum(keep_last=2)
+    assert [r["seq"] for r in eng.history().collect()] == [2, 3]
+
+
 def test_engine_snapshot_seq_on_virgin_store_raises(spark, tmp_path):
     eng = GraphEngine(spark, str(tmp_path / "virgin"))
     with pytest.raises(FileNotFoundError):
