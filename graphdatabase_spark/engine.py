@@ -336,7 +336,11 @@ class GraphEngine:
         dead commit dirs are removed through Hadoop's FileSystem API
         when the store path has a URI scheme (so vacuum works end to
         end on hdfs:// / file: / abfs:// stores) and plain local IO
-        otherwise."""
+        otherwise. Also reclaims ORPHANED commits — data dirs written
+        by a writer that died before publishing its manifest. Corollary
+        (same operational contract as Delta's retention period): do not
+        run vacuum while a write is in flight, or the in-flight
+        commit's data dirs are indistinguishable from orphans."""
         live = self.manifests.vacuum(keep_last=keep_last)
         if not live:
             return 0
@@ -676,6 +680,33 @@ class GraphEngine:
         return pregel.pagerank(snap.edges(name).select("src", "dst"),
                                snap.vertices(name).select("vid"),
                                iterations=iterations)
+
+    def label_propagation(self, name: str, iterations: int = 4) -> DataFrame:
+        """``(vid, label)`` deterministic synchronous label propagation
+        over one stored graph (GraphX ``LabelPropagation`` parity;
+        fixed iteration count, total-ordered tie-break — the same
+        kernel the registry's oracle-checked derived-graph query uses,
+        pregel.label_propagation)."""
+        snap = self.snapshot()
+        out = pregel.label_propagation(
+            snap.edges(name).select("src", "dst"),
+            snap.vertices(name).select("vid"), iterations=iterations)
+        return out.select(F.col("vid").cast("int").alias("vid"),
+                          F.col("label").cast("int").alias("label"))
+
+    def personalized_pagerank(self, name: str, sources: list[int],
+                              iterations: int = 10) -> DataFrame:
+        """``(vid, rank_q)`` personalized PageRank over one stored
+        graph in scaled-int64 arithmetic (bit-exact; total mass
+        ``len(sources) * 10^9``): teleport and dangling mass return to
+        the source set, so ranks measure proximity to ``sources``.
+        Raises if any source vertex is absent from the graph."""
+        snap = self.snapshot()
+        return pregel.personalized_pagerank_quantized(
+            snap.edges(name).select("src", "dst"),
+            snap.vertices(name).select("vid"),
+            sources, iterations=iterations) \
+            .select(F.col("vid").cast("int").alias("vid"), "rank_q")
 
     def _canonical_undirected(self, name: str) -> DataFrame:
         """Stored graph viewed as undirected: symmetrize, then one

@@ -512,6 +512,35 @@ def test_sssp_rejects_negative_weights(engine):
         engine.sssp("NEG", 1)
 
 
+def test_label_propagation_facade_converges_on_clique(engine):
+    """Synchronous LPA over a stored graph: a 3-clique converges to
+    the min label within the default 4 iterations (hand-traceable:
+    round 1 maps 1→2, 2→1, 3→1; round 2 settles all on 1) and an
+    isolated vertex keeps its own id."""
+    engine.add_graph(
+        "LP", "4\n0 1 1 0\n1 0 1 0\n1 1 0 0\n0 0 0 0\n")
+    got = {r["vid"]: r["label"]
+           for r in engine.label_propagation("LP").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_personalized_pagerank_facade_mass_and_bias(engine):
+    """PPR over a stored path graph 1→2→3 from source {1}: integer
+    mass stays within div-truncation drift of 10^9 (each of the 10
+    iterations can only LOSE a few units to integer division, never
+    create mass), the source keeps at least its 0.15 teleport floor,
+    and a missing source id fails loudly."""
+    engine.add_graph("PP", "3\n0 1 0\n0 0 1\n0 0 0\n")
+    rows = {r["vid"]: r["rank_q"]
+            for r in engine.personalized_pagerank("PP", [1]).collect()}
+    total = sum(rows.values())
+    assert 10**9 - 1000 <= total <= 10**9
+    assert rows[1] >= (15 * 10**9) // 100  # teleport floor at the source
+    assert all(v > 0 for v in rows.values())
+    with pytest.raises(ValueError, match="not present"):
+        engine.personalized_pagerank("PP", [9]).collect()
+
+
 def test_stats_matches_fixture_shapes(engine):
     """Catalog stats must match hand-derived fixture shapes, including
     the empty graph reporting zeros."""

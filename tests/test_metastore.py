@@ -216,6 +216,37 @@ def test_engine_lifecycle_on_scheme_store_path(spark, tmp_path):
         assert len(dirs) == 1
 
 
+def test_vacuum_reclaims_orphaned_commit_dirs(spark, tmp_path):
+    """A writer that lands its data files but dies before publishing
+    its manifest leaves orphaned c=<cid> dirs; vacuum must reclaim
+    them (they are referenced by no retained manifest) without
+    touching the published state."""
+    import os
+
+    path = str(tmp_path / "s")
+    eng = GraphEngine(spark, path)
+    eng.add_graph("A", "2\n0 1\n0 0\n")
+
+    class _DieBeforePublish(Exception):
+        pass
+
+    class FailingLog:
+        def commit(self, update, **kw):
+            raise _DieBeforePublish()
+
+    crashed = GraphEngine(spark, path)
+    crashed.manifests = FailingLog()
+    with pytest.raises(_DieBeforePublish):
+        crashed.add_graph("B", "2\n0 1\n1 0\n")
+    # the orphan's data landed, the manifest did not
+    assert len(os.listdir(tmp_path / "s" / "data" / "edges")) == 2
+    assert eng.graphs() == ["A"]
+    removed = eng.vacuum()
+    assert removed == 3  # the orphan's edges+vertices+meta dirs
+    assert eng.graphs() == ["A"]  # published state untouched
+    assert {(r["src"], r["dst"]) for r in eng.edges("A").collect()} == {(1, 2)}
+
+
 def test_engine_history_tracks_commits_and_retention(spark, tmp_path):
     """history() mirrors the retained manifest log: one row per commit
     with the live graph count, shrinking with vacuum's retention
