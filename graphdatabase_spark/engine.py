@@ -620,6 +620,34 @@ class GraphEngine:
         return (out.join(F.broadcast(gidx), out.g == gidx.gidx)
                 .select("graph", F.col("vid").cast("int").alias("vid"), "rank"))
 
+    def pagerank_all_quantized(self, iterations: int = 10,
+                               scale: int = 10**9) -> DataFrame:
+        """Batched bit-exact PageRank: ``(graph, vid, rank_q)`` for
+        EVERY stored graph in ONE superstep loop, in the scaled-int64
+        arithmetic of :func:`pregel.pagerank_quantized` (``rank_q ≈
+        rank * scale``; damping the exact rational 85/100). Per-graph
+        results equal the single-graph quantized kernel (pinned by
+        tests), and — unlike the float :meth:`pagerank_all` — the
+        whole-store output is deterministic across partitionings and
+        engines, so it can be driver-oracle-checked. Routes to the
+        grouped kernel for the same reason as :meth:`pagerank_all`:
+        teleport/dangling mass must stay per-group."""
+        snap = self.snapshot()
+        graphs = snap.graphs()
+        if not graphs:
+            return self.spark.createDataFrame(
+                [], "graph string, vid int, rank_q long")
+        gidx = self.spark.createDataFrame(
+            list(enumerate(graphs)), "gidx long, graph string")
+        e = (snap.edges().join(F.broadcast(gidx), "graph")
+             .select(F.col("gidx").alias("g"), "src", "dst"))
+        v = (snap.vertices().join(F.broadcast(gidx), "graph")
+             .select(F.col("gidx").alias("g"), "vid"))
+        out = pregel.pagerank_grouped_quantized(e, v, iterations=iterations,
+                                                scale=scale)
+        return (out.join(F.broadcast(gidx), out.g == gidx.gidx)
+                .select("graph", F.col("vid").cast("int").alias("vid"), "rank_q"))
+
     def sssp(self, name: str, start: int) -> DataFrame:
         """``(vertex, dist)`` weighted single-source shortest paths
         over one STORED graph, using the integer weights of the

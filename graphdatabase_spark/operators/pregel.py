@@ -336,6 +336,76 @@ def pagerank_grouped(edges: DataFrame, vertices: DataFrame,
     return ranks
 
 
+def pagerank_grouped_quantized(edges: DataFrame, vertices: DataFrame,
+                               iterations: int = 10,
+                               scale: int = 10**9) -> DataFrame:
+    """Scaled-int64 PageRank over MANY disjoint graphs in ONE superstep
+    loop: edges ``(g, src, dst)``, vertices ``(g, vid)`` →
+    ``(g, vid, rank_q)`` — :func:`pagerank_grouped`'s batching with
+    :func:`pagerank_quantized`'s bit-exact integer arithmetic, so the
+    whole-store result is oracle-checkable (float grouped PageRank is
+    not: per-vertex sums are association-order-sensitive).
+
+    Per-group semantics are identical to :func:`pagerank_quantized` run
+    on each group alone — teleport is ``(15·scale) div 100`` per vertex
+    OF THAT GROUP and dangling mass redistributes as ``__m div __n``
+    within its group only (running the single-graph kernel on a packed
+    disjoint union would leak both terms across graphs). The per-group
+    scalars (vertex count, dangling mass) are one-row-per-group
+    aggregates joined back on ``g`` — never collected. Same overflow
+    envelope as the single-graph kernel (per-group n up to ~1e8 at the
+    default scale). Reference anchor: the batched form of
+    ``secondary_server.c:588-618``'s one-graph-per-request BSP serving."""
+    e = edges.select(F.col("g").cast("long"), F.col("src").cast("long"),
+                     F.col("dst").cast("long"))
+    e = e.repartition("g", "src").persist()
+    out_deg = e.groupBy("g", "src").agg(F.count(F.lit(1)).alias("odeg"))
+    ev = e.join(out_deg, ["g", "src"]).select("g", "src", "dst", "odeg").persist()
+    verts = (vertices.select(F.col("g").cast("long"), F.col("vid").cast("long"))
+             .distinct().persist())
+    ng = verts.groupBy("g").agg(F.count(F.lit(1)).alias("__n")).persist()
+    ng.count()
+    dang = (verts.join(out_deg,
+                       (verts.g == out_deg.g) & (verts.vid == out_deg.src),
+                       "left_anti")
+            .select("g", "vid").persist())
+    dang.count()
+    base_const = (15 * scale) // 100
+    ranks = verts.withColumn("rank_q", F.lit(scale).cast("long"))
+    ranks = ranks.localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(ev, (ranks.g == ev.g) & (ranks.vid == ev.src))
+            .select(ev.g.alias("g"), F.col("dst").alias("vid"),
+                    F.expr("rank_q div odeg").alias("c"))
+            .groupBy("g", "vid").agg(F.sum("c").alias("recv"))
+        )
+        # dangling mass per group — one row per graph, joined back on g
+        # (groups with no dangling vertices get no row → coalesce 0)
+        dangling = (
+            ranks.join(dang, ["g", "vid"], "left_semi")
+            .groupBy("g").agg(F.sum("rank_q").cast("long").alias("__m"))
+        )
+        ranks = (
+            verts.join(contribs, ["g", "vid"], "left")
+            .join(dangling, "g", "left")
+            .join(ng, "g")
+            .select("g", "vid",
+                    (F.lit(base_const)
+                     + F.expr("(85 * (coalesce(__m, 0L) div __n)) div 100")
+                     + F.expr("(85 * coalesce(recv, 0L)) div 100")
+                     ).cast("long").alias("rank_q"))
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    ev.unpersist()
+    verts.unpersist()
+    ng.unpersist()
+    dang.unpersist()
+    e.unpersist()
+    return ranks
+
+
 def pagerank_quantized(edges: DataFrame, vertices: DataFrame,
                        iterations: int = 10, scale: int = 10**9) -> DataFrame:
     """PageRank in scaled-int64 arithmetic: ``(vid, rank_q)`` where

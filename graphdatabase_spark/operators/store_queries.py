@@ -1,0 +1,324 @@
+"""Driver-checked queries over the WHOLE-STORE batched kernels
+(SURVEY.md §2.3 "graph store"; VERDICT r06 item 1).
+
+The round-5/6 engine surface — snapshot-isolated manifest store +
+set-oriented kernels that traverse EVERY stored graph in one job
+(``engine.py`` bfs_all / cc_all / scc_all / sssp_all /
+pagerank_all_quantized / stats) — gets external correctness evidence
+here: each query builds a store from the reference's own fixture
+corpus through the real bulk-ingest path and runs one batched kernel;
+the DuckDB oracle recomputes the same answer from a literal edge list
+with recursive CTEs (the multi-graph union of the per-graph oracle
+techniques in ``graph_queries.py``).
+
+Fixture corpus: the 11 adjacency matrices the reference ships
+(``Assignment2/G0.txt … G12.txt``, format written at
+``primary_server.c:132-140``) transcribed AS DATA to literal edge
+lists (cell ``A[i][j]=w ⇒ edge i+1 → j+1 weight w`` — the melt rule of
+``sources/matrix.py``), so the repo stays standalone; plus two graphs
+designed here (``W1``, ``W2``) with integer weights > 1 exercising the
+generalized weighted ingest: multi-hop paths that beat direct edges,
+a directed cycle (a non-trivial SCC), and an isolated vertex.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# name -> (n, [(src, dst, w), ...]); 1-indexed, w = matrix cell value.
+# G0..G12 transcribed from the reference fixture corpus (verified
+# cell-identical by tests against /root/reference when present);
+# W1/W2 designed here.
+FIXTURE_GRAPHS: dict[str, tuple[int, list[tuple[int, int, int]]]] = {
+    "G0": (2, [(1, 1, 1), (2, 2, 1)]),
+    "G1": (5, [(1, 2, 1), (1, 3, 1), (1, 4, 1), (1, 5, 1), (2, 1, 1),
+               (3, 1, 1), (4, 1, 1), (5, 1, 1)]),
+    "G2": (4, [(1, 1, 1), (1, 4, 1), (2, 1, 1), (2, 4, 1), (3, 4, 1),
+               (4, 4, 1)]),
+    "G3": (3, [(1, 2, 1), (2, 1, 1), (2, 3, 1), (3, 2, 1)]),
+    "G4": (6, [(1, 3, 1), (1, 5, 1), (2, 5, 1), (3, 1, 1), (4, 5, 1),
+               (5, 1, 1), (5, 2, 1), (5, 4, 1), (5, 6, 1), (6, 5, 1)]),
+    "G5": (13, [(1, 2, 1), (1, 4, 1), (2, 1, 1), (2, 3, 1), (2, 5, 1),
+                (2, 11, 1), (3, 2, 1), (3, 6, 1), (3, 7, 1), (4, 1, 1),
+                (4, 12, 1), (4, 13, 1), (5, 2, 1), (6, 3, 1), (7, 3, 1),
+                (7, 8, 1), (7, 9, 1), (8, 7, 1), (9, 7, 1), (9, 10, 1),
+                (10, 9, 1), (11, 2, 1), (12, 4, 1), (13, 4, 1)]),
+    "G6": (30, [(1, 2, 1), (1, 3, 1), (1, 15, 1), (1, 30, 1), (2, 1, 1),
+                (2, 11, 1), (2, 13, 1), (2, 14, 1), (3, 1, 1), (3, 4, 1),
+                (3, 5, 1), (3, 28, 1), (4, 3, 1), (4, 9, 1), (4, 10, 1),
+                (5, 3, 1), (5, 6, 1), (5, 7, 1), (5, 8, 1), (6, 5, 1),
+                (6, 23, 1), (6, 24, 1), (7, 5, 1), (7, 25, 1), (8, 5, 1),
+                (8, 26, 1), (8, 27, 1), (9, 4, 1), (9, 20, 1), (9, 21, 1),
+                (10, 4, 1), (10, 22, 1), (11, 2, 1), (11, 18, 1),
+                (11, 19, 1), (12, 14, 1), (12, 17, 1), (13, 2, 1),
+                (14, 2, 1), (14, 12, 1), (14, 16, 1), (15, 1, 1),
+                (16, 14, 1), (16, 29, 1), (17, 12, 1), (18, 11, 1),
+                (19, 11, 1), (20, 9, 1), (21, 9, 1), (22, 10, 1),
+                (23, 6, 1), (24, 6, 1), (25, 7, 1), (26, 8, 1), (27, 8, 1),
+                (28, 3, 1), (29, 16, 1), (30, 1, 1)]),
+    "G7": (5, [(1, 2, 1), (2, 1, 1), (2, 3, 1), (2, 4, 1), (3, 2, 1),
+               (4, 2, 1), (4, 5, 1), (5, 4, 1)]),
+    "G8": (4, [(1, 2, 1), (1, 3, 1), (2, 1, 1), (2, 4, 1), (3, 1, 1),
+               (4, 2, 1)]),
+    "G9": (2, [(1, 2, 1), (2, 1, 1)]),
+    "G12": (0, []),  # the reference's empty-graph edge case
+    # W1 (designed): 2-hop path 1→3→2 (cost 2) beats the direct edge
+    # (cost 5); 4→5→6→4 is a weighted directed cycle (one real SCC).
+    "W1": (6, [(1, 2, 5), (1, 3, 1), (3, 2, 1), (2, 4, 2), (3, 5, 7),
+               (4, 5, 1), (5, 6, 3), (6, 4, 1)]),
+    # W2 (designed): direct 1→4 (cost 9) beats the 3-cycle detour
+    # (1→2→3→4 = 14); vertex 5 is isolated (unreachable, own CC/SCC).
+    "W2": (5, [(1, 2, 2), (2, 3, 2), (3, 1, 2), (3, 4, 10), (1, 4, 9)]),
+}
+
+# Hop bound for the recursive oracles: minimal paths are simple, so
+# no minimal BFS level / shortest path exceeds max(n) - 1 = 29 hops.
+_MAX_HOPS = 32
+
+
+def matrix_text(name: str) -> str:
+    """Regenerate the reference's exchange format (line 1 = N, then N
+    rows of N space-separated integer cells) from the literal edges."""
+    n, edges = FIXTURE_GRAPHS[name]
+    cell = {(s, d): w for s, d, w in edges}
+    lines = [str(n)]
+    for i in range(1, n + 1):
+        lines.append(" ".join(str(cell.get((i, j), 0)) for j in range(1, n + 1)))
+    return "\n".join(lines) + "\n"
+
+
+_STORE_PATH: str | None = None
+
+
+def fixture_engine(spark: SparkSession):
+    """The session's fixture-corpus GraphEngine, built ONCE per process:
+    all fixture matrices land via the distributed bulk-ingest path
+    (``ingest_dir`` — one commit, one manifest publish) into a temp
+    store; every store_* query then reads through a snapshot of it.
+    Driver-side work is fixture-metadata-sized (writing ~13 small
+    matrix files), exactly like the reference's own test corpus."""
+    global _STORE_PATH
+    from graphdatabase_spark.engine import GraphEngine
+
+    if _STORE_PATH is None:
+        root = tempfile.mkdtemp(prefix="gdb_fixture_store_")
+        mdir = os.path.join(root, "matrices")
+        os.makedirs(mdir)
+        for name in FIXTURE_GRAPHS:
+            with open(os.path.join(mdir, f"{name}.txt"), "w") as f:
+                f.write(matrix_text(name))
+        eng = GraphEngine(spark, os.path.join(root, "store"))
+        eng.ingest_dir(mdir)
+        _STORE_PATH = os.path.join(root, "store")
+        return eng
+    return GraphEngine(spark, _STORE_PATH)
+
+
+# -- literal oracle CTEs (single source of truth: FIXTURE_GRAPHS) -------
+
+def _edges_cte() -> str:
+    rows = ", ".join(
+        f"('{g}', {s}, {d}, {w})"
+        for g, (_, edges) in FIXTURE_GRAPHS.items() for s, d, w in edges)
+    return (f"graph_edges AS (SELECT * FROM (VALUES {rows}) "
+            f"AS t(graph, src, dst, w))")
+
+
+def _verts_cte() -> str:
+    rows = ", ".join(
+        f"('{g}', {v})"
+        for g, (n, _) in FIXTURE_GRAPHS.items() for v in range(1, n + 1))
+    return f"graph_vertices AS (SELECT * FROM (VALUES {rows}) AS t(graph, vid))"
+
+
+def _graphs_cte() -> str:
+    # includes the empty graph (no vertex/edge rows, but cataloged)
+    rows = ", ".join(f"('{g}', {n})" for g, (n, _) in FIXTURE_GRAPHS.items())
+    return f"graph_list AS (SELECT * FROM (VALUES {rows}) AS t(graph, n))"
+
+
+# -- queries + oracles ---------------------------------------------------
+
+def q_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics for every stored graph in one pass — the
+    empty graph must report 0/0/0, not vanish (engine.stats)."""
+    return fixture_engine(spark).stats()
+
+
+ORACLE_STORE_STATS = f"""
+WITH {_edges_cte()}, {_verts_cte()}, {_graphs_cte()},
+o AS (SELECT graph, src, COUNT(*) AS d FROM graph_edges GROUP BY 1, 2),
+e AS (SELECT graph, CAST(SUM(d) AS BIGINT) AS n_edges,
+             CAST(MAX(d) AS BIGINT) AS max_out_degree
+      FROM o GROUP BY 1),
+v AS (SELECT graph, CAST(COUNT(*) AS BIGINT) AS n_vertices
+      FROM graph_vertices GROUP BY 1)
+SELECT g.graph,
+       COALESCE(v.n_vertices, 0) AS n_vertices,
+       COALESCE(e.n_edges, 0) AS n_edges,
+       COALESCE(e.max_out_degree, 0) AS max_out_degree
+FROM graph_list g
+LEFT JOIN v ON v.graph = g.graph
+LEFT JOIN e ON e.graph = g.graph
+"""
+
+
+def q_store_bfs_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference op 4 batched: BFS level order from vertex 1 for EVERY
+    stored graph containing it, one superstep loop (engine.bfs_all)."""
+    return fixture_engine(spark).bfs_all(1)
+
+
+ORACLE_STORE_BFS_ALL = f"""
+WITH RECURSIVE {_edges_cte()}, {_verts_cte()},
+bfs(graph, vid, level) AS (
+  SELECT graph, vid, 0 FROM graph_vertices WHERE vid = 1
+  UNION
+  SELECT e.graph, e.dst, b.level + 1
+  FROM bfs b JOIN graph_edges e ON e.graph = b.graph AND e.src = b.vid
+  WHERE b.level < {_MAX_HOPS}
+)
+SELECT graph, vid AS vertex, MIN(level) AS level FROM bfs GROUP BY 1, 2
+"""
+
+
+def q_store_cc_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-store connected components (undirected view) in ONE
+    large-star/small-star run over the packed union (engine.cc_all)."""
+    return fixture_engine(spark).cc_all()
+
+
+ORACLE_STORE_CC_ALL = f"""
+WITH RECURSIVE {_edges_cte()}, {_verts_cte()},
+und AS (SELECT graph, src, dst FROM graph_edges WHERE src <> dst
+        UNION
+        SELECT graph, dst, src FROM graph_edges WHERE src <> dst),
+reach(graph, a, b) AS (
+  SELECT graph, vid, vid FROM graph_vertices
+  UNION
+  SELECT r.graph, r.a, u.dst
+  FROM reach r JOIN und u ON u.graph = r.graph AND u.src = r.b
+)
+SELECT graph, a AS vid, MIN(b) AS component FROM reach GROUP BY 1, 2
+"""
+
+
+def q_store_scc_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-store strongly connected components (direction honored —
+    the store accepts asymmetric matrices like G2) in one trim +
+    forward-backward run over the packed union (engine.scc_all)."""
+    return fixture_engine(spark).scc_all()
+
+
+ORACLE_STORE_SCC_ALL = f"""
+WITH RECURSIVE {_edges_cte()}, {_verts_cte()},
+de AS (SELECT DISTINCT graph, src, dst FROM graph_edges WHERE src <> dst),
+reach(graph, a, b) AS (
+  SELECT graph, vid, vid FROM graph_vertices
+  UNION
+  SELECT r.graph, r.a, e.dst
+  FROM reach r JOIN de e ON e.graph = r.graph AND e.src = r.b
+)
+SELECT r1.graph, r1.a AS vid, MIN(r1.b) AS scc
+FROM reach r1
+JOIN reach r2 ON r2.graph = r1.graph AND r2.a = r1.b AND r2.b = r1.a
+GROUP BY 1, 2
+"""
+
+
+def q_store_sssp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-store weighted shortest paths from vertex 1 in ONE
+    relaxation loop over the packed union (engine.sssp_all), using the
+    integer weights of the generalized matrix ingest (W1/W2 have
+    multi-hop paths that beat direct edges). Weights are integral so
+    the double-accumulated distances are exact and the long cast is
+    lossless (the oracle sums BIGINT)."""
+    out = fixture_engine(spark).sssp_all(1)
+    return out.select("graph", "vertex", F.col("dist").cast("long").alias("dist"))
+
+
+ORACLE_STORE_SSSP_ALL = f"""
+WITH RECURSIVE {_edges_cte()}, {_verts_cte()},
+sp(graph, vid, dist, hops) AS (
+  SELECT graph, vid, CAST(0 AS BIGINT), 0 FROM graph_vertices WHERE vid = 1
+  UNION
+  SELECT e.graph, e.dst, sp.dist + e.w, sp.hops + 1
+  FROM sp JOIN graph_edges e ON e.graph = sp.graph AND e.src = sp.vid
+  WHERE sp.hops < {_MAX_HOPS}
+)
+SELECT graph, vid AS vertex, CAST(MIN(dist) AS BIGINT) AS dist
+FROM sp GROUP BY 1, 2
+"""
+
+
+def q_store_pagerank_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-store PageRank in scaled-int64 arithmetic, one grouped
+    superstep loop (engine.pagerank_all_quantized) — bit-exact, hence
+    value-hash-checkable; per-group teleport/dangling semantics."""
+    return fixture_engine(spark).pagerank_all_quantized()
+
+
+def _store_pagerank_oracle_sql(iterations: int = 10, scale: int = 10**9) -> str:
+    """Unrolled grouped power iteration mirroring
+    pregel.pagerank_grouped_quantized integer-for-integer (the
+    multi-graph form of graph_queries._pagerank_oracle_sql: every CTE
+    carries the graph column; per-graph n and dangling mass).
+    MATERIALIZED hints for the same 3^k-blowup reason."""
+    base_const = (15 * scale) // 100
+    parts = [
+        _edges_cte(), _verts_cte(),
+        ("odeg AS (SELECT graph, src AS vid, COUNT(*) AS odeg"
+         " FROM graph_edges GROUP BY 1, 2)"),
+        "nn AS (SELECT graph, COUNT(*) AS n FROM graph_vertices GROUP BY 1)",
+        (f"r0 AS MATERIALIZED (SELECT graph, vid,"
+         f" CAST({scale} AS BIGINT) AS rank_q FROM graph_vertices)"),
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.graph, e.dst AS vid,"
+            f" CAST(SUM(r.rank_q // o.odeg) AS BIGINT) AS recv"
+            f" FROM r{p} r JOIN odeg o ON o.graph = r.graph AND o.vid = r.vid"
+            f" JOIN graph_edges e ON e.graph = r.graph AND e.src = r.vid"
+            f" GROUP BY 1, 2)")
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT r.graph,"
+            f" CAST(COALESCE(SUM(r.rank_q), 0) AS BIGINT) AS m FROM r{p} r"
+            f" LEFT JOIN odeg o ON o.graph = r.graph AND o.vid = r.vid"
+            f" WHERE o.vid IS NULL GROUP BY 1)")
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT v.graph, v.vid, CAST({base_const}"
+            f" + (85 * (COALESCE(m.m, 0) // n.n)) // 100"
+            f" + (85 * COALESCE(c.recv, 0)) // 100 AS BIGINT) AS rank_q"
+            f" FROM graph_vertices v"
+            f" LEFT JOIN c{i} c ON c.graph = v.graph AND c.vid = v.vid"
+            f" LEFT JOIN m{i} m ON m.graph = v.graph"
+            f" JOIN nn n ON n.graph = v.graph)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT graph, vid, rank_q FROM r{iterations}")
+
+
+ORACLE_STORE_PAGERANK_ALL = _store_pagerank_oracle_sql()
+
+
+QUERIES = {
+    "store_stats": q_store_stats,
+    "store_bfs_all": q_store_bfs_all,
+    "store_cc_all": q_store_cc_all,
+    "store_scc_all": q_store_scc_all,
+    "store_sssp_all": q_store_sssp_all,
+    "store_pagerank_all": q_store_pagerank_all,
+}
+
+ORACLES = {
+    "store_stats": ORACLE_STORE_STATS,
+    "store_bfs_all": ORACLE_STORE_BFS_ALL,
+    "store_cc_all": ORACLE_STORE_CC_ALL,
+    "store_scc_all": ORACLE_STORE_SCC_ALL,
+    "store_sssp_all": ORACLE_STORE_SSSP_ALL,
+    "store_pagerank_all": ORACLE_STORE_PAGERANK_ALL,
+}

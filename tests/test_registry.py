@@ -37,24 +37,37 @@ def test_window_uses_all_fifty_driver_slots():
     assert len(registry._CHECK_FIRST) == 50
 
 
-def test_rotation_covers_every_id_within_two_rounds():
-    """The round-4 advice made the rotation requirement executable: the
-    union of the previous and current windows must cover EVERY
-    registered id, so no query's latest driver correctness row can age
-    beyond two rounds. Fails the moment a new id is registered without
-    fronting it in _CHECK_FIRST (and reminds the rotator to copy the
-    old window into _PREV_WINDOW)."""
+def test_rotation_covers_every_id_within_coverage_period():
+    """The round-4 advice made the rotation requirement executable.
+    With ≤100 registered ids, prev ∪ current windows must cover every
+    id (nothing ages beyond two rounds). Past 100 ids a two-window
+    cover is arithmetically impossible (the driver records exactly 50
+    rows/round), so the invariant degrades to the best achievable:
+    every id is covered within ceil(N/50) windows, and any id pushed
+    beyond the two-window horizon must (a) exist only because N > 100
+    and (b) come from the OLDEST tracked window — i.e. its last driver
+    row is exactly two rounds old, never more."""
     all_ids = set(registry.queries())
-    covered = set(registry._PREV_WINDOW) | set(registry._CHECK_FIRST)
-    stale = sorted(all_ids - covered)
+    two = set(registry._PREV_WINDOW) | set(registry._CHECK_FIRST)
+    three = two | set(registry._PREV_WINDOW2)
+    stale = sorted(all_ids - three)
     assert not stale, \
-        f"ids whose driver row would age beyond two rounds: {stale}"
+        f"ids whose driver row would age beyond three rounds: {stale}"
+    deferred = sorted(all_ids - two)
+    if deferred:
+        assert len(all_ids) > 100, \
+            f"two-window cover was possible but these were deferred: {deferred}"
+        assert set(deferred) <= set(registry._PREV_WINDOW2), \
+            f"deferred ids not from the oldest window: {deferred}"
+        assert deferred == sorted(registry._DEFERRED_R07), \
+            "deferral must be the documented explicit list"
 
 
 def test_first_time_ids_are_fronted():
-    """An id never seen by the driver (absent from the previous window)
-    must be in the current window — otherwise its first external
-    correctness evidence is deferred yet another round."""
-    first_timers = set(registry.queries()) - set(registry._PREV_WINDOW)
+    """An id never seen by the driver (absent from every previous
+    window) must be in the current window — otherwise its first
+    external correctness evidence is deferred yet another round."""
+    seen = set(registry._PREV_WINDOW) | set(registry._PREV_WINDOW2)
+    first_timers = set(registry.queries()) - seen
     missing = sorted(first_timers - set(registry._CHECK_FIRST))
     assert not missing, f"first-driver-row ids outside the window: {missing}"
