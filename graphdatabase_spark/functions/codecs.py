@@ -23,6 +23,7 @@ simply stop raising where they used to hit NotImplementedError).
 from __future__ import annotations
 
 import struct
+import sys
 import zlib
 from array import array
 
@@ -157,7 +158,11 @@ def decode_wav(data: bytes) -> dict:
     while pos + 8 <= len(data):
         cid, ln = data[pos:pos + 4], struct.unpack("<I", data[pos + 4:pos + 8])[0]
         chunk = data[pos + 8:pos + 8 + ln]
+        if len(chunk) != ln:
+            raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
+            if ln < 16:
+                raise ValueError("WAV fmt chunk too short")
             fmt = struct.unpack("<HHIIHH", chunk[:16])
         elif cid == b"data":
             pcm = chunk
@@ -171,12 +176,17 @@ def decode_wav(data: bytes) -> dict:
             f"fmt={audio_fmt} bits={bits}")
     samples = array("h")
     samples.frombytes(pcm[:len(pcm) - (len(pcm) % 2)])
+    if sys.byteorder == "big":  # WAV PCM is little-endian on disk
+        samples.byteswap()
     return {"sample_rate": sample_rate, "n_channels": n_channels,
             "samples": samples}
 
 
 def encode_wav(samples: array, sample_rate: int, n_channels: int = 1) -> bytes:
     """Encode interleaved 16-bit PCM samples as a WAV file."""
+    if sys.byteorder == "big":  # emit little-endian PCM regardless of host
+        samples = array("h", samples)
+        samples.byteswap()
     pcm = samples.tobytes()
     fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
                       sample_rate * n_channels * 2, n_channels * 2, 16)

@@ -142,7 +142,11 @@ def _fake_decode(payload: bytes) -> tuple[str, bytes]:
     pipeline serves both the oracle-checked synthetic corpus and real
     media files."""
     if payload[:4] != MAGIC:
-        return _decode_with_codec(payload, "unknown")
+        from graphdatabase_spark.functions import codecs
+
+        if codecs.sniff(payload) is not None:
+            return _decode_with_codec(payload, "unknown")
+        raise ValueError("bad magic: not a GDBF container or known media format")
     kind = KINDS[int(chr(payload[4]))]
     return kind, payload[5:]
 

@@ -39,47 +39,33 @@ _MODULES = [relational, graph_queries, text, dedup, similarity, streamops, multi
 # i.e. ids whose first driver row is still pending — are fronted in
 # ``_CHECK_FIRST``.  When rotating for round N+1: copy ``_CHECK_FIRST``
 # into ``_PREV_WINDOW`` first.
-# Round-7 window: 6 NEW ids (the whole-store batched-kernel queries,
-# store_queries.py — VERDICT r06 item 1: two rounds of engine surface
-# were pytest-only) are fronted, followed by 44 of the 50 ids whose
-# latest driver row is round 5.  With 106 registered ids and a fixed
-# 50-row driver window, a strict two-window cover is arithmetically
-# impossible (2 × 50 < 106): the coverage period is now
-# ceil(106/50) = 3 rounds, and the 6 ids squeezed out this round
-# (``_DEFERRED_R07`` below — chosen as the most static, heavily
-# pytest-pinned r05 greens) keep their r05 row until round 8, where
-# they MUST be fronted.  tests/test_registry.py enforces the
-# three-window cover and that deferral beyond two rounds happens only
-# because the registry outgrew two windows — never silently.  Local
-# full-registry parity evidence stays per-round in PARITY_LOCAL.json
+# Round-8 window: the round-7 deferral (``_DEFERRED_R07`` — r05 rows,
+# now at the three-round horizon) is fronted FIRST, per the rotation
+# invariant.  Next the three multimodal decode-path ids whose
+# ``_fake_decode`` error contract changed this round (bad-magic →
+# ValueError again; sniffable real media → pure-Python codec), then as
+# many round-6-window ids as fit.  With >100 registered ids and a
+# fixed 50-row driver window a two-window cover stays arithmetically
+# impossible (2 × 50 < N): the ids squeezed out (``_DEFERRED_R08``
+# below — the most static, heavily pytest-pinned r06 greens) keep
+# their r06 row until round 9, where they MUST be fronted.
+# tests/test_registry.py enforces the three-window cover and that
+# deferral beyond two rounds happens only because the registry
+# outgrew two windows — never silently.  Local full-registry parity
+# evidence stays per-round in PARITY_LOCAL.json
 # (tools/harness_replica.py).
 _DEFERRED_R07 = [
     "graph_ingest_matrix", "pivot_returns", "window_showcase",
     "sql_grouping_sets", "sample_split", "corpus_histogram",
 ]
 
-_PREV_WINDOW2 = [
-    # round-5 window (CORRECTNESS_r05.json's 50 rows, in order)
-    "asof_join_events_salted", "hybrid_search_rrf",
-    "segment_distinct_customers_approx", "pivot_returns",
-    "sql_recursive_reachability", "scc", "graph_stats",
-    "asof_join_events", "bfs_levels", "contamination_check",
-    "corpus_histogram", "corpus_prep", "dedup_embedding", "dedup_near",
-    "embedding_ann_lsh", "embedding_ivf_topk", "events_anomaly",
-    "events_enriched", "events_funnel", "events_quantiles",
-    "events_retention", "events_rollup_daily", "events_sessionization",
-    "events_sliding_avg", "events_stream_dedup", "events_stream_join",
-    "events_trending", "events_tumbling_counts", "graph_ingest_matrix",
-    "kcore", "multimodal_features", "multimodal_frames", "multimodal_meta",
-    "multimodal_resize", "pagerank", "pricing_summary",
-    "quality_repetition", "range_join_events", "revenue_by_nation",
-    "salted_join_orders", "sample_split", "sequence_pack",
-    "similarity_topk", "sql_forecast_revenue", "sql_grouping_sets",
-    "sssp_weighted", "tfidf_top_terms", "top_ngrams", "triangle_count",
-    "window_showcase",
+_DEFERRED_R08 = [
+    "scalar_functions", "set_ops", "summary_stats", "top_expensive_orders",
+    "small_qty_revenue", "disjunctive_revenue", "text_stats", "token_count",
+    "file_search",
 ]
 
-_PREV_WINDOW = [
+_PREV_WINDOW2 = [
     # round-6 window (CORRECTNESS_r06.json's 50 rows, in order)
     "shipping_priority", "customers_without_orders", "order_priority_rollup",
     "returns_cube", "top_orders_per_customer", "running_revenue",
@@ -98,11 +84,10 @@ _PREV_WINDOW = [
     "running_user_stats", "search_bm25", "semdedup_ivf", "knn_join",
 ]
 
-_CHECK_FIRST = [
-    # -- NEW this round: whole-store batched kernels (store_queries.py) --
+_PREV_WINDOW = [
+    # round-7 window (CORRECTNESS_r07.json's 50 rows, in order)
     "store_stats", "store_bfs_all", "store_cc_all", "store_scc_all",
     "store_sssp_all", "store_pagerank_all",
-    # -- latest driver row is round 5 (round-5 window minus _DEFERRED_R07) --
     "asof_join_events_salted", "hybrid_search_rrf",
     "segment_distinct_customers_approx",
     "sql_recursive_reachability", "scc", "graph_stats",
@@ -119,6 +104,27 @@ _CHECK_FIRST = [
     "salted_join_orders", "sequence_pack",
     "similarity_topk", "sql_forecast_revenue",
     "sssp_weighted", "tfidf_top_terms", "top_ngrams", "triangle_count",
+]
+
+_CHECK_FIRST = [
+    # -- _DEFERRED_R07: r05 rows at the three-round horizon, must front --
+    "graph_ingest_matrix", "pivot_returns", "window_showcase",
+    "sql_grouping_sets", "sample_split", "corpus_histogram",
+    # -- MODIFIED this round: _fake_decode error contract + real codecs --
+    "multimodal_features", "multimodal_frames", "multimodal_resize",
+    # -- latest driver row is round 6 (round-6 window minus _DEFERRED_R08) --
+    "shipping_priority", "customers_without_orders", "order_priority_rollup",
+    "returns_cube", "top_orders_per_customer", "running_revenue",
+    "segment_distinct_customers", "local_supplier_volume", "promo_revenue",
+    "top_supplier", "large_volume_customers", "sales_opportunity",
+    "personalized_pagerank", "label_propagation", "graph_degree",
+    "reachability", "shortest_path_hops", "clustering_coefficient",
+    "dfs_leaves_tree", "dfs_leaves", "wordcount_docs", "lang_id",
+    "quality_score", "doc_fingerprint", "dedup_exact", "dedup_near_guarded",
+    "dedup_simhash", "embedding_cosine_topk", "events_quantiles_approx",
+    "pii_scrub", "chunk_dedup", "domain_mix", "corpus_funnel", "ivf_recenter",
+    "connected_components", "dedup_clusters", "dedup_minhash_lsh",
+    "running_user_stats", "search_bm25", "semdedup_ivf", "knn_join",
 ]
 
 # Query ids registered WITHOUT a DuckDB oracle (the driver records a
