@@ -55,6 +55,7 @@ reference.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 
 from pyspark.errors import AnalysisException
@@ -322,7 +323,8 @@ class GraphEngine:
 
         self.manifests.commit(update)
 
-    def vacuum(self, keep_last: int = 1) -> int:
+    def vacuum(self, keep_last: int = 1, *, orphan_retention_s: float = 600.0,
+               force: bool = False) -> int:
         """Delete manifests outside the newest-``keep_last`` retention
         window and every commit directory no retained manifest
         references; returns the number of commit dirs removed.
@@ -337,26 +339,36 @@ class GraphEngine:
         when the store path has a URI scheme (so vacuum works end to
         end on hdfs:// / file: / abfs:// stores) and plain local IO
         otherwise. Also reclaims ORPHANED commits — data dirs written
-        by a writer that died before publishing its manifest. Corollary
-        (same operational contract as Delta's retention period): do not
-        run vacuum while a write is in flight, or the in-flight
-        commit's data dirs are indistinguishable from orphans."""
+        by a writer that died before publishing its manifest.
+
+        The in-flight-write footgun is ENFORCED, not documented: a
+        commit dir an active writer is still filling is
+        indistinguishable from an orphan, so unreferenced dirs younger
+        than ``orphan_retention_s`` (default 10 min — same contract as
+        Delta's VACUUM retention floor) are left alone. ``force=True``
+        overrides the age gate when the caller KNOWS no write is in
+        flight (tests, single-writer maintenance windows)."""
         live = self.manifests.vacuum(keep_last=keep_last)
         if not live:
             return 0
+        now = time.time()
         removed = 0
         for table in ("edges", "vertices", "meta"):
             root = os.path.join(self.store, "data", table)
-            for name, rm in self._list_commit_dirs(root):
-                if name.startswith("c=") and name[2:] not in live:
-                    rm()
-                    removed += 1
+            for name, mtime, rm in self._list_commit_dirs(root):
+                if not (name.startswith("c=") and name[2:] not in live):
+                    continue
+                if not force and now - mtime < orphan_retention_s:
+                    continue  # possibly an in-flight write — retained
+                rm()
+                removed += 1
         return removed
 
     def _list_commit_dirs(self, root: str):
-        """Yield ``(dir name, delete thunk)`` for each entry of a data
-        table's root, via Hadoop FS for scheme paths or POSIX locally;
-        a missing root (a graphless table) yields nothing."""
+        """Yield ``(dir name, mtime epoch seconds, delete thunk)`` for
+        each entry of a data table's root, via Hadoop FS for scheme
+        paths or POSIX locally; a missing root (a graphless table)
+        yields nothing."""
         import shutil
 
         if _path_scheme(self.store):
@@ -370,7 +382,8 @@ class GraphEngine:
                 raise
             for st in statuses:
                 p = st.getPath()
-                yield p.getName(), (lambda p=p: fs.delete(p, True))
+                yield (p.getName(), st.getModificationTime() / 1000.0,
+                       (lambda p=p: fs.delete(p, True)))
         else:
             try:
                 names = os.listdir(root)
@@ -378,7 +391,11 @@ class GraphEngine:
                 return
             for n in names:
                 full = os.path.join(root, n)
-                yield n, (lambda full=full: shutil.rmtree(full))
+                try:
+                    mtime = os.path.getmtime(full)
+                except OSError:
+                    continue  # raced with another vacuum's delete
+                yield n, mtime, (lambda full=full: shutil.rmtree(full))
 
     # -- catalog ----------------------------------------------------------
 
@@ -389,12 +406,23 @@ class GraphEngine:
         sized: one manifest read per retained seq through the pluggable
         store, no Spark job over data."""
         import json
+        from concurrent.futures import ThreadPoolExecutor
 
-        rows = []
-        for seq, name in self.manifests.names():
+        names = self.manifests.names()
+
+        def fetch(item):
+            seq, name = item
             doc = json.loads(self.manifests.store.get(name))
-            rows.append((seq, doc.get("commit"),
-                         len(doc.get("graphs", {}))))
+            return seq, doc.get("commit"), len(doc.get("graphs", {}))
+
+        # blob gets are IO-bound round trips (one per retained seq, so
+        # remote stores pay latency × history depth if serial) — fan
+        # them out on driver threads; order is restored by seq sort.
+        if len(names) > 1:
+            with ThreadPoolExecutor(max_workers=min(16, len(names))) as ex:
+                rows = sorted(ex.map(fetch, names))
+        else:
+            rows = [fetch(i) for i in names]
         return self.spark.createDataFrame(
             rows, "seq long, commit string, n_graphs int")
 

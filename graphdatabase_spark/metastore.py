@@ -224,6 +224,100 @@ class HadoopFsManifestStore(ManifestStore):
         self._fs.delete(self._p(name), False)
 
 
+def _s3_error_code(exc: Exception) -> str | None:
+    """The service error code inside a botocore ``ClientError`` (or any
+    exception shaped like one), else None."""
+    resp = getattr(exc, "response", None)
+    if isinstance(resp, dict):
+        return (resp.get("Error") or {}).get("Code")
+    return None
+
+
+class S3ManifestStore(ManifestStore):
+    """The commit log on S3 (or any S3-compatible endpoint) via REAL
+    conditional put: ``PutObject`` with ``If-None-Match: *`` is an
+    atomic create-if-absent on AWS S3 (GA since 2024), GCS's XML API,
+    and MinIO — exactly the contract :class:`InMemoryManifestStore`
+    documents, so plain-S3A's non-atomic rename is never needed for
+    the commit point (the parquet DATA dirs still go through Spark's
+    own s3a committer; only metadata publishes route here).
+
+    boto3 is an OPTIONAL dependency: pass a pre-built ``client``
+    (anything exposing ``put_object`` / ``get_object`` /
+    ``delete_object`` / ``get_paginator("list_objects_v2")`` — a real
+    boto3 client, or a fake in tests) to avoid importing it; with no
+    client, boto3 is imported lazily and must be installed.
+
+    Conflict mapping for the CAS loop: HTTP 412 (PreconditionFailed —
+    the key exists) and HTTP 409 (ConditionalRequestConflict — a
+    concurrent conditional write on the same key is in flight) both
+    return False. For 409 the outcome of the competing write is
+    unknown, but False is still correct: the commit loop re-reads the
+    log and either merges onto the winner's manifest or retries the
+    same seq, converging either way."""
+
+    _LOST_RACE = ("PreconditionFailed", "ConditionalRequestConflict")
+    _ABSENT = ("NoSuchKey", "404")
+
+    def __init__(self, bucket: str, prefix: str = "", client=None):
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        if self.prefix:
+            self.prefix += "/"
+        if client is None:
+            try:
+                import boto3
+            except ImportError as exc:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    "S3ManifestStore requires boto3 (or pass an explicit "
+                    "client implementing put_object/get_object/"
+                    "delete_object/list_objects_v2)") from exc
+            client = boto3.client("s3")
+        self.client = client
+
+    def _key(self, name: str) -> str:
+        return self.prefix + name
+
+    def list(self) -> list[str]:
+        out = []
+        pages = self.client.get_paginator("list_objects_v2").paginate(
+            Bucket=self.bucket, Prefix=self.prefix)
+        for page in pages:
+            for obj in page.get("Contents", []):
+                out.append(obj["Key"][len(self.prefix):])
+        return out
+
+    def get(self, name: str) -> bytes:
+        try:
+            resp = self.client.get_object(Bucket=self.bucket,
+                                          Key=self._key(name))
+        except Exception as exc:
+            if _s3_error_code(exc) in self._ABSENT:
+                raise FileNotFoundError(name) from None
+            raise
+        body = resp["Body"]
+        try:
+            return body.read()
+        finally:
+            close = getattr(body, "close", None)
+            if close:
+                close()
+
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        try:
+            self.client.put_object(Bucket=self.bucket, Key=self._key(name),
+                                   Body=data, IfNoneMatch="*")
+            return True
+        except Exception as exc:
+            if _s3_error_code(exc) in self._LOST_RACE:
+                return False
+            raise
+
+    def delete(self, name: str) -> None:
+        # S3 DeleteObject on an absent key is 204, already a no-op
+        self.client.delete_object(Bucket=self.bucket, Key=self._key(name))
+
+
 class InMemoryManifestStore(ManifestStore):
     """The object-store conditional-put contract, in memory: what an
     S3/GCS adapter must guarantee (atomic ``If-None-Match: *``),

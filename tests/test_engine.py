@@ -3,6 +3,7 @@ real Parquet store, with the reference's own fixture graphs as input
 (read as data from /root/reference — never as code)."""
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -184,7 +185,7 @@ def test_time_travel_snapshots(engine):
     v2 = engine.snapshot(seq=2)
     assert {(r["src"], r["dst"]) for r in v2.edges("T").collect()} == {(3, 1)}
     assert {r["vid"] for r in v2.vertices("T").collect()} == {1, 2, 3}
-    engine.vacuum()
+    engine.vacuum(force=True)
     with pytest.raises(FileNotFoundError, match="seq 1"):
         engine.snapshot(seq=1)
     # the newest seq survives vacuum
@@ -247,7 +248,7 @@ def test_compact_and_vacuum_lifecycle(engine):
     engine.compact()
     assert {(r["graph"], r["src"], r["dst"])
             for r in engine.edges().collect()} == want_edges
-    removed = engine.vacuum()
+    removed = engine.vacuum(force=True)
     assert removed > 0
     # exactly one live commit dir per table after compact+vacuum
     for table in ("edges", "vertices", "meta"):
@@ -263,6 +264,33 @@ def test_compact_and_vacuum_lifecycle(engine):
     # the store stays writable after maintenance
     engine.add_graph("CC", "2\n0 1\n1 0\n")
     assert engine.graphs() == ["CA", "CB", "CC"]
+
+
+def test_vacuum_spares_fresh_unpublished_commits(engine):
+    """The in-flight-write footgun is enforced in code: a commit dir
+    younger than ``orphan_retention_s`` that no manifest references
+    (exactly what a mid-write looks like) survives a default vacuum;
+    only ``force=True`` (or age past the retention window) reclaims
+    it. Published live commits are untouched either way."""
+    engine.add_graph("VF", "2\n0 1\n0 0\n")
+    inflight = os.path.join(engine.store, "data", "edges", "c=inflight00")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-00000.parquet"), "wb") as f:
+        f.write(b"partial write in progress")
+    assert engine.vacuum() == 0            # fresh + unreferenced → retained
+    assert os.path.isdir(inflight)
+    # backdating past the retention window makes it a true orphan
+    old = time.time() - 3600
+    os.utime(inflight, (old, old))
+    assert engine.vacuum() == 1
+    assert not os.path.exists(inflight)
+    # force=True reclaims even a fresh orphan
+    os.makedirs(inflight)
+    assert engine.vacuum(force=True) == 1
+    assert not os.path.exists(inflight)
+    # the published graph was never touched
+    assert {(r["src"], r["dst"]) for r in
+            engine.edges("VF").collect()} == {(1, 2)}
 
 
 def test_empty_store_reads_are_empty(spark, tmp_path):
@@ -436,7 +464,7 @@ def test_compact_preserves_weights(engine):
     engine.add_graph("WC", "2\n0 7\n3 0\n")
     engine.add_graph("WD", "2\n0 1\n0 0\n")
     engine.compact()
-    engine.vacuum()
+    engine.vacuum(force=True)
     got = {(r["graph"], r["src"], r["dst"], r["w"])
            for r in engine.weighted_edges().collect()}
     assert got == {("WC", 1, 2, 7), ("WC", 2, 1, 3), ("WD", 1, 2, 1)}

@@ -22,10 +22,75 @@ from graphdatabase_spark.metastore import (InMemoryManifestStore, ManifestLog,
 
 # -- blob-store contract ---------------------------------------------------
 
+
+class _FakeClientError(Exception):
+    """Shaped like botocore.exceptions.ClientError: carries the service
+    error code under response['Error']['Code']."""
+
+    def __init__(self, code):
+        super().__init__(code)
+        self.response = {"Error": {"Code": code}}
+
+
+class FakeS3Client:
+    """Minimal boto3-S3 double honoring the conditional-put API shape
+    the S3ManifestStore adapter depends on: ``put_object`` with
+    ``IfNoneMatch='*'`` raises 412 PreconditionFailed on an existing
+    key (atomic under the lock, like the service), ``get_object``
+    raises NoSuchKey, ``list_objects_v2`` paginates 2 keys at a time
+    so the adapter's page walk is actually exercised."""
+
+    def __init__(self):
+        self._objects = {}
+        self._lock = threading.Lock()
+        self.conflict_once = set()  # keys that fake one 409 response
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        assert IfNoneMatch == "*", "adapter must always put conditionally"
+        with self._lock:
+            if Key in self.conflict_once:
+                self.conflict_once.discard(Key)
+                raise _FakeClientError("ConditionalRequestConflict")
+            if Key in self._objects:
+                raise _FakeClientError("PreconditionFailed")
+            self._objects[Key] = bytes(Body)
+        return {}
+
+    def get_object(self, Bucket, Key):
+        import io
+
+        with self._lock:
+            if Key not in self._objects:
+                raise _FakeClientError("NoSuchKey")
+            return {"Body": io.BytesIO(self._objects[Key])}
+
+    def delete_object(self, Bucket, Key):
+        with self._lock:
+            self._objects.pop(Key, None)
+        return {}
+
+    def get_paginator(self, op):
+        assert op == "list_objects_v2"
+        objects, lock = self._objects, self._lock
+
+        class _Paginator:
+            def paginate(self, Bucket, Prefix=""):
+                with lock:
+                    keys = sorted(k for k in objects if k.startswith(Prefix))
+                if not keys:
+                    yield {}  # S3 omits Contents on an empty page
+                for i in range(0, len(keys), 2):
+                    yield {"Contents": [{"Key": k} for k in keys[i:i + 2]]}
+
+        return _Paginator()
+
+
 @pytest.mark.parametrize("make_store", [
     lambda tmp: PosixManifestStore(str(tmp / "m")),
     lambda tmp: InMemoryManifestStore(),
-], ids=["posix", "memory"])
+    lambda tmp: metastore.S3ManifestStore(
+        "bucket", "stores/g1/manifests", client=FakeS3Client()),
+], ids=["posix", "memory", "s3"])
 def test_put_if_absent_is_conditional(tmp_path, make_store):
     store = make_store(tmp_path)
     assert store.put_if_absent("000000000001.json", b'{"a": 1}') is True
@@ -54,6 +119,56 @@ def test_hadoopfs_store_contract(spark, tmp_path):
     store.delete("000000000001.json")
     store.delete("000000000001.json")  # absent delete is a no-op
     assert store.list() == []
+
+
+def test_s3_store_contract_details(tmp_path):
+    """S3-specific corners beyond the shared contract: virgin-store
+    list, FileNotFoundError mapping, prefix scoping (keys land under
+    the prefix, names come back bare), >2-key pagination, and the 409
+    ConditionalRequestConflict arm mapping to a lost race."""
+    client = FakeS3Client()
+    store = metastore.S3ManifestStore("b", "tables/g/manifests/", client=client)
+    assert store.list() == []
+    with pytest.raises(FileNotFoundError):
+        store.get("000000000001.json")
+    for seq in range(1, 6):  # 5 keys → 3 pages of the 2-key paginator
+        assert store.put_if_absent(manifest_name(seq), b"{}") is True
+    assert store.list() == [manifest_name(s) for s in range(1, 6)]
+    assert set(client._objects) == {
+        f"tables/g/manifests/{manifest_name(s)}" for s in range(1, 6)}
+    # a second store on a DIFFERENT prefix of the same bucket is disjoint
+    other = metastore.S3ManifestStore("b", "tables/h/manifests", client=client)
+    assert other.list() == []
+    # 409: concurrent conditional write in flight → treated as lost race
+    client.conflict_once.add("tables/g/manifests/" + manifest_name(9))
+    assert store.put_if_absent(manifest_name(9), b"{}") is False
+    assert store.put_if_absent(manifest_name(9), b"{}") is True  # retry lands
+    # unexpected service errors propagate, never swallowed as False
+    def boom(**kw):
+        raise _FakeClientError("SlowDown")
+    client.put_object = boom
+    with pytest.raises(_FakeClientError):
+        store.put_if_absent(manifest_name(10), b"{}")
+
+
+def test_engine_runs_on_s3_contract_store(spark, tmp_path):
+    """Full engine lifecycle with the commit log behind the S3
+    conditional-put adapter (fake client): writes, merge-on-CAS, time
+    travel, compact, vacuum — metadata round-trips through the
+    list/get/put-if-absent/delete mapping onto S3 API calls."""
+    store = metastore.S3ManifestStore("b", "g/manifests",
+                                      client=FakeS3Client())
+    eng = GraphEngine(spark, str(tmp_path / "s"), manifest_store=store)
+    eng.add_graph("A", "2\n0 1\n0 0\n")
+    eng.modify_graph("A", "3\n0 0 0\n0 0 0\n1 0 0\n")
+    assert {(r["src"], r["dst"]) for r in eng.edges("A").collect()} == {(3, 1)}
+    v1 = eng.snapshot(seq=1)
+    assert {(r["src"], r["dst"]) for r in v1.edges("A").collect()} == {(1, 2)}
+    eng.compact()
+    eng.vacuum(force=True)
+    with pytest.raises(FileNotFoundError):
+        eng.snapshot(seq=1)
+    assert {(r["src"], r["dst"]) for r in eng.edges("A").collect()} == {(3, 1)}
 
 
 def test_posix_put_leaves_no_temp_litter(tmp_path):
@@ -183,7 +298,7 @@ def test_engine_runs_on_conditional_put_store(spark, tmp_path):
     assert {(r["src"], r["dst"]) for r in v1.edges("A").collect()} == {(1, 2)}
     eng.compact()
     assert {(r["src"], r["dst"]) for r in eng.edges("A").collect()} == {(3, 1)}
-    eng.vacuum()
+    eng.vacuum(force=True)
     with pytest.raises(FileNotFoundError):
         eng.snapshot(seq=1)
     assert {(r["src"], r["dst"]) for r in eng.edges("A").collect()} == {(3, 1)}
@@ -203,7 +318,7 @@ def test_engine_lifecycle_on_scheme_store_path(spark, tmp_path):
     assert {(r["src"], r["dst"])
             for r in eng.snapshot(seq=1).edges("A").collect()} == {(1, 2)}
     eng.compact()
-    removed = eng.vacuum()
+    removed = eng.vacuum(force=True)
     assert removed > 0  # dead commit dirs went through the Hadoop API
     with pytest.raises(FileNotFoundError):
         eng.snapshot(seq=1)
@@ -241,7 +356,7 @@ def test_vacuum_reclaims_orphaned_commit_dirs(spark, tmp_path):
     # the orphan's data landed, the manifest did not
     assert len(os.listdir(tmp_path / "s" / "data" / "edges")) == 2
     assert eng.graphs() == ["A"]
-    removed = eng.vacuum()
+    removed = eng.vacuum(force=True)
     assert removed == 3  # the orphan's edges+vertices+meta dirs
     assert eng.graphs() == ["A"]  # published state untouched
     assert {(r["src"], r["dst"]) for r in eng.edges("A").collect()} == {(1, 2)}
@@ -259,7 +374,7 @@ def test_engine_history_tracks_commits_and_retention(spark, tmp_path):
     hist = eng.history().collect()
     assert [(r["seq"], r["n_graphs"]) for r in hist] == [(1, 1), (2, 2), (3, 2)]
     assert len({r["commit"] for r in hist}) == 3  # distinct commit ids
-    eng.vacuum(keep_last=2)
+    eng.vacuum(keep_last=2, force=True)
     assert [r["seq"] for r in eng.history().collect()] == [2, 3]
 
 
@@ -343,7 +458,7 @@ def test_engine_vacuum_keep_last_retains_time_travel(spark, tmp_path):
     eng.add_graph("T", "2\n0 1\n0 0\n")                   # seq 1
     eng.modify_graph("T", "3\n0 0 0\n0 0 0\n1 0 0\n")     # seq 2
     eng.modify_graph("T", "2\n0 0\n0 1\n")                # seq 3
-    removed = eng.vacuum(keep_last=2)
+    removed = eng.vacuum(keep_last=2, force=True)
     # retained manifests (seq 2, 3) reference commits 2 and 3 only, so
     # commit 1's dir goes from each of the 3 tables
     assert removed == 3

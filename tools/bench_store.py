@@ -19,6 +19,16 @@ superstep barriers). This tool makes that a measured fact:
 and writes ``BENCH_STORE.json`` at the repo root.
 
 Usage: python tools/bench_store.py
+
+Scale mode: ``python tools/bench_store.py --scale [n1,n2,...]``
+(default 100,1000,5000 graphs) answers the question the 16-graph run
+cannot: does "one kernel run for the whole catalog" hold when the
+catalog is 2-3 orders of magnitude past the reference's envelope?
+For each catalog size it builds a seeded random store (same size/edge
+distribution), times bulk ingest and each batched kernel once, and
+times the per-graph loop over a 20-graph SAMPLE (extrapolated, and
+labeled as such — a measured 5000-graph loop would take hours, which
+is itself the point). Writes ``BENCH_STORE_SCALE.json``.
 """
 
 from __future__ import annotations
@@ -127,5 +137,90 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def main_scale(counts: list[int]) -> None:
+    from graphdatabase_spark import get_spark
+    from graphdatabase_spark.engine import GraphEngine
+
+    spark = get_spark("bench-store-scale",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    points = []
+    for n_graphs in counts:
+        tmp = tempfile.mkdtemp(prefix=f"bench_store_{n_graphs}_")
+        try:
+            rng = random.Random(SEED)
+            gdir = os.path.join(tmp, "graphs")
+            os.makedirs(gdir)
+            names = []
+            for i in range(n_graphs):
+                n = rng.randint(20, 100)  # the reference's size envelope
+                name = f"S{i:05d}"
+                names.append(name)
+                with open(os.path.join(gdir, f"{name}.txt"), "w") as f:
+                    f.write(make_matrix(rng, n))
+            eng = GraphEngine(spark, os.path.join(tmp, "store"))
+            t0 = time.perf_counter()
+            eng.ingest_dir(gdir)
+            ingest_sec = round(time.perf_counter() - t0, 3)
+            n_edges = eng.edges().count()  # also warms parquet footers
+            n_vertices = eng.vertices().count()
+
+            point = {"n_graphs": n_graphs, "n_edges": n_edges,
+                     "n_vertices": n_vertices, "ingest_sec": ingest_sec,
+                     "kernels": {}}
+            kernels = {
+                "bfs": (lambda: eng.bfs_all(1), lambda g: eng.bfs(g, 1)),
+                "scc": (lambda: eng.scc_all(), lambda g: eng.scc(g)),
+                "cc": (lambda: eng.cc_all(),
+                       lambda g: eng.connected_components(g)),
+                "pagerank": (
+                    lambda: eng.pagerank_all(iterations=PAGERANK_ITERS),
+                    lambda g: eng.pagerank(g, iterations=PAGERANK_ITERS)),
+                "sssp": (lambda: eng.sssp_all(1), lambda g: eng.sssp(g, 1)),
+            }
+            sample = random.Random(SEED + 1).sample(names, min(20, n_graphs))
+            for key, (batched, per_graph) in kernels.items():
+                b_sec, b_rows = timed(batched)
+                s_sec = 0.0
+                for g in sample:
+                    t, _ = timed(lambda: per_graph(g))
+                    s_sec += t
+                est_loop = round(s_sec / len(sample) * n_graphs, 1)
+                point["kernels"][key] = {
+                    "batched_sec": b_sec, "rows": b_rows,
+                    "per_graph_loop_est_sec": est_loop,
+                    "loop_sample_size": len(sample),
+                    "est_speedup_vs_loop": round(est_loop / b_sec, 1),
+                }
+                print(f"# n={n_graphs} {key}: batched {b_sec}s, "
+                      f"loop est {est_loop}s", file=sys.stderr)
+            points.append(point)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # scaling ratio between consecutive catalog sizes, per kernel
+    readings = {}
+    for k in points[0]["kernels"]:
+        curve = []
+        for a, b in zip(points, points[1:]):
+            data_x = b["n_edges"] / max(1, a["n_edges"])
+            time_x = (b["kernels"][k]["batched_sec"]
+                      / max(1e-9, a["kernels"][k]["batched_sec"]))
+            curve.append({"graphs": f'{a["n_graphs"]}->{b["n_graphs"]}',
+                          "edge_growth_x": round(data_x, 2),
+                          "time_growth_x": round(time_x, 2)})
+        readings[k] = curve
+    doc = {"metric": "whole_store_batched_kernels_vs_catalog_size",
+           "seed": SEED, "edge_p": EDGE_P, "points": points,
+           "scaling": readings}
+    with open(os.path.join(REPO, "BENCH_STORE_SCALE.json"), "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(json.dumps(doc, sort_keys=True))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 2 and sys.argv[1] == "--scale":
+        arg = sys.argv[2] if len(sys.argv) >= 3 else "100,1000,5000"
+        main_scale([int(x) for x in arg.split(",")])
+    else:
+        main()
