@@ -97,6 +97,15 @@ def _pack_ids(df: DataFrame, gidx: DataFrame, stride: int,
     return df.join(F.broadcast(gidx), "graph").select(*packed, *keep)
 
 
+def _cids(ptr) -> list[str]:
+    """A manifest graph pointer normalized to a commit-id list: a plain
+    string is the single-commit (overwrite) form every add/modify
+    publishes; a list is an APPEND CHAIN — base commit plus appended
+    micro-batches, read as a union (the table-format add-files commit,
+    like Delta/Iceberg appends). Old manifests parse unchanged."""
+    return list(ptr) if isinstance(ptr, list) else [ptr]
+
+
 class GraphSnapshot:
     """One consistent, immutable view of the store: the manifest is
     resolved ONCE at construction, and every read serves exactly the
@@ -107,12 +116,14 @@ class GraphSnapshot:
         self.spark = spark
         self.store = store
         self.manifest = manifest
-        # graphs grouped by the commit currently serving them: the
+        # graphs grouped by the commits currently serving them: the
         # all-graphs read is one parquet scan per distinct commit,
-        # partition-pruned to that commit's still-current graphs.
+        # partition-pruned to that commit's still-current graphs. An
+        # append chain simply lists its graph under several commits.
         self._by_commit: dict[str, list[str]] = {}
-        for g, cid in (manifest or {}).get("graphs", {}).items():
-            self._by_commit.setdefault(cid, []).append(g)
+        for g, ptr in (manifest or {}).get("graphs", {}).items():
+            for cid in _cids(ptr):
+                self._by_commit.setdefault(cid, []).append(g)
 
     def graphs(self) -> list[str]:
         """Catalog membership — pure manifest metadata, no Spark job."""
@@ -135,19 +146,26 @@ class GraphSnapshot:
     def _table(self, table: str, row_schema: str, name: str | None) -> DataFrame:
         full_schema = row_schema + ", graph string"
         if name is not None:
-            cid = (self.manifest or {}).get("graphs", {}).get(name)
-            if cid is None:
+            ptr = (self.manifest or {}).get("graphs", {}).get(name)
+            if ptr is None:
                 return self.spark.createDataFrame([], full_schema)
-            # Read the commit dir and filter on the partition COLUMN —
+            # Read the commit dir(s) and filter on the partition COLUMN —
             # never hand-build the graph=<name> leaf path: Spark
             # percent-escapes special characters in partition dir names
             # (a graph called "G#1" lands in graph=G%231), so a raw-name
             # path would PATH_NOT_FOUND and silently read as empty.
-            # Partition pruning on the filter keeps this one-partition IO.
-            return (self._read_or_empty(
-                        os.path.join(self.store, "data", table, f"c={cid}"),
-                        full_schema)
-                    .filter(F.col("graph") == name))
+            # Partition pruning on the filter keeps this one-partition IO
+            # per chain commit (one for overwrite-written graphs).
+            parts = [
+                self._read_or_empty(
+                    os.path.join(self.store, "data", table, f"c={cid}"),
+                    full_schema)
+                .filter(F.col("graph") == name)
+                for cid in _cids(ptr)]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
         parts = [
             # Explicit schema includes the graph partition column; the
             # isin filter prunes partitions belonging to graphs this
@@ -226,6 +244,88 @@ class GraphEngine:
     def ingest_dir(self, path: str) -> None:
         """Bulk ingest a directory of matrix files (distributed read)."""
         self._write(matrix_mod.read_matrix_files(self.spark, path))
+
+    # -- append commits (streaming / incremental writes) -------------------
+
+    def append_edges(self, edges: DataFrame,
+                     commit_id: str | None = None) -> bool:
+        """Append an edge micro-batch: INSERT INTO semantics over the
+        versioned store. ``edges`` carries ``(graph, src, dst[, w])``
+        (w defaults to 1). Unlike add/modify — a full-overwrite pointer
+        FLIP — the published manifest EXTENDS each touched graph's
+        pointer into a commit CHAIN read as a union (the table-format
+        add-files commit, like a Delta/Iceberg append): the batch's
+        cost is O(batch), never O(graph), which is what lets a 100 TB
+        store absorb a continuous stream without rewriting graphs.
+        Edge rows are appended as a multiset (re-sent data duplicates,
+        exactly like INSERT INTO; dedup is a read-side/compaction
+        policy). Vertices NEW to each touched graph are appended too —
+        anti-joined against the pinned snapshot at write time so reads
+        never pay a dedup — and graphs new to the store gain a meta row
+        (vertex count of their first batch) and join the catalog.
+        ``compact()`` collapses chains back to one commit per graph.
+
+        ``commit_id`` makes the append IDEMPOTENT: a commit id the
+        current manifest already references publishes nothing and
+        returns False — the transaction-version dedup that turns a
+        foreachBatch sink's at-least-once replays into exactly-once
+        results (streaming/ingest.py derives it from the batch id).
+        Concurrency: the CAS publish merges chains, so appends to
+        different graphs never conflict; two simultaneous appends to
+        the SAME graph both land (both chains extend), at worst
+        duplicating vertex rows that compaction dedups.
+
+        Returns True if a manifest was published."""
+        cid = commit_id or uuid.uuid4().hex[:12]
+        snap = self.snapshot()
+        if commit_id is not None:
+            referenced = {c for ptr in (snap.manifest or {})
+                          .get("graphs", {}).values() for c in _cids(ptr)}
+            if cid in referenced:
+                return False  # replayed batch — already published
+        if "w" not in edges.columns:
+            edges = edges.withColumn("w", F.lit(1))
+        edges = edges.select(F.col("src").cast("int"),
+                             F.col("dst").cast("int"),
+                             F.col("w").cast("int"),
+                             F.col("graph").cast("string"))
+        # graph NAMES of this batch (metadata-sized collect, same
+        # envelope note as _write) — also prunes the anti-join reads
+        write_graphs = [r["graph"]
+                        for r in edges.select("graph").distinct().collect()]
+        if not write_graphs:
+            return False  # empty batch publishes nothing
+        batch_vids = (edges.select(F.col("src").alias("vid"), "graph")
+                      .unionByName(edges.select(F.col("dst").alias("vid"),
+                                                "graph"))
+                      .distinct())
+        known = (snap.vertices()
+                 .filter(F.col("graph").isin(write_graphs))
+                 .select("vid", "graph"))
+        new_vids = batch_vids.join(known, ["vid", "graph"], "left_anti")
+        new_graph_meta = (batch_vids.groupBy("graph")
+                          .agg(F.count(F.lit(1)).cast("int").alias("n"))
+                          .join(snap.meta().select("graph").distinct(),
+                                "graph", "left_anti"))
+        for df, table in ((edges, "edges"), (new_vids, "vertices"),
+                          (new_graph_meta, "meta")):
+            out = df.select(*[c for c in df.columns if c != "graph"],
+                            "graph")
+            (out.write.mode("overwrite").partitionBy("graph")
+                .parquet(os.path.join(self.store, "data", table,
+                                      f"c={cid}")))
+
+        def update(prev: dict | None) -> dict | None:
+            graphs_map = dict(prev["graphs"]) if prev else {}
+            changed = False
+            for g in write_graphs:
+                chain = _cids(graphs_map[g]) if g in graphs_map else []
+                if cid not in chain:
+                    graphs_map[g] = chain + [cid]
+                    changed = True
+            return {"commit": cid, "graphs": graphs_map} if changed else None
+
+        return self.manifests.commit(update) is not None
 
     def _write(self, lines: DataFrame) -> None:
         # One COMMIT: land all three tables' files under a fresh
@@ -308,8 +408,13 @@ class GraphEngine:
                 # column) to w=1, so compaction also migrates them
                 df = snap.weighted_edges()
             else:
+                # distinct: an append chain written by concurrent
+                # same-graph appenders can carry duplicate vertex rows
+                # (each anti-joined against the same pre-append
+                # snapshot); compaction is the heal point
                 df = snap._table(table, {"vertices": "vid int",
-                                         "meta": "n int"}[table], None)
+                                         "meta": "n int"}[table],
+                                 None).distinct()
             (df.select(*[c for c in df.columns if c != "graph"], "graph")
                .write.mode("overwrite").partitionBy("graph")
                .parquet(os.path.join(self.store, "data", table, f"c={cid}")))

@@ -426,7 +426,10 @@ class ManifestLog:
         retained = names[-keep_last:]
         live = set()
         for _, n in retained:
-            live.update(json.loads(self.store.get(n))["graphs"].values())
+            for ptr in json.loads(self.store.get(n))["graphs"].values():
+                # a pointer is one commit id (overwrite form) or an
+                # append CHAIN (list) — every chained commit stays live
+                live.update(ptr if isinstance(ptr, list) else [ptr])
         for _, n in names[:-keep_last]:
             self.store.delete(n)
         return live

@@ -305,6 +305,59 @@ def _store_pagerank_oracle_sql(iterations: int = 10, scale: int = 10**9) -> str:
 ORACLE_STORE_PAGERANK_ALL = _store_pagerank_oracle_sql()
 
 
+def q_store_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest END TO END: the events table is
+    read as a STREAM, mapped to edge rows (graph = event_type, a
+    user-interaction edge per event), and drained through the
+    foreachBatch append-commit sink (``streaming/ingest.py`` →
+    ``engine.append_edges``: one immutable commit + one CAS manifest
+    publish per micro-batch, idempotent commit ids). The result is
+    the STORED per-graph edge aggregate read back through a snapshot
+    — so the oracle checks the whole write path: stream → append
+    chain → union read. A fresh store + checkpoint per call keeps
+    the timing honest (no warm-store shortcut across bench sweeps)."""
+    import tempfile
+
+    from graphdatabase_spark.engine import GraphEngine
+    from graphdatabase_spark.streaming.ingest import stream_edges_into_store
+
+    root = tempfile.mkdtemp(prefix="gdb_stream_ingest_")
+    eng = GraphEngine(spark, os.path.join(root, "store"))
+    # The file stream source wants a DIRECTORY to watch (its batch
+    # reads re-derive basePath from it); symlink the one events file
+    # into a fresh watch dir — driver-side metadata, no data copy.
+    watch = os.path.join(root, "in")
+    os.makedirs(watch)
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(watch, "events.parquet"))
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(watch)
+    edges = events.select(
+        F.col("event_type").alias("graph"),
+        F.col("user_id").cast("int").alias("src"),
+        (F.col("event_id") % 50 + 1).cast("int").alias("dst"),
+        (F.col("event_id") % 5 + 1).cast("int").alias("w"))
+    q = stream_edges_into_store(edges, eng, os.path.join(root, "ckpt"))
+    q.awaitTermination(300)
+    return (eng.weighted_edges()
+            .groupBy("graph", "src", "dst")
+            .agg(F.sum("w").cast("long").alias("w_sum"),
+                 F.count(F.lit(1)).cast("long").alias("n_rows")))
+
+
+ORACLE_STORE_STREAM_INGEST = """
+SELECT event_type AS graph,
+       CAST(user_id AS INT) AS src,
+       CAST(event_id % 50 + 1 AS INT) AS dst,
+       CAST(SUM(event_id % 5 + 1) AS BIGINT) AS w_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "store_stats": q_store_stats,
     "store_bfs_all": q_store_bfs_all,
@@ -312,6 +365,7 @@ QUERIES = {
     "store_scc_all": q_store_scc_all,
     "store_sssp_all": q_store_sssp_all,
     "store_pagerank_all": q_store_pagerank_all,
+    "store_stream_ingest": q_store_stream_ingest,
 }
 
 ORACLES = {
@@ -321,4 +375,5 @@ ORACLES = {
     "store_scc_all": ORACLE_STORE_SCC_ALL,
     "store_sssp_all": ORACLE_STORE_SSSP_ALL,
     "store_pagerank_all": ORACLE_STORE_PAGERANK_ALL,
+    "store_stream_ingest": ORACLE_STORE_STREAM_INGEST,
 }

@@ -62,7 +62,7 @@ _DEFERRED_R07 = [
 _DEFERRED_R08 = [
     "scalar_functions", "set_ops", "summary_stats", "top_expensive_orders",
     "small_qty_revenue", "disjunctive_revenue", "text_stats", "token_count",
-    "file_search",
+    "file_search", "wordcount_docs",
 ]
 
 _PREV_WINDOW2 = [
@@ -110,6 +110,8 @@ _CHECK_FIRST = [
     # -- _DEFERRED_R07: r05 rows at the three-round horizon, must front --
     "graph_ingest_matrix", "pivot_returns", "window_showcase",
     "sql_grouping_sets", "sample_split", "corpus_histogram",
+    # -- NEW this round: streaming append-commit ingest (store_queries) --
+    "store_stream_ingest",
     # -- MODIFIED this round: _fake_decode error contract + real codecs --
     "multimodal_features", "multimodal_frames", "multimodal_resize",
     # -- latest driver row is round 6 (round-6 window minus _DEFERRED_R08) --
@@ -119,13 +121,15 @@ _CHECK_FIRST = [
     "top_supplier", "large_volume_customers", "sales_opportunity",
     "personalized_pagerank", "label_propagation", "graph_degree",
     "reachability", "shortest_path_hops", "clustering_coefficient",
-    "dfs_leaves_tree", "dfs_leaves", "wordcount_docs", "lang_id",
+    "dfs_leaves_tree", "dfs_leaves", "lang_id",
     "quality_score", "doc_fingerprint", "dedup_exact", "dedup_near_guarded",
     "dedup_simhash", "embedding_cosine_topk", "events_quantiles_approx",
     "pii_scrub", "chunk_dedup", "domain_mix", "corpus_funnel", "ivf_recenter",
     "connected_components", "dedup_clusters", "dedup_minhash_lsh",
     "running_user_stats", "search_bm25", "semdedup_ivf", "knn_join",
 ]
+# (wordcount_docs joined _DEFERRED_R08 to make room for the new
+# store_stream_ingest id — first-driver-row ids must be fronted.)
 
 # Query ids registered WITHOUT a DuckDB oracle (the driver records a
 # weaker rows-only check): approximate/sketch outputs whose exact values
