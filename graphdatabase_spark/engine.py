@@ -327,6 +327,82 @@ class GraphEngine:
 
         return self.manifests.commit(update) is not None
 
+    def merge_edges(self, updates: DataFrame, delete: bool = False) -> None:
+        """MERGE INTO over the stored edge sets: upsert (default) or
+        delete by edge key. ``updates`` carries ``(graph, src, dst[,
+        w])``; matched (graph, src, dst) keys take the update's weight
+        (or are removed when ``delete=True``), unmatched keys insert.
+        Each TOUCHED graph is rewritten into one fresh commit and its
+        pointer flipped there — so a merge also collapses any append
+        chain for those graphs (it IS a per-graph compaction); graphs
+        not in ``updates`` keep their commits untouched, and readers
+        pinned to older snapshots are unaffected. Cost is O(touched
+        graphs), the table-format copy-on-write MERGE economics
+        (Delta/Iceberg COW): right for low-frequency corrections; a
+        continuous stream belongs in :meth:`append_edges`.
+
+        Duplicate keys INSIDE ``updates`` are the caller's bug (which
+        row wins is undefined in every MERGE dialect); pre-aggregate.
+
+        Concurrency: the CAS publish flips a touched graph's pointer
+        only if it is UNCHANGED since the merge pinned its snapshot —
+        a write landing mid-merge keeps its newer pointer (same
+        protection as compact()); the merge's rewrite of that graph is
+        simply not adopted."""
+        snap = self.snapshot()
+        if "w" not in updates.columns:
+            updates = updates.withColumn("w", F.lit(1))
+        updates = updates.select(F.col("src").cast("int"),
+                                 F.col("dst").cast("int"),
+                                 F.col("w").cast("int"),
+                                 F.col("graph").cast("string"))
+        touched = [r["graph"]
+                   for r in updates.select("graph").distinct().collect()]
+        if delete:
+            # deleting from a graph the store doesn't have is a no-op,
+            # not a new empty catalog entry
+            known = (snap.manifest or {}).get("graphs", {})
+            touched = [g for g in touched if g in known]
+        if not touched:
+            return
+        base = (snap.weighted_edges()
+                .filter(F.col("graph").isin(touched)))
+        kept = base.join(updates.select("graph", "src", "dst"),
+                         ["graph", "src", "dst"], "left_anti")
+        merged = kept if delete else kept.unionByName(updates)
+        verts = (merged.select(F.col("src").alias("vid"), "graph")
+                 .unionByName(merged.select(F.col("dst").alias("vid"),
+                                            "graph"))
+                 .unionByName(snap.vertices()
+                              .filter(F.col("graph").isin(touched))
+                              .select("vid", "graph"))
+                 .distinct())
+        # meta carries over (graph stays cataloged even if the merge
+        # deletes its last edge); graphs new to the store gain a row
+        old_meta = (snap.meta().filter(F.col("graph").isin(touched))
+                    .distinct())
+        new_meta = (verts.groupBy("graph")
+                    .agg(F.count(F.lit(1)).cast("int").alias("n"))
+                    .join(old_meta.select("graph"), "graph", "left_anti"))
+        cid = uuid.uuid4().hex[:12]
+        for df, table in ((merged, "edges"), (verts, "vertices"),
+                          (old_meta.unionByName(new_meta), "meta")):
+            out = df.select(*[c for c in df.columns if c != "graph"],
+                            "graph")
+            (out.write.mode("overwrite").partitionBy("graph")
+                .parquet(os.path.join(self.store, "data", table,
+                                      f"c={cid}")))
+        pinned = (snap.manifest or {}).get("graphs", {})
+
+        def update(prev: dict | None) -> dict:
+            graphs_map = dict(prev["graphs"]) if prev else {}
+            for g in touched:
+                if graphs_map.get(g) == pinned.get(g):
+                    graphs_map[g] = cid
+            return {"commit": cid, "graphs": graphs_map}
+
+        self.manifests.commit(update)
+
     def _write(self, lines: DataFrame) -> None:
         # One COMMIT: land all three tables' files under a fresh
         # immutable c=<cid> directory (one distributed write each, still

@@ -358,6 +358,58 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_store_merge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO end to end: a base edge load (even event ids) lands
+    via an append commit, then the odd-id half MERGES in
+    (``engine.merge_edges``: matched (graph, src, dst) keys take the
+    update's weight, unmatched insert; copy-on-write rewrite of the
+    touched graphs + CAS pointer flip). The dst key pairs consecutive
+    event ids (``event_id div 2``), so base and update key sets
+    genuinely overlap and both MERGE arms execute. The result is the
+    STORED state read back through a snapshot; the oracle recomputes
+    it as base FULL OUTER JOIN updates with COALESCE — the MERGE
+    truth table in one SQL expression."""
+    import tempfile
+
+    from graphdatabase_spark.engine import GraphEngine
+
+    root = tempfile.mkdtemp(prefix="gdb_merge_store_")
+    eng = GraphEngine(spark, os.path.join(root, "store"))
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    m = ev.select(
+        F.col("event_type").alias("graph"),
+        (F.col("user_id") % 25).cast("int").alias("src"),
+        (F.expr("event_id div 2") % 50 + 1).cast("int").alias("dst"),
+        (F.col("event_id") % 2).alias("par"),
+        (F.col("event_id") % 5 + 1).alias("w1"))
+
+    def half(par: int) -> DataFrame:
+        return (m.filter(F.col("par") == par)
+                .groupBy("graph", "src", "dst")
+                .agg(F.sum("w1").cast("int").alias("w")))
+
+    eng.append_edges(half(0))
+    eng.merge_edges(half(1))
+    return eng.weighted_edges().select("graph", "src", "dst", "w")
+
+
+ORACLE_STORE_MERGE_EDGES = """
+WITH m AS (
+  SELECT event_type AS graph,
+         CAST(user_id % 25 AS INT) AS src,
+         CAST((event_id // 2) % 50 + 1 AS INT) AS dst,
+         CAST(event_id % 2 AS INT) AS par,
+         event_id % 5 + 1 AS w1
+  FROM events),
+base AS (SELECT graph, src, dst, CAST(SUM(w1) AS INT) AS w
+         FROM m WHERE par = 0 GROUP BY 1, 2, 3),
+upd AS (SELECT graph, src, dst, CAST(SUM(w1) AS INT) AS w
+        FROM m WHERE par = 1 GROUP BY 1, 2, 3)
+SELECT graph, src, dst, CAST(COALESCE(u.w, b.w) AS INT) AS w
+FROM base b FULL OUTER JOIN upd u USING (graph, src, dst)
+"""
+
+
 QUERIES = {
     "store_stats": q_store_stats,
     "store_bfs_all": q_store_bfs_all,
@@ -366,6 +418,7 @@ QUERIES = {
     "store_sssp_all": q_store_sssp_all,
     "store_pagerank_all": q_store_pagerank_all,
     "store_stream_ingest": q_store_stream_ingest,
+    "store_merge_edges": q_store_merge_edges,
 }
 
 ORACLES = {
@@ -376,4 +429,5 @@ ORACLES = {
     "store_sssp_all": ORACLE_STORE_SSSP_ALL,
     "store_pagerank_all": ORACLE_STORE_PAGERANK_ALL,
     "store_stream_ingest": ORACLE_STORE_STREAM_INGEST,
+    "store_merge_edges": ORACLE_STORE_MERGE_EDGES,
 }

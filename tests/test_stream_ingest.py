@@ -160,3 +160,49 @@ def test_batch_commit_id_scopes_by_sink(tmp_path):
     a, b = batch_commit_id("/ck/a", 0), batch_commit_id("/ck/b", 0)
     assert a != b  # two streams into one store never collide
     assert batch_commit_id("/ck/a", 0) == a  # replay reproduces the id
+
+
+def test_merge_edges_upsert_insert_and_untouched(engine, spark):
+    """MERGE semantics: matched keys take the update's weight,
+    unmatched keys insert, graphs absent from the updates are
+    untouched, and a merged graph's append chain collapses to one
+    commit (the merge IS a per-graph compaction)."""
+    engine.add_graph("M", "3\n0 2 0\n0 0 3\n0 0 0\n")   # (1,2,2) (2,3,3)
+    engine.add_graph("N", "2\n0 1\n0 0\n")
+    engine.append_edges(_edges_df(spark, [("M", 3, 1, 9)]))  # chain of 2
+    engine.merge_edges(_edges_df(spark, [
+        ("M", 1, 2, 7),    # matched: weight 2 -> 7
+        ("M", 1, 3, 4),    # unmatched: insert
+    ]))
+    assert _edge_set(engine.weighted_edges("M")) == {
+        ("M", 1, 2, 7), ("M", 2, 3, 3), ("M", 3, 1, 9), ("M", 1, 3, 4)}
+    assert _edge_set(engine.weighted_edges("N")) == {("N", 1, 2, 1)}
+    assert isinstance(engine.manifests.load()["graphs"]["M"], str)
+    assert sorted(r["vid"] for r in engine.vertices("M").collect()) == [1, 2, 3]
+
+
+def test_merge_edges_delete_and_new_graph(engine, spark):
+    engine.add_graph("D", "3\n0 1 1\n0 0 1\n0 0 0\n")
+    engine.merge_edges(_edges_df(spark, [("D", 1, 2, 0), ("D", 2, 3, 0)]),
+                       delete=True)
+    assert _edge_set(engine.weighted_edges("D")) == {("D", 1, 3, 1)}
+    # the graph stays cataloged with its vertices even as edges go
+    assert "D" in engine.graphs()
+    assert sorted(r["vid"] for r in engine.vertices("D").collect()) == [1, 2, 3]
+    # deleting from an unknown graph is a no-op, not a catalog entry
+    engine.merge_edges(_edges_df(spark, [("ZZ", 1, 2, 0)]), delete=True)
+    assert "ZZ" not in engine.graphs()
+    # upserting into a brand-new graph creates it
+    engine.merge_edges(_edges_df(spark, [("P", 5, 6, 2)]))
+    assert engine.graphs() == ["D", "P"]
+    assert _edge_set(engine.weighted_edges("P")) == {("P", 5, 6, 2)}
+    row = engine.stats().filter(F.col("graph") == "P").collect()[0]
+    assert (row["n_vertices"], row["n_edges"]) == (2, 1)
+
+
+def test_merge_edges_snapshot_isolation(engine, spark):
+    engine.add_graph("S2", "2\n0 5\n0 0\n")
+    pre = engine.snapshot()
+    engine.merge_edges(_edges_df(spark, [("S2", 1, 2, 1)]))
+    assert _edge_set(pre.weighted_edges("S2")) == {("S2", 1, 2, 5)}
+    assert _edge_set(engine.snapshot().weighted_edges("S2")) == {("S2", 1, 2, 1)}
