@@ -773,6 +773,102 @@ FROM lineitem
 """
 
 
+# ---------------------------------------------------------------------------
+# q_customer_distribution — TPC-H Q13 shape: CONDITIONAL left outer join
+# (the filter lives in the join condition, not a WHERE — customers with
+# only filtered-out orders must still count as 0) + two-level aggregation
+# (per-customer order count, then the distribution of those counts).
+# Scale shape: both aggs are map-side combined; the outer join shuffles
+# on custkey once and the second agg's domain is tiny (distinct counts).
+# ---------------------------------------------------------------------------
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        cust.join(orders,
+                  (cust.c_custkey == orders.o_custkey)
+                  & (orders.o_orderpriority != "1-URGENT"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+ORACLE_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_waiting_suppliers — TPC-H Q21 shape: the double-correlated
+# EXISTS / NOT EXISTS self-join. For finalized ('F') orders, a supplier
+# "kept the order waiting" if their lines shipped late while EXISTS
+# another supplier on the same order and NOT EXISTS another supplier who
+# was ALSO late (they were the sole bottleneck). The testdata lineitem
+# has no commit/receipt dates, so late-ness is the ship lag proxy:
+# l_shipdate > o_orderdate + 90 days (semantics differ from pristine
+# Q21; the PLAN SHAPE — semi + anti self-joins on the supplier-order
+# pair set — is the point). Scale shape: the self-joins run on the
+# DISTINCT (orderkey, suppkey) pair set (one map-side-combined agg
+# upstream), never on raw lineitem; counts group by supplier nation.
+# ---------------------------------------------------------------------------
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fo = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    pairs = (
+        li.join(fo, li.l_orderkey == fo.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max((F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+                   .cast("int")).alias("late")))
+    l1 = pairs.filter(F.col("late") == 1).select(
+        F.col("l_orderkey").alias("okey"), F.col("l_suppkey").alias("skey"))
+    others = pairs.select(F.col("l_orderkey").alias("o2"),
+                          F.col("l_suppkey").alias("s2"), "late")
+    waiting = (
+        l1.join(others, (F.col("okey") == F.col("o2"))
+                & (F.col("skey") != F.col("s2")), "left_semi")
+        .join(others.filter(F.col("late") == 1),
+              (F.col("okey") == F.col("o2"))
+              & (F.col("skey") != F.col("s2")), "left_anti"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    return (waiting.join(supp, waiting.skey == supp.s_suppkey)
+            .groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+ORACLE_WAITING_SUPPLIERS = """
+WITH pairs AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2)
+SELECT s_nationkey, COUNT(*) AS numwait
+FROM pairs l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.late = 1
+  AND EXISTS (SELECT 1 FROM pairs l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM pairs l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+GROUP BY s_nationkey
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -798,6 +894,8 @@ QUERIES = {
     "disjunctive_revenue": q_disjunctive_revenue,
     "sales_opportunity": q_sales_opportunity,
     "summary_stats": q_summary_stats,
+    "customer_distribution": q_customer_distribution,
+    "waiting_suppliers": q_waiting_suppliers,
 }
 
 ORACLES = {
@@ -822,4 +920,6 @@ ORACLES = {
     "disjunctive_revenue": ORACLE_DISJUNCTIVE_REVENUE,
     "sales_opportunity": ORACLE_SALES_OPPORTUNITY,
     "summary_stats": ORACLE_SUMMARY_STATS,
+    "customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,
+    "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
 }

@@ -62,7 +62,8 @@ _DEFERRED_R07 = [
 _DEFERRED_R08 = [
     "scalar_functions", "set_ops", "summary_stats", "top_expensive_orders",
     "small_qty_revenue", "disjunctive_revenue", "text_stats", "token_count",
-    "file_search", "wordcount_docs", "lang_id",
+    "file_search", "wordcount_docs", "lang_id", "quality_score",
+    "doc_fingerprint",
 ]
 
 _PREV_WINDOW2 = [
@@ -110,8 +111,11 @@ _CHECK_FIRST = [
     # -- _DEFERRED_R07: r05 rows at the three-round horizon, must front --
     "graph_ingest_matrix", "pivot_returns", "window_showcase",
     "sql_grouping_sets", "sample_split", "corpus_histogram",
-    # -- NEW this round: streaming append-commit ingest + MERGE INTO --
+    # -- NEW this round: streaming append-commit ingest + MERGE INTO,
+    # and two more TPC-H plan shapes (Q13 outer-join distribution,
+    # Q21 double-correlated exists/not-exists) --
     "store_stream_ingest", "store_merge_edges",
+    "customer_distribution", "waiting_suppliers",
     # -- MODIFIED this round: _fake_decode error contract + real codecs --
     "multimodal_features", "multimodal_frames", "multimodal_resize",
     # -- latest driver row is round 6 (round-6 window minus _DEFERRED_R08) --
@@ -121,8 +125,7 @@ _CHECK_FIRST = [
     "top_supplier", "large_volume_customers", "sales_opportunity",
     "personalized_pagerank", "label_propagation", "graph_degree",
     "reachability", "shortest_path_hops", "clustering_coefficient",
-    "dfs_leaves_tree", "dfs_leaves",
-    "quality_score", "doc_fingerprint", "dedup_exact", "dedup_near_guarded",
+    "dfs_leaves_tree", "dfs_leaves", "dedup_exact", "dedup_near_guarded",
     "dedup_simhash", "embedding_cosine_topk", "events_quantiles_approx",
     "pii_scrub", "chunk_dedup", "domain_mix", "corpus_funnel", "ivf_recenter",
     "connected_components", "dedup_clusters", "dedup_minhash_lsh",
