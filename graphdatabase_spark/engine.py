@@ -607,6 +607,21 @@ class GraphEngine:
         return self.spark.createDataFrame(
             rows, "seq long, commit string, n_graphs int")
 
+    def create_views(self, prefix: str = "gdb",
+                     seq: int | None = None) -> GraphSnapshot:
+        """Register the store as session temp views —
+        ``<prefix>_edges`` (with weights), ``<prefix>_vertices``,
+        ``<prefix>_meta`` — so the whole catalog is queryable with
+        plain ``spark.sql``. The views are pinned to ONE snapshot
+        (optionally a historical ``seq``): later writes don't shift
+        results mid-query; re-call to refresh. Returns the pinned
+        snapshot."""
+        snap = self.snapshot(seq)
+        snap.weighted_edges().createOrReplaceTempView(f"{prefix}_edges")
+        snap.vertices().createOrReplaceTempView(f"{prefix}_vertices")
+        snap.meta().createOrReplaceTempView(f"{prefix}_meta")
+        return snap
+
     def snapshot(self, seq: int | None = None) -> GraphSnapshot:
         """Pin ONE consistent view of the whole store (every graph's
         edges + vertices + meta from the same manifest). Multi-table

@@ -869,6 +869,137 @@ GROUP BY s_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q_volume_shipping — TPC-H Q7 shape: the two-sided nation-pair join.
+# lineitem reaches BOTH a supplier-side nation and a customer-side nation
+# (through orders), with a DISJUNCTIVE cross-side pair predicate
+# ((A,B) OR (B,A)) that Catalyst cannot push to either scan alone, and
+# grouping by the derived ship YEAR. Scale shape: both nation maps are
+# broadcast; the only big shuffles are the fact-side joins.
+# ---------------------------------------------------------------------------
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (load_table(spark, sf_dir, "customer")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    orders = (load_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey")
+              .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+              .select("o_orderkey", "cust_nation"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.year("l_shipdate").alias("l_year"),
+        (_dec("l_extendedprice")
+         * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).alias("rev"))
+    pair = ((F.col("supp_nation") == "NATION_1")
+            & (F.col("cust_nation") == "NATION_2")) | \
+           ((F.col("supp_nation") == "NATION_2")
+            & (F.col("cust_nation") == "NATION_1"))
+    return (li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(_dsum(F.col("rev")).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+ORACLE_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_market_share — TPC-H Q8 shape: ratio-of-conditional-aggregates over the
+# widest join in the suite (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders ⋈
+# customer ⋈ nation ⋈ region): NATION_1's share of ECONOMY-part revenue
+# inside region ASIA per order year. Both numerator and denominator
+# accumulate in exact decimal and divide ONCE in double, so the ratio is
+# engine-deterministic (the module's float contract).
+# ---------------------------------------------------------------------------
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    part = (load_table(spark, sf_dir, "part")
+            .filter(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA").select("r_regionkey")
+    cust = (load_table(spark, sf_dir, "customer")
+            .join(F.broadcast(nation.join(
+                F.broadcast(region),
+                F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")),
+                F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
+            .select("c_custkey"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey",
+                      F.year("o_orderdate").alias("o_year"))
+              .join(cust, F.col("o_custkey") == F.col("c_custkey"),
+                    "left_semi"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (_dec("l_extendedprice")
+         * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).alias("rev"))
+    joined = (li.join(part, F.col("l_partkey") == F.col("p_partkey"),
+                      "left_semi")
+              .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(orders, F.col("l_orderkey") == F.col("o_orderkey")))
+    nat_rev = F.sum(F.when(F.col("supp_nation") == "NATION_1",
+                           F.col("rev")).otherwise(F.lit(0).cast("decimal(18,4)")))
+    return (joined.groupBy("o_year")
+            .agg((nat_rev.cast("double")
+                  / F.sum(F.col("rev")).cast("double")).alias("mkt_share"),
+                 _dsum(F.col("rev")).alias("total_rev")))
+
+
+ORACLE_MARKET_SHARE = """
+WITH j AS (
+  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+    AND o_custkey IN (
+      SELECT c_custkey FROM customer
+      WHERE c_nationkey IN (
+        SELECT n_nationkey FROM nation
+        WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                              WHERE r_name = 'ASIA'))))
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+       CAST(SUM(rev) AS DOUBLE) AS total_rev
+FROM j
+GROUP BY o_year
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -896,6 +1027,8 @@ QUERIES = {
     "summary_stats": q_summary_stats,
     "customer_distribution": q_customer_distribution,
     "waiting_suppliers": q_waiting_suppliers,
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
 }
 
 ORACLES = {
@@ -922,4 +1055,6 @@ ORACLES = {
     "summary_stats": ORACLE_SUMMARY_STATS,
     "customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,
     "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
+    "volume_shipping": ORACLE_VOLUME_SHIPPING,
+    "market_share": ORACLE_MARKET_SHARE,
 }

@@ -410,6 +410,26 @@ FROM base b FULL OUTER JOIN upd u USING (graph, src, dst)
 """
 
 
+def q_store_sql_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store as a SQL surface: ``engine.create_views`` registers
+    one pinned snapshot as temp views and plain ``spark.sql`` answers
+    a catalog-wide question (per-vertex out-degree and out-weight over
+    EVERY stored graph) — no engine API in the query text at all."""
+    fixture_engine(spark).create_views("gdb")
+    return spark.sql("""
+        SELECT graph, src AS vid, COUNT(*) AS out_degree,
+               CAST(SUM(w) AS BIGINT) AS w_out
+        FROM gdb_edges GROUP BY graph, src""")
+
+
+ORACLE_STORE_SQL_DEGREE = f"""
+WITH {_edges_cte()}
+SELECT graph, src AS vid, COUNT(*) AS out_degree,
+       CAST(SUM(w) AS BIGINT) AS w_out
+FROM graph_edges GROUP BY graph, src
+"""
+
+
 QUERIES = {
     "store_stats": q_store_stats,
     "store_bfs_all": q_store_bfs_all,
@@ -419,6 +439,7 @@ QUERIES = {
     "store_pagerank_all": q_store_pagerank_all,
     "store_stream_ingest": q_store_stream_ingest,
     "store_merge_edges": q_store_merge_edges,
+    "store_sql_degree": q_store_sql_degree,
 }
 
 ORACLES = {
@@ -430,4 +451,5 @@ ORACLES = {
     "store_pagerank_all": ORACLE_STORE_PAGERANK_ALL,
     "store_stream_ingest": ORACLE_STORE_STREAM_INGEST,
     "store_merge_edges": ORACLE_STORE_MERGE_EDGES,
+    "store_sql_degree": ORACLE_STORE_SQL_DEGREE,
 }

@@ -63,7 +63,7 @@ _DEFERRED_R08 = [
     "scalar_functions", "set_ops", "summary_stats", "top_expensive_orders",
     "small_qty_revenue", "disjunctive_revenue", "text_stats", "token_count",
     "file_search", "wordcount_docs", "lang_id", "quality_score",
-    "doc_fingerprint",
+    "doc_fingerprint", "dedup_exact", "dedup_simhash", "pii_scrub",
 ]
 
 _PREV_WINDOW2 = [
@@ -114,8 +114,9 @@ _CHECK_FIRST = [
     # -- NEW this round: streaming append-commit ingest + MERGE INTO,
     # and two more TPC-H plan shapes (Q13 outer-join distribution,
     # Q21 double-correlated exists/not-exists) --
-    "store_stream_ingest", "store_merge_edges",
+    "store_stream_ingest", "store_merge_edges", "store_sql_degree",
     "customer_distribution", "waiting_suppliers",
+    "volume_shipping", "market_share",
     # -- MODIFIED this round: _fake_decode error contract + real codecs --
     "multimodal_features", "multimodal_frames", "multimodal_resize",
     # -- latest driver row is round 6 (round-6 window minus _DEFERRED_R08) --
@@ -125,9 +126,9 @@ _CHECK_FIRST = [
     "top_supplier", "large_volume_customers", "sales_opportunity",
     "personalized_pagerank", "label_propagation", "graph_degree",
     "reachability", "shortest_path_hops", "clustering_coefficient",
-    "dfs_leaves_tree", "dfs_leaves", "dedup_exact", "dedup_near_guarded",
-    "dedup_simhash", "embedding_cosine_topk", "events_quantiles_approx",
-    "pii_scrub", "chunk_dedup", "domain_mix", "corpus_funnel", "ivf_recenter",
+    "dfs_leaves_tree", "dfs_leaves", "dedup_near_guarded",
+    "embedding_cosine_topk", "events_quantiles_approx",
+    "chunk_dedup", "domain_mix", "corpus_funnel", "ivf_recenter",
     "connected_components", "dedup_clusters", "dedup_minhash_lsh",
     "running_user_stats", "search_bm25", "semdedup_ivf", "knn_join",
 ]
