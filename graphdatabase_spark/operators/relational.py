@@ -1000,6 +1000,258 @@ GROUP BY o_year
 """
 
 
+# ---------------------------------------------------------------------------
+# q_min_cost_supplier — TPC-H Q2 shape: the correlated scalar-MIN
+# subquery ("the supplier offering the minimum cost for each part"),
+# decorrelated as one grouped MIN + a per-part window MIN + an equality
+# filter. The testdata has no partsupp, so "cost" is the minimum
+# l_extendedprice a supplier ever charged for the part (exact DECIMAL,
+# so the min-equality join-back is engine-deterministic). Scale shape:
+# the part filter semi-joins (broadcast) BEFORE the grouped agg so only
+# qualifying parts' lineitems shuffle; the window MIN reuses the
+# group-by's hash partitioning on l_partkey (no second shuffle).
+# ---------------------------------------------------------------------------
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    parts = (load_table(spark, sf_dir, "part")
+             .filter((F.col("p_size") <= 10) & (F.col("p_type") == "LARGE"))
+             .select("p_partkey"))
+    cost = (load_table(spark, sf_dir, "lineitem")
+            .select("l_partkey", "l_suppkey",
+                    _dec("l_extendedprice").alias("price"))
+            .join(F.broadcast(parts),
+                  F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.min("price").alias("cost")))
+    best = (cost
+            .withColumn("min_cost",
+                        F.min("cost").over(Window.partitionBy("l_partkey")))
+            .filter(F.col("cost") == F.col("min_cost")))
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_acctbal", "n_name"))
+    return (best.join(supp, best.l_suppkey == supp.s_suppkey)
+            .select(F.col("l_partkey").alias("p_partkey"), "s_suppkey",
+                    F.col("cost").cast("double").alias("min_cost"),
+                    "s_acctbal", "n_name"))
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_size <= 10 AND p_type = 'LARGE')
+  GROUP BY 1, 2)
+SELECT c.l_partkey AS p_partkey, c.l_suppkey AS s_suppkey,
+       CAST(c.cost AS DOUBLE) AS min_cost, s_acctbal, n_name
+FROM cost c
+JOIN supplier ON c.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE c.cost = (SELECT MIN(c2.cost) FROM cost c2
+                WHERE c2.l_partkey = c.l_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_product_profit — TPC-H Q9 shape: profit by supplier nation and order
+# year over the 5-way star join (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈
+# orders) with the profit expression spanning two tables. Without
+# partsupp, supply cost is proxied as 10% of p_retailprice per unit.
+# Decimal discipline: qty is cast DECIMAL(9,0) (quantities are integral)
+# so every product stays within precision 38 EXACTLY in both engines —
+# rp(18,2) × qty(9,0) × 0.10(3,2) and amt(18,2)×(1-disc) never hit
+# Spark's precision-loss rounding. Scale shape: part and nation
+# broadcast; the two fact-side joins (supplier via broadcast-sized dim,
+# orders on orderkey) are the only shuffles before one map-side-combined
+# agg on a tiny (nation, year) domain.
+# ---------------------------------------------------------------------------
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (load_table(spark, sf_dir, "part")
+            .filter(F.col("p_name").contains("widget"))
+            .select("p_partkey", _dec("p_retailprice").alias("rp")))
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "n_name"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.col("l_quantity").cast("decimal(9,0)").alias("qty"),
+        (_dec("l_extendedprice")
+         * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).alias("amt"))
+    profit = (F.col("amt")
+              - F.col("rp") * F.col("qty")
+                * F.lit("0.10").cast("decimal(3,2)"))
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("n_name", "o_year")
+            .agg(_dsum(profit).alias("profit"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+ORACLE_PRODUCT_PROFIT = """
+SELECT n_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(9,0))
+                  * CAST(0.10 AS DECIMAL(3,2))) AS DOUBLE) AS profit,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_important_parts — TPC-H Q11 shape: HAVING against a GLOBAL scalar
+# subquery (keep the groups whose share of the grand total exceeds a
+# fraction). Part "value" is shipped quantity × unit price restricted to
+# three nations' suppliers. The fraction compare is integer-scaled
+# (val × 1000 > total) so no sub-cent decimal threshold exists to
+# round differently across engines. Scale shape: the supplier semi-join
+# broadcasts; ONE shuffle for the per-part agg; the grand total is a
+# 1-row broadcast cross join (Q11's classic decorrelation), never a
+# driver collect.
+# ---------------------------------------------------------------------------
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = (load_table(spark, sf_dir, "nation")
+           .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+           .select("n_nationkey"))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+            .select("s_suppkey"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_quantity").cast("decimal(9,0)")
+         * _dec("l_extendedprice")).alias("val"))
+    v = (li.join(F.broadcast(supp),
+                 F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+         .groupBy("l_partkey")
+         .agg(F.sum("val").alias("part_value")))
+    total = v.agg(F.sum("part_value").cast("decimal(18,2)").alias("tot"))
+    return (v.crossJoin(F.broadcast(total))
+            .filter(F.col("part_value").cast("decimal(18,2)")
+                    * F.lit(1000).cast("decimal(4,0)") > F.col("tot"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.col("part_value").cast("double").alias("part_value")))
+
+
+ORACLE_IMPORTANT_PARTS = """
+WITH v AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(9,0))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS part_value
+  FROM lineitem
+  WHERE l_suppkey IN (
+      SELECT s_suppkey FROM supplier WHERE s_nationkey IN (
+        SELECT n_nationkey FROM nation
+        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')))
+  GROUP BY 1)
+SELECT l_partkey AS p_partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM v
+WHERE CAST(part_value AS DECIMAL(18,2)) * CAST(1000 AS DECIMAL(4,0))
+      > (SELECT CAST(SUM(part_value) AS DECIMAL(18,2)) FROM v)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_parts_supplier_counts — TPC-H Q16 shape: COUNT(DISTINCT supplier)
+# per part attribute triple with a NOT-IN exclusion subquery (suppliers
+# with negative account balance proxy Q16's complaint filter) and
+# negated part predicates. The supplier-part relationship is the
+# DISTINCT (l_partkey, l_suppkey) pair set from lineitem (no partsupp).
+# Scale shape: the exclusion list is a broadcast ANTI join (never a
+# NOT-IN nested loop); part is broadcast; one shuffle for the distinct
+# agg, whose (brand, type, size) domain is tiny.
+# ---------------------------------------------------------------------------
+
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (load_table(spark, sf_dir, "part")
+            .filter((F.col("p_brand") != "Brand#1")
+                    & (F.col("p_type") != "PROMO")
+                    & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey")
+          .join(F.broadcast(bad),
+                F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"))
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+ORACLE_PARTS_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_excess_stock_suppliers — TPC-H Q20 shape: the nested-IN chain
+# (supplier IN (… lineitem GROUP BY … HAVING … WHERE part IN (…))),
+# decorrelated as two chained semi-joins with the HAVING threshold on a
+# grouped sum. "Excess stock" = shipped more than 80 units of any
+# 'small…' part. Scale shape: the part list broadcasts into a semi-join
+# BEFORE the grouped agg (only matching lineitems shuffle); the
+# qualifying-supplier set is a second small semi-join; nation broadcast.
+# ---------------------------------------------------------------------------
+
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    small = (load_table(spark, sf_dir, "part")
+             .filter(F.col("p_name").startswith("small"))
+             .select("p_partkey"))
+    heavy = (load_table(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey",
+                     F.col("l_quantity").cast("decimal(9,0)").alias("qty"))
+             .join(F.broadcast(small),
+                   F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+             .groupBy("l_suppkey", "l_partkey")
+             .agg(F.sum("qty").alias("q"))
+             .filter(F.col("q") > 80)
+             .select("l_suppkey").distinct())
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (load_table(spark, sf_dir, "supplier")
+            .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "n_name"))
+
+
+ORACLE_EXCESS_STOCK_SUPPLIERS = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE 'small%')
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(9,0))) > 80)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1029,6 +1281,11 @@ QUERIES = {
     "waiting_suppliers": q_waiting_suppliers,
     "volume_shipping": q_volume_shipping,
     "market_share": q_market_share,
+    "min_cost_supplier": q_min_cost_supplier,
+    "product_profit": q_product_profit,
+    "important_parts": q_important_parts,
+    "parts_supplier_counts": q_parts_supplier_counts,
+    "excess_stock_suppliers": q_excess_stock_suppliers,
 }
 
 ORACLES = {
@@ -1057,4 +1314,9 @@ ORACLES = {
     "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
     "volume_shipping": ORACLE_VOLUME_SHIPPING,
     "market_share": ORACLE_MARKET_SHARE,
+    "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
+    "product_profit": ORACLE_PRODUCT_PROFIT,
+    "important_parts": ORACLE_IMPORTANT_PARTS,
+    "parts_supplier_counts": ORACLE_PARTS_SUPPLIER_COUNTS,
+    "excess_stock_suppliers": ORACLE_EXCESS_STOCK_SUPPLIERS,
 }

@@ -64,6 +64,8 @@ _DEFERRED_R08 = [
     "small_qty_revenue", "disjunctive_revenue", "text_stats", "token_count",
     "file_search", "wordcount_docs", "lang_id", "quality_score",
     "doc_fingerprint", "dedup_exact", "dedup_simhash", "pii_scrub",
+    "dedup_minhash_lsh", "running_user_stats", "search_bm25",
+    "semdedup_ivf", "knn_join",
 ]
 
 _PREV_WINDOW2 = [
@@ -117,6 +119,12 @@ _CHECK_FIRST = [
     "store_stream_ingest", "store_merge_edges", "store_sql_degree",
     "customer_distribution", "waiting_suppliers",
     "volume_shipping", "market_share",
+    # -- NEW this round (late additions): the five remaining TPC-H plan
+    # shapes adapted to the partsupp-less testdata (Q2 correlated
+    # scalar-MIN, Q9 profit star, Q11 HAVING-vs-global-scalar, Q16
+    # NOT-IN + distinct count, Q20 nested-IN semi-join chain) --
+    "min_cost_supplier", "product_profit", "important_parts",
+    "parts_supplier_counts", "excess_stock_suppliers",
     # -- MODIFIED this round: _fake_decode error contract + real codecs --
     "multimodal_features", "multimodal_frames", "multimodal_resize",
     # -- latest driver row is round 6 (round-6 window minus _DEFERRED_R08) --
@@ -129,11 +137,12 @@ _CHECK_FIRST = [
     "dfs_leaves_tree", "dfs_leaves", "dedup_near_guarded",
     "embedding_cosine_topk", "events_quantiles_approx",
     "chunk_dedup", "domain_mix", "corpus_funnel", "ivf_recenter",
-    "connected_components", "dedup_clusters", "dedup_minhash_lsh",
-    "running_user_stats", "search_bm25", "semdedup_ivf", "knn_join",
+    "connected_components", "dedup_clusters",
 ]
 # (wordcount_docs joined _DEFERRED_R08 to make room for the new
-# store_stream_ingest id — first-driver-row ids must be fronted.)
+# store_stream_ingest id; dedup_minhash_lsh / running_user_stats /
+# search_bm25 / semdedup_ivf / knn_join joined it for the five TPC-H
+# late additions — first-driver-row ids must be fronted.)
 
 # Query ids registered WITHOUT a DuckDB oracle (the driver records a
 # weaker rows-only check): approximate/sketch outputs whose exact values
