@@ -1252,6 +1252,100 @@ WHERE s_suppkey IN (
 """
 
 
+# ---------------------------------------------------------------------------
+# q_returned_item_revenue — TPC-H Q10 shape: top-20 customers by revenue
+# lost to returns in a quarter (lineitem filter l_returnflag='R', orders
+# date-range, customer ⋈ nation attributes). Scale shape: revenue is
+# aggregated per o_custkey BEFORE the customer join (the agg-below-join
+# rewrite — only |customers-with-returns| rows meet the wide customer
+# table, not |lineitems|); nation broadcasts; the top-20 is a
+# TakeOrdered with a deterministic (revenue DESC, custkey) total order,
+# exact because revenue is a decimal sum.
+# ---------------------------------------------------------------------------
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                      & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey",
+                  (_dec("l_extendedprice")
+                   * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).alias("rev")))
+    per_cust = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_custkey")
+                .agg(F.sum("rev").alias("revenue")))
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (load_table(spark, sf_dir, "customer")
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_name", "c_acctbal", "n_name"))
+    return (per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20)
+            .select("c_custkey", "c_name",
+                    F.col("revenue").cast("double").alias("revenue"),
+                    "c_acctbal", "n_name"))
+
+
+ORACLE_RETURNED_ITEM_REVENUE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1)
+SELECT c_custkey, c_name, CAST(revenue AS DOUBLE) AS revenue, c_acctbal, n_name
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_shipmode_priority — TPC-H Q12 shape: orders ⋈ lineitem with an
+# IN-list + date-range fact filter and TWO CASE-gated counts splitting
+# order priority into high/low, grouped by a low-cardinality line
+# attribute. The testdata has no l_shipmode/commitdate, so the mode
+# column is l_returnflag (IN ('A','R')) and the window is shipdates in
+# 1997. Scale shape: the IN-list and range push into the parquet scan;
+# orders contributes only (orderkey, priority) so the one shuffle join
+# carries two narrow columns; the agg domain is 2 rows.
+# ---------------------------------------------------------------------------
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag").isin("A", "R")
+                  & (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+          .select("l_orderkey", "l_returnflag"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count")))
+
+
+ORACLE_SHIPMODE_PRIORITY = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag IN ('A', 'R')
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1286,6 +1380,8 @@ QUERIES = {
     "important_parts": q_important_parts,
     "parts_supplier_counts": q_parts_supplier_counts,
     "excess_stock_suppliers": q_excess_stock_suppliers,
+    "returned_item_revenue": q_returned_item_revenue,
+    "shipmode_priority": q_shipmode_priority,
 }
 
 ORACLES = {
@@ -1319,4 +1415,6 @@ ORACLES = {
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "parts_supplier_counts": ORACLE_PARTS_SUPPLIER_COUNTS,
     "excess_stock_suppliers": ORACLE_EXCESS_STOCK_SUPPLIERS,
+    "returned_item_revenue": ORACLE_RETURNED_ITEM_REVENUE,
+    "shipmode_priority": ORACLE_SHIPMODE_PRIORITY,
 }

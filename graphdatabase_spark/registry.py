@@ -65,7 +65,7 @@ _DEFERRED_R08 = [
     "file_search", "wordcount_docs", "lang_id", "quality_score",
     "doc_fingerprint", "dedup_exact", "dedup_simhash", "pii_scrub",
     "dedup_minhash_lsh", "running_user_stats", "search_bm25",
-    "semdedup_ivf", "knn_join",
+    "semdedup_ivf", "knn_join", "connected_components", "dedup_clusters",
 ]
 
 _PREV_WINDOW2 = [
@@ -125,6 +125,10 @@ _CHECK_FIRST = [
     # NOT-IN + distinct count, Q20 nested-IN semi-join chain) --
     "min_cost_supplier", "product_profit", "important_parts",
     "parts_supplier_counts", "excess_stock_suppliers",
+    # -- NEW this round (latest additions, completing all 22 TPC-H plan
+    # shapes): Q10 agg-below-join returned-revenue top-k, Q12
+    # conditional-count priority split --
+    "returned_item_revenue", "shipmode_priority",
     # -- MODIFIED this round: _fake_decode error contract + real codecs --
     "multimodal_features", "multimodal_frames", "multimodal_resize",
     # -- latest driver row is round 6 (round-6 window minus _DEFERRED_R08) --
@@ -137,12 +141,12 @@ _CHECK_FIRST = [
     "dfs_leaves_tree", "dfs_leaves", "dedup_near_guarded",
     "embedding_cosine_topk", "events_quantiles_approx",
     "chunk_dedup", "domain_mix", "corpus_funnel", "ivf_recenter",
-    "connected_components", "dedup_clusters",
 ]
 # (wordcount_docs joined _DEFERRED_R08 to make room for the new
 # store_stream_ingest id; dedup_minhash_lsh / running_user_stats /
 # search_bm25 / semdedup_ivf / knn_join joined it for the five TPC-H
-# late additions — first-driver-row ids must be fronted.)
+# late additions; connected_components / dedup_clusters joined it for
+# the Q10/Q12 shapes — first-driver-row ids must be fronted.)
 
 # Query ids registered WITHOUT a DuckDB oracle (the driver records a
 # weaker rows-only check): approximate/sketch outputs whose exact values
