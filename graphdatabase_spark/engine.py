@@ -607,6 +607,31 @@ class GraphEngine:
         return self.spark.createDataFrame(
             rows, "seq long, commit string, n_graphs int")
 
+    def diff(self, seq_old: int, seq_new: int | None = None) -> DataFrame:
+        """Row-level changes between two retained snapshots — the
+        table-changes / CDC read (Delta ``table_changes`` twin):
+        ``(graph, src, dst, old_w, new_w, change)`` with ``change`` in
+        {'added', 'removed', 'updated'}, answered entirely from the two
+        immutable manifests (no log replay). One full-outer join keyed
+        (graph, src, dst); unchanged rows are filtered out, so the
+        result is change-sized. Weights are COALESCEd to 0 on the
+        absent side (stored weights are ≥ 1, so 0 unambiguously means
+        "not present"). Raises FileNotFoundError if either manifest
+        was vacuumed."""
+        old = (self.snapshot(seq_old).weighted_edges()
+               .select("graph", "src", "dst", F.col("w").alias("old_w")))
+        new = (self.snapshot(seq_new).weighted_edges()
+               .select("graph", "src", "dst", F.col("w").alias("new_w")))
+        return (new.join(old, ["graph", "src", "dst"], "full_outer")
+                .filter(F.col("old_w").isNull() | F.col("new_w").isNull()
+                        | (F.col("old_w") != F.col("new_w")))
+                .select("graph", "src", "dst",
+                        F.coalesce("old_w", F.lit(0)).cast("int").alias("old_w"),
+                        F.coalesce("new_w", F.lit(0)).cast("int").alias("new_w"),
+                        F.when(F.col("old_w").isNull(), "added")
+                         .when(F.col("new_w").isNull(), "removed")
+                         .otherwise("updated").alias("change")))
+
     def create_views(self, prefix: str = "gdb",
                      seq: int | None = None) -> GraphSnapshot:
         """Register the store as session temp views —

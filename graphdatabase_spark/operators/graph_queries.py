@@ -153,6 +153,43 @@ JOIN graph_edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
 """
 
 
+def q_vertex_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongest ties in the part co-purchase graph: top-100 edges by
+    neighborhood-Jaccard similarity (the link-prediction score —
+    "parts bought alongside the same other parts")."""
+    return graph_algos.edge_jaccard_topk(dg.copurchase_edges(spark, sf_dir), k=100)
+
+
+ORACLE_VERTEX_JACCARD = f"""
+WITH {dg.COPURCHASE_EDGES_CTE},
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM graph_edges e1
+  JOIN graph_edges e2 ON e1.dst = e2.src
+  JOIN graph_edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+cn AS (
+  SELECT src, dst, COUNT(*) AS common_nbrs FROM (
+    SELECT a AS src, b AS dst FROM tri
+    UNION ALL SELECT a, c FROM tri
+    UNION ALL SELECT b, c FROM tri)
+  GROUP BY 1, 2
+),
+deg AS (
+  SELECT vid, COUNT(*) AS deg
+  FROM (SELECT src AS vid FROM graph_edges UNION ALL SELECT dst FROM graph_edges)
+  GROUP BY vid
+)
+SELECT c.src, c.dst, c.common_nbrs,
+       CAST(c.common_nbrs AS DOUBLE) / (du.deg + dv.deg - c.common_nbrs) AS jaccard
+FROM cn c
+JOIN deg du ON du.vid = c.src
+JOIN deg dv ON dv.vid = c.dst
+ORDER BY jaccard DESC, c.src, c.dst
+LIMIT 100
+"""
+
+
 def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient over the part co-purchase graph
     (the triangle-count substrate — the classic "how cliquish is each
@@ -530,6 +567,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "triangle_count": q_triangle_count,
     "clustering_coefficient": q_clustering_coefficient,
+    "vertex_jaccard": q_vertex_jaccard,
     "kcore": q_kcore,
     "dfs_leaves_tree": q_dfs_leaves_tree,
     "dfs_leaves": q_dfs_leaves,
@@ -550,6 +588,7 @@ ORACLES = {
     "connected_components": ORACLE_CONNECTED_COMPONENTS,
     "triangle_count": ORACLE_TRIANGLE_COUNT,
     "clustering_coefficient": ORACLE_CLUSTERING_COEFFICIENT,
+    "vertex_jaccard": ORACLE_VERTEX_JACCARD,
     "kcore": ORACLE_KCORE,
     "dfs_leaves_tree": ORACLE_DFS_LEAVES_TREE,
     "dfs_leaves": ORACLE_DFS_LEAVES,

@@ -410,6 +410,65 @@ FROM base b FULL OUTER JOIN upd u USING (graph, src, dst)
 """
 
 
+def q_store_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel end to end: commit 1 appends the base edge load,
+    commit 2 MERGEs the update half, then the query reads BOTH
+    retained manifests (``snapshot(seq=1)`` vs ``snapshot(seq=2)``)
+    and diffs them via ``engine.diff`` — the Delta/Iceberg
+    table-changes (CDC) pattern, answered entirely from immutable
+    commit dirs with no log replay. Scale shape: one full-outer join
+    keyed (graph, src, dst); only rows whose weight actually changed
+    survive, classified 'added'/'updated' ('removed' cannot occur for
+    an upsert-only merge). The oracle recomputes both states from the
+    events table (the update half's keys are by construction the only
+    rows that can differ). old_w is COALESCEd to 0, not NULL, so the
+    added-row encoding is engine-independent."""
+    import tempfile
+
+    from graphdatabase_spark.engine import GraphEngine
+
+    root = tempfile.mkdtemp(prefix="gdb_diff_store_")
+    eng = GraphEngine(spark, os.path.join(root, "store"))
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    m = ev.select(
+        F.col("event_type").alias("graph"),
+        (F.col("user_id") % 25).cast("int").alias("src"),
+        (F.expr("event_id div 2") % 50 + 1).cast("int").alias("dst"),
+        (F.col("event_id") % 2).alias("par"),
+        (F.col("event_id") % 5 + 1).alias("w1"))
+
+    def half(par: int) -> DataFrame:
+        return (m.filter(F.col("par") == par)
+                .groupBy("graph", "src", "dst")
+                .agg(F.sum("w1").cast("int").alias("w")))
+
+    eng.append_edges(half(0))   # manifest seq 1
+    eng.merge_edges(half(1))    # manifest seq 2 (COW of touched graphs)
+    return eng.diff(1, 2)
+
+
+ORACLE_STORE_SNAPSHOT_DIFF = """
+WITH m AS (
+  SELECT event_type AS graph,
+         CAST(user_id % 25 AS INT) AS src,
+         CAST((event_id // 2) % 50 + 1 AS INT) AS dst,
+         CAST(event_id % 2 AS INT) AS par,
+         event_id % 5 + 1 AS w1
+  FROM events),
+base AS (SELECT graph, src, dst, CAST(SUM(w1) AS INT) AS w
+         FROM m WHERE par = 0 GROUP BY 1, 2, 3),
+upd AS (SELECT graph, src, dst, CAST(SUM(w1) AS INT) AS w
+        FROM m WHERE par = 1 GROUP BY 1, 2, 3)
+SELECT u.graph, u.src, u.dst,
+       CAST(COALESCE(b.w, 0) AS INT) AS old_w,
+       CAST(u.w AS INT) AS new_w,
+       CASE WHEN b.w IS NULL THEN 'added' ELSE 'updated' END AS change
+FROM upd u LEFT JOIN base b
+  ON u.graph = b.graph AND u.src = b.src AND u.dst = b.dst
+WHERE b.w IS NULL OR b.w <> u.w
+"""
+
+
 def q_store_sql_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The store as a SQL surface: ``engine.create_views`` registers
     one pinned snapshot as temp views and plain ``spark.sql`` answers
@@ -439,6 +498,7 @@ QUERIES = {
     "store_pagerank_all": q_store_pagerank_all,
     "store_stream_ingest": q_store_stream_ingest,
     "store_merge_edges": q_store_merge_edges,
+    "store_snapshot_diff": q_store_snapshot_diff,
     "store_sql_degree": q_store_sql_degree,
 }
 
@@ -451,5 +511,6 @@ ORACLES = {
     "store_pagerank_all": ORACLE_STORE_PAGERANK_ALL,
     "store_stream_ingest": ORACLE_STORE_STREAM_INGEST,
     "store_merge_edges": ORACLE_STORE_MERGE_EDGES,
+    "store_snapshot_diff": ORACLE_STORE_SNAPSHOT_DIFF,
     "store_sql_degree": ORACLE_STORE_SQL_DEGREE,
 }

@@ -66,6 +66,7 @@ _DEFERRED_R08 = [
     "doc_fingerprint", "dedup_exact", "dedup_simhash", "pii_scrub",
     "dedup_minhash_lsh", "running_user_stats", "search_bm25",
     "semdedup_ivf", "knn_join", "connected_components", "dedup_clusters",
+    "corpus_funnel", "ivf_recenter",
 ]
 
 _PREV_WINDOW2 = [
@@ -129,6 +130,9 @@ _CHECK_FIRST = [
     # shapes): Q10 agg-below-join returned-revenue top-k, Q12
     # conditional-count priority split --
     "returned_item_revenue", "shipmode_priority",
+    # -- NEW this round: per-edge neighborhood-Jaccard (link
+    # prediction) and snapshot time-travel diff (table-changes/CDC) --
+    "vertex_jaccard", "store_snapshot_diff",
     # -- MODIFIED this round: _fake_decode error contract + real codecs --
     "multimodal_features", "multimodal_frames", "multimodal_resize",
     # -- latest driver row is round 6 (round-6 window minus _DEFERRED_R08) --
@@ -140,13 +144,14 @@ _CHECK_FIRST = [
     "reachability", "shortest_path_hops", "clustering_coefficient",
     "dfs_leaves_tree", "dfs_leaves", "dedup_near_guarded",
     "embedding_cosine_topk", "events_quantiles_approx",
-    "chunk_dedup", "domain_mix", "corpus_funnel", "ivf_recenter",
+    "chunk_dedup", "domain_mix",
 ]
 # (wordcount_docs joined _DEFERRED_R08 to make room for the new
 # store_stream_ingest id; dedup_minhash_lsh / running_user_stats /
 # search_bm25 / semdedup_ivf / knn_join joined it for the five TPC-H
 # late additions; connected_components / dedup_clusters joined it for
-# the Q10/Q12 shapes — first-driver-row ids must be fronted.)
+# the Q10/Q12 shapes; corpus_funnel / ivf_recenter for vertex_jaccard
+# + store_snapshot_diff — first-driver-row ids must be fronted.)
 
 # Query ids registered WITHOUT a DuckDB oracle (the driver records a
 # weaker rows-only check): approximate/sketch outputs whose exact values

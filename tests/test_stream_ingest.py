@@ -206,3 +206,33 @@ def test_merge_edges_snapshot_isolation(engine, spark):
     engine.merge_edges(_edges_df(spark, [("S2", 1, 2, 1)]))
     assert _edge_set(pre.weighted_edges("S2")) == {("S2", 1, 2, 5)}
     assert _edge_set(engine.snapshot().weighted_edges("S2")) == {("S2", 1, 2, 1)}
+
+
+def test_diff_classifies_added_updated_removed(engine, spark):
+    """engine.diff = the table-changes (CDC) read between two retained
+    manifests: upserted keys classify added/updated, delete-merged keys
+    classify removed, untouched keys are absent from the diff."""
+    engine.add_graph("M", "3\n0 2 0\n0 0 3\n0 0 0\n")   # (1,2,2) (2,3,3)
+    seq1 = engine.manifests.load()["seq"]
+    engine.merge_edges(_edges_df(spark, [
+        ("M", 1, 2, 7),    # matched, weight changes: updated
+        ("M", 1, 3, 4),    # unmatched: added
+    ]))
+    engine.merge_edges(_edges_df(spark, [("M", 2, 3, 0)]), delete=True)
+    seq3 = engine.manifests.load()["seq"]
+    assert seq3 == seq1 + 2
+
+    rows = {(r["graph"], r["src"], r["dst"]):
+            (r["old_w"], r["new_w"], r["change"])
+            for r in engine.diff(seq1, seq3).collect()}
+    assert rows == {
+        ("M", 1, 2): (2, 7, "updated"),
+        ("M", 1, 3): (0, 4, "added"),
+        ("M", 2, 3): (3, 0, "removed"),
+    }
+    # adjacent diff: only the delete shows
+    rows2 = {(r["src"], r["dst"]): r["change"]
+             for r in engine.diff(seq1 + 1, seq3).collect()}
+    assert rows2 == {(2, 3): "removed"}
+    # seq_new defaults to the newest manifest
+    assert engine.diff(seq1).count() == 3
