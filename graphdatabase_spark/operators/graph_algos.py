@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphdatabase_spark.cache import track_persist
+from graphdatabase_spark.cache import shared_persist, track_persist
 
 # Peeling-round ceiling for k_core (and the unrolled oracle): the
 # observed fixpoint is ≤ 8 rounds on the derived graph at sf 0.001-0.1;
@@ -41,7 +41,68 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def _forward_adjacency(edges: DataFrame, cache_key: tuple | None = None):
+    """The compact-forward preamble every triangle-family kernel shares:
+    ``(deg, oriented, adj)`` — per-vertex degrees, each edge re-oriented
+    from the lower-degree endpoint to the higher-degree endpoint (ties
+    by id, bounding forward-degree by O(sqrt(m))), and the collected
+    forward-adjacency arrays (one row per vertex, ≤O(sqrt(m)) longs).
+
+    With ``cache_key`` the three intermediates are SESSION-SHARED
+    (:func:`shared_persist`): triangle_count, clustering_coefficient
+    and edge_jaccard_topk over the same substrate build them once per
+    sweep instead of once per query. Without it they are tracked
+    anonymous persists (release via ``cache.release_caches()``) — the
+    call sites can't unpersist themselves because their consumer
+    materializes after the builder returns."""
+    spark = edges.sparkSession
+
+    def _keep(name: str, build):
+        if cache_key is not None:
+            return shared_persist(spark, (name, *cache_key), build)
+        return track_persist(build())
+
+    e = _keep("tri_edges", lambda: edges.select("src", "dst"))
+    deg = _keep("tri_deg", lambda: (
+        e.select(F.col("src").alias("vid"))
+        .unionAll(e.select(F.col("dst").alias("vid")))
+        .groupBy("vid").agg(F.count(F.lit(1)).alias("deg"))))
+
+    def build_oriented() -> DataFrame:
+        # rank = (deg, vid) lexicographic
+        ranked = (
+            e.join(deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "deg_src"), "src")
+            .join(deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "deg_dst"), "dst")
+        )
+        lower_first = (F.col("deg_src") < F.col("deg_dst")) | (
+            (F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst")))
+        return ranked.select(
+            F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+            F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        )
+
+    oriented = _keep("tri_oriented", build_oriented)
+    adj = _keep("tri_adj", lambda: (
+        oriented.groupBy(F.col("u").alias("vid"))
+        .agg(F.collect_set("v").alias("nbrs"))))
+    return deg, oriented, adj
+
+
+def _triangle_corners(oriented: DataFrame, adj: DataFrame) -> DataFrame:
+    """One row (u, v, w) per triangle: per-edge forward-adjacency
+    intersection, exploded. One explode per triangle row, NOT a 3-way
+    unionAll of corner projections — a union would re-execute the
+    intersect join once per branch (measured 3× the kernel cost)."""
+    return (
+        oriented
+        .join(adj.select(F.col("vid").alias("u"), F.col("nbrs").alias("nu")), "u")
+        .join(adj.select(F.col("vid").alias("v"), F.col("nbrs").alias("nv")), "v")
+        .select("u", "v", F.explode(F.array_intersect("nu", "nv")).alias("w"))
+    )
+
+
+def triangle_count(edges: DataFrame,
+                   cache_key: tuple | None = None) -> DataFrame:
     """Total triangle count of an undirected graph given as canonical
     ``src < dst`` edges (one row per undirected edge).
 
@@ -60,28 +121,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     orientation-invariant, so the oracle can use the naive a<b<c
     formulation.
     """
-    # The edge derivation can itself be a join (e.g. co-purchase); it
-    # feeds the degree count, the rank join, and the adjacency collect —
-    # persist it. Tracked (not raw .persist()): the consumer
-    # materializes the returned 1-row aggregate after this function
-    # returns, so release happens via cache.release_caches().
-    e = track_persist(edges.select("src", "dst"))
-    deg = (
-        e.select(F.col("src").alias("vid")).unionAll(e.select(F.col("dst").alias("vid")))
-        .groupBy("vid").agg(F.count(F.lit(1)).alias("deg"))
-    )
-    # rank = (deg, vid) lexicographic
-    ranked = (
-        e.join(deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "deg_src"), "src")
-        .join(deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "deg_dst"), "dst")
-    )
-    lower_first = (F.col("deg_src") < F.col("deg_dst")) | (
-        (F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst")))
-    oriented = track_persist(ranked.select(
-        F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
-        F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
-    ))
-    adj = oriented.groupBy(F.col("u").alias("vid")).agg(F.collect_set("v").alias("nbrs"))
+    _, oriented, adj = _forward_adjacency(edges, cache_key)
     return (
         oriented
         .join(adj.select(F.col("vid").alias("u"), F.col("nbrs").alias("nu")), "u")
@@ -91,7 +131,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
-def clustering_coefficient(edges: DataFrame) -> DataFrame:
+def clustering_coefficient(edges: DataFrame,
+                           cache_key: tuple | None = None) -> DataFrame:
     """Local clustering coefficient per vertex of an undirected graph
     given as canonical ``src < dst`` edges: ``(vid, deg, n_tri,
     coeff)`` with ``coeff = 2·n_tri / (deg·(deg−1))`` (0 for deg < 2).
@@ -102,31 +143,8 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     triangle count (already ≪ the wedge count the orientation avoids),
     then one map-side-combined per-vertex aggregate. The ints divide
     once in double, so Spark and the SQL oracle agree bit-for-bit."""
-    e = track_persist(edges.select("src", "dst"))
-    deg = (
-        e.select(F.col("src").alias("vid")).unionAll(e.select(F.col("dst").alias("vid")))
-        .groupBy("vid").agg(F.count(F.lit(1)).alias("deg"))
-    )
-    ranked = (
-        e.join(deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "deg_src"), "src")
-        .join(deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "deg_dst"), "dst")
-    )
-    lower_first = (F.col("deg_src") < F.col("deg_dst")) | (
-        (F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst")))
-    oriented = track_persist(ranked.select(
-        F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
-        F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
-    ))
-    adj = oriented.groupBy(F.col("u").alias("vid")).agg(F.collect_set("v").alias("nbrs"))
-    corners = (
-        oriented
-        .join(adj.select(F.col("vid").alias("u"), F.col("nbrs").alias("nu")), "u")
-        .join(adj.select(F.col("vid").alias("v"), F.col("nbrs").alias("nv")), "v")
-        .select("u", "v", F.explode(F.array_intersect("nu", "nv")).alias("w"))
-    )
-    # One explode per triangle row, NOT a 3-way unionAll of corner
-    # projections — a union would re-execute the intersect join once
-    # per branch (measured 3× the kernel cost); this runs it once.
+    deg, oriented, adj = _forward_adjacency(edges, cache_key)
+    corners = _triangle_corners(oriented, adj)
     tri = (
         corners.select(F.explode(F.array("u", "v", "w")).alias("vid"))
         .groupBy("vid").agg(F.count(F.lit(1)).alias("n_tri"))
@@ -142,7 +160,8 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     )
 
 
-def edge_jaccard_topk(edges: DataFrame, k: int = 100) -> DataFrame:
+def edge_jaccard_topk(edges: DataFrame, k: int = 100,
+                      cache_key: tuple | None = None) -> DataFrame:
     """Neighborhood-Jaccard similarity per edge — the classic
     link-strength / link-prediction score — for an undirected graph
     given as canonical ``src < dst`` edges: the top-``k`` edges by
@@ -161,28 +180,8 @@ def edge_jaccard_topk(edges: DataFrame, k: int = 100) -> DataFrame:
     oracle matches bit-for-bit. Edges with zero common neighbors score
     0 and are ranked only when fewer than ``k`` positive edges exist —
     the oracle mirrors that by ranking the triangle-edge set."""
-    e = track_persist(edges.select("src", "dst"))
-    deg = (
-        e.select(F.col("src").alias("vid")).unionAll(e.select(F.col("dst").alias("vid")))
-        .groupBy("vid").agg(F.count(F.lit(1)).alias("deg"))
-    )
-    ranked = (
-        e.join(deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "deg_src"), "src")
-        .join(deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "deg_dst"), "dst")
-    )
-    lower_first = (F.col("deg_src") < F.col("deg_dst")) | (
-        (F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst")))
-    oriented = track_persist(ranked.select(
-        F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
-        F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
-    ))
-    adj = oriented.groupBy(F.col("u").alias("vid")).agg(F.collect_set("v").alias("nbrs"))
-    corners = (
-        oriented
-        .join(adj.select(F.col("vid").alias("u"), F.col("nbrs").alias("nu")), "u")
-        .join(adj.select(F.col("vid").alias("v"), F.col("nbrs").alias("nv")), "v")
-        .select("u", "v", F.explode(F.array_intersect("nu", "nv")).alias("w"))
-    )
+    deg, oriented, adj = _forward_adjacency(edges, cache_key)
+    corners = _triangle_corners(oriented, adj)
 
     def _edge(x: str, y: str) -> F.Column:
         return F.struct(F.least(F.col(x), F.col(y)).alias("a"),

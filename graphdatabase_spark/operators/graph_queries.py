@@ -141,7 +141,8 @@ SELECT a AS vid, MIN(b) AS component FROM reach GROUP BY a
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return graph_algos.triangle_count(dg.copurchase_edges(spark, sf_dir))
+    return graph_algos.triangle_count(dg.copurchase_edges(spark, sf_dir),
+                                      cache_key=("copurchase", sf_dir))
 
 
 ORACLE_TRIANGLE_COUNT = f"""
@@ -157,7 +158,8 @@ def q_vertex_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongest ties in the part co-purchase graph: top-100 edges by
     neighborhood-Jaccard similarity (the link-prediction score —
     "parts bought alongside the same other parts")."""
-    return graph_algos.edge_jaccard_topk(dg.copurchase_edges(spark, sf_dir), k=100)
+    return graph_algos.edge_jaccard_topk(dg.copurchase_edges(spark, sf_dir),
+                                         k=100, cache_key=("copurchase", sf_dir))
 
 
 ORACLE_VERTEX_JACCARD = f"""
@@ -194,7 +196,8 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient over the part co-purchase graph
     (the triangle-count substrate — the classic "how cliquish is each
     product's neighborhood" analytic)."""
-    return graph_algos.clustering_coefficient(dg.copurchase_edges(spark, sf_dir))
+    return graph_algos.clustering_coefficient(dg.copurchase_edges(spark, sf_dir),
+                                              cache_key=("copurchase", sf_dir))
 
 
 ORACLE_CLUSTERING_COEFFICIENT = f"""
