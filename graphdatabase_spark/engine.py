@@ -247,8 +247,32 @@ class GraphEngine:
 
     # -- append commits (streaming / incremental writes) -------------------
 
+    @staticmethod
+    def _validated_weights(df: DataFrame, op: str) -> DataFrame:
+        """Normalize an edge batch to ``(src, dst, w, graph)`` with the
+        store's weight invariant ENFORCED: ``w >= 1`` (w defaults to 1
+        when absent). diff() encodes "row absent" as weight 0, so a
+        stored 0/negative/NULL weight would be misclassified in — or
+        indistinguishable from absence in — the CDC output; failing the
+        write loudly keeps the invariant true instead of documented.
+        One metadata-cheap job over the (micro-batch-sized) input."""
+        if "w" not in df.columns:
+            df = df.withColumn("w", F.lit(1))
+        df = df.select(F.col("src").cast("int"),
+                       F.col("dst").cast("int"),
+                       F.col("w").cast("int"),
+                       F.col("graph").cast("string"))
+        if not df.filter(F.col("w").isNull() | (F.col("w") < 1)).isEmpty():
+            raise ValueError(
+                f"{op} requires integer edge weights >= 1 (w is the "
+                f"stored multiplicity/weight; 0, negative, and NULL "
+                f"break the store's CDC absence encoding)")
+        return df
+
     def append_edges(self, edges: DataFrame,
-                     commit_id: str | None = None) -> bool:
+                     commit_id: str | None = None,
+                     txn_app: str | None = None,
+                     txn_version: int | None = None) -> bool:
         """Append an edge micro-batch: INSERT INTO semantics over the
         versioned store. ``edges`` carries ``(graph, src, dst[, w])``
         (w defaults to 1). Unlike add/modify — a full-overwrite pointer
@@ -262,33 +286,42 @@ class GraphEngine:
         policy). Vertices NEW to each touched graph are appended too —
         anti-joined against the pinned snapshot at write time so reads
         never pay a dedup — and graphs new to the store gain a meta row
-        (vertex count of their first batch) and join the catalog.
+        (n = the batch's max vertex id, so the ``n >= max(vid)`` packing
+        bound holds for appended graphs too) and join the catalog.
         ``compact()`` collapses chains back to one commit per graph.
 
-        ``commit_id`` makes the append IDEMPOTENT: a commit id the
-        current manifest already references publishes nothing and
-        returns False — the transaction-version dedup that turns a
-        foreachBatch sink's at-least-once replays into exactly-once
-        results (streaming/ingest.py derives it from the batch id).
+        Exactly-once: ``txn_app``/``txn_version`` record an applied
+        transaction version IN THE MANIFEST itself (the Delta txn-action
+        pattern — one ``{app: max version}`` entry per sink, carried
+        forward by every later commit including compact/merge): a
+        replay whose version is <= the recorded one publishes nothing
+        and returns False, even after a compaction collapsed the
+        append chain and dropped the original commit id from the
+        manifest. ``commit_id`` alone (no txn pair) gives the weaker
+        referenced-commit dedup, which holds only until the chain is
+        collapsed. streaming/ingest.py passes both.
         Concurrency: the CAS publish merges chains, so appends to
         different graphs never conflict; two simultaneous appends to
         the SAME graph both land (both chains extend), at worst
-        duplicating vertex rows that compaction dedups.
+        duplicating vertex rows that compaction dedups; the txn check
+        runs INSIDE the CAS closure, so two replicas replaying the same
+        batch serialize correctly.
 
         Returns True if a manifest was published."""
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("txn_app and txn_version come as a pair")
         cid = commit_id or uuid.uuid4().hex[:12]
         snap = self.snapshot()
+        prev0 = snap.manifest or {}
+        if txn_app is not None and \
+                prev0.get("txns", {}).get(txn_app, -1) >= txn_version:
+            return False  # replayed batch — version already applied
         if commit_id is not None:
-            referenced = {c for ptr in (snap.manifest or {})
-                          .get("graphs", {}).values() for c in _cids(ptr)}
+            referenced = {c for ptr in prev0.get("graphs", {}).values()
+                          for c in _cids(ptr)}
             if cid in referenced:
                 return False  # replayed batch — already published
-        if "w" not in edges.columns:
-            edges = edges.withColumn("w", F.lit(1))
-        edges = edges.select(F.col("src").cast("int"),
-                             F.col("dst").cast("int"),
-                             F.col("w").cast("int"),
-                             F.col("graph").cast("string"))
+        edges = self._validated_weights(edges, "append_edges")
         # graph NAMES of this batch (metadata-sized collect, same
         # envelope note as _write) — also prunes the anti-join reads
         write_graphs = [r["graph"]
@@ -303,8 +336,12 @@ class GraphEngine:
                  .filter(F.col("graph").isin(write_graphs))
                  .select("vid", "graph"))
         new_vids = batch_vids.join(known, ["vid", "graph"], "left_anti")
+        # n records an ID BOUND (max vid), not a count: appended graphs
+        # carry arbitrary user vids, and meta n's contract downstream
+        # (_packed_union's lower bound, the matrix dimension for
+        # ingested graphs) is "no vid exceeds n at write time".
         new_graph_meta = (batch_vids.groupBy("graph")
-                          .agg(F.count(F.lit(1)).cast("int").alias("n"))
+                          .agg(F.max("vid").cast("int").alias("n"))
                           .join(snap.meta().select("graph").distinct(),
                                 "graph", "left_anti"))
         for df, table in ((edges, "edges"), (new_vids, "vertices"),
@@ -316,6 +353,13 @@ class GraphEngine:
                                       f"c={cid}")))
 
         def update(prev: dict | None) -> dict | None:
+            txns = dict((prev or {}).get("txns", {}))
+            if txn_app is not None:
+                # re-checked INSIDE the CAS closure: a competing replica
+                # may have applied this version since our snapshot
+                if txns.get(txn_app, -1) >= txn_version:
+                    return None
+                txns[txn_app] = txn_version
             graphs_map = dict(prev["graphs"]) if prev else {}
             changed = False
             for g in write_graphs:
@@ -323,7 +367,8 @@ class GraphEngine:
                 if cid not in chain:
                     graphs_map[g] = chain + [cid]
                     changed = True
-            return {"commit": cid, "graphs": graphs_map} if changed else None
+            return {"commit": cid, "graphs": graphs_map,
+                    "txns": txns} if changed else None
 
         return self.manifests.commit(update) is not None
 
@@ -350,12 +395,16 @@ class GraphEngine:
         protection as compact()); the merge's rewrite of that graph is
         simply not adopted."""
         snap = self.snapshot()
-        if "w" not in updates.columns:
-            updates = updates.withColumn("w", F.lit(1))
-        updates = updates.select(F.col("src").cast("int"),
-                                 F.col("dst").cast("int"),
-                                 F.col("w").cast("int"),
-                                 F.col("graph").cast("string"))
+        if delete:
+            # a delete matches on keys only — w is never stored
+            if "w" not in updates.columns:
+                updates = updates.withColumn("w", F.lit(1))
+            updates = updates.select(F.col("src").cast("int"),
+                                     F.col("dst").cast("int"),
+                                     F.col("w").cast("int"),
+                                     F.col("graph").cast("string"))
+        else:
+            updates = self._validated_weights(updates, "merge_edges")
         touched = [r["graph"]
                    for r in updates.select("graph").distinct().collect()]
         if delete:
@@ -382,7 +431,7 @@ class GraphEngine:
         old_meta = (snap.meta().filter(F.col("graph").isin(touched))
                     .distinct())
         new_meta = (verts.groupBy("graph")
-                    .agg(F.count(F.lit(1)).cast("int").alias("n"))
+                    .agg(F.max("vid").cast("int").alias("n"))
                     .join(old_meta.select("graph"), "graph", "left_anti"))
         cid = uuid.uuid4().hex[:12]
         for df, table in ((merged, "edges"), (verts, "vertices"),
@@ -394,12 +443,22 @@ class GraphEngine:
                                       f"c={cid}")))
         pinned = (snap.manifest or {}).get("graphs", {})
 
-        def update(prev: dict | None) -> dict:
+        def update(prev: dict | None) -> dict | None:
             graphs_map = dict(prev["graphs"]) if prev else {}
+            adopted = False
             for g in touched:
                 if graphs_map.get(g) == pinned.get(g):
                     graphs_map[g] = cid
-            return {"commit": cid, "graphs": graphs_map}
+                    adopted = True
+            if not adopted:
+                # every touched graph's pointer moved mid-merge: the
+                # rewrite is stale everywhere — publish NOTHING (the
+                # c=cid dirs become orphans for vacuum), mirroring
+                # append_edges' changed-else-None guard, instead of a
+                # no-op manifest whose "commit" nothing references
+                return None
+            return {"commit": cid, "graphs": graphs_map,
+                    "txns": (prev or {}).get("txns", {})}
 
         self.manifests.commit(update)
 
@@ -447,7 +506,8 @@ class GraphEngine:
             # per-graph RW lock).
             graphs_map = dict(prev["graphs"]) if prev else {}
             graphs_map.update({g: cid for g in write_graphs})
-            return {"commit": cid, "graphs": graphs_map}
+            return {"commit": cid, "graphs": graphs_map,
+                    "txns": (prev or {}).get("txns", {})}
 
         self.manifests.commit(update)
 
@@ -483,14 +543,21 @@ class GraphEngine:
                 # the weighted read normalizes legacy commits (no w
                 # column) to w=1, so compaction also migrates them
                 df = snap.weighted_edges()
-            else:
+            elif table == "vertices":
                 # distinct: an append chain written by concurrent
                 # same-graph appenders can carry duplicate vertex rows
                 # (each anti-joined against the same pre-append
                 # snapshot); compaction is the heal point
-                df = snap._table(table, {"vertices": "vid int",
-                                         "meta": "n int"}[table],
-                                 None).distinct()
+                df = snap._table(table, "vid int", None).distinct()
+            else:
+                # meta needs a per-graph AGGREGATE, not distinct: two
+                # concurrent appends that both CREATE a graph write
+                # meta rows with different n (each derived from its own
+                # batch against the same pre-append snapshot), and
+                # distinct() would keep both forever. max preserves the
+                # "n >= max vid at write time" bound both writers held.
+                df = (snap._table(table, "n int", None)
+                      .groupBy("graph").agg(F.max("n").alias("n")))
             (df.select(*[c for c in df.columns if c != "graph"], "graph")
                .write.mode("overwrite").partitionBy("graph")
                .parquet(os.path.join(self.store, "data", table, f"c={cid}")))
@@ -500,7 +567,12 @@ class GraphEngine:
             graphs_map = {
                 g: cid if pinned.get(g) == ptr else ptr
                 for g, ptr in (prev["graphs"] if prev else {}).items()}
-            return {"commit": cid, "graphs": graphs_map}
+            # txns carry forward VERBATIM: collapsing an append chain
+            # must not forget which streaming batch versions were
+            # applied, or a replay after compaction re-publishes
+            # (the exactly-once contract of streaming/ingest.py)
+            return {"commit": cid, "graphs": graphs_map,
+                    "txns": (prev or {}).get("txns", {})}
 
         self.manifests.commit(update)
 
@@ -615,8 +687,11 @@ class GraphEngine:
         immutable manifests (no log replay). One full-outer join keyed
         (graph, src, dst); unchanged rows are filtered out, so the
         result is change-sized. Weights are COALESCEd to 0 on the
-        absent side (stored weights are ≥ 1, so 0 unambiguously means
-        "not present"). Raises FileNotFoundError if either manifest
+        absent side — unambiguous because append/merge ENFORCE w >= 1
+        (_validated_weights) and the matrix ingest's nonzero cells are
+        the edges. (A matrix ingested with NEGATIVE cells is the one
+        exotic store diff can't encode; sssp rejects those graphs for
+        the same reason.) Raises FileNotFoundError if either manifest
         was vacuumed."""
         old = (self.snapshot(seq_old).weighted_edges()
                .select("graph", "src", "dst", F.col("w").alias("old_w")))
@@ -778,12 +853,23 @@ class GraphEngine:
     def _packed_union(self, snap: GraphSnapshot, graphs: list[str]):
         """One consistent packed view of the whole store for batched
         per-graph-disjoint kernels: ``(gidx_df, stride, edges,
-        vertices)`` with every graph's 1..N vids mapped into a disjoint
-        long range. Stride comes from the catalog's own meta (one
-        metadata-sized driver read); encode/decode are broadcast joins
-        against the (gidx, graph) index — constant plan size."""
-        max_n = snap.meta().agg(F.max("n")).collect()[0][0] or 0
-        stride = int(max_n) + 1
+        vertices)`` with every graph's vids mapped into a disjoint
+        long range. The stride is derived from the ACTUAL max vertex
+        id across the store (one aggregate over the small vertices
+        table), never from meta ``n`` alone: matrix-ingested graphs
+        keep vids ⊆ 1..n, but append/merge accept arbitrary user vids
+        (e.g. a stream keying src by raw user_id), and a stride below
+        max(vid)+1 would pack two graphs' vids into overlapping ranges
+        and decode kernel labels to the WRONG graph — silently. meta
+        ``n`` still participates as a lower bound so a declared-size
+        graph with no vertex rows yet cannot shrink the stride.
+        Encode/decode are broadcast joins against the (gidx, graph)
+        index — constant plan size."""
+        bound = (snap.vertices().agg(F.max("vid").cast("long").alias("m"))
+                 .unionByName(snap.meta().agg(F.max("n").cast("long")
+                                              .alias("m")))
+                 .agg(F.max("m")).collect()[0][0] or 0)
+        stride = int(bound) + 1
         if len(graphs) * stride >= 2 ** 62:
             raise ValueError(
                 f"packed vertex ids would overflow int64: {len(graphs)} "

@@ -39,56 +39,37 @@ _MODULES = [relational, graph_queries, text, dedup, similarity, streamops, multi
 # i.e. ids whose first driver row is still pending — are fronted in
 # ``_CHECK_FIRST``.  When rotating for round N+1: copy ``_CHECK_FIRST``
 # into ``_PREV_WINDOW`` first.
-# Round-8 window: the round-7 deferral (``_DEFERRED_R07`` — r05 rows,
-# now at the three-round horizon) is fronted FIRST, per the rotation
-# invariant.  Next the three multimodal decode-path ids whose
-# ``_fake_decode`` error contract changed this round (bad-magic →
-# ValueError again; sniffable real media → pure-Python codec), then as
-# many round-6-window ids as fit.  With >100 registered ids and a
-# fixed 50-row driver window a two-window cover stays arithmetically
-# impossible (2 × 50 < N): the ids squeezed out (``_DEFERRED_R08``
-# below — the most static, heavily pytest-pinned r06 greens) keep
-# their r06 row until round 9, where they MUST be fronted.
+# Round-9 window: the round-8 deferral (``_DEFERRED_R08`` — 25 ids
+# whose r06 rows hit the three-round horizon) is fronted FIRST, per
+# the rotation invariant.  Next the ten store_* ids whose engine
+# semantics changed this round (round-8 advice fixes), then as many
+# round-7-window ids as fit.  With >100 registered ids and a fixed
+# 50-row driver window a two-window cover stays arithmetically
+# impossible (2 × 50 < N): the ids squeezed out (``_DEFERRED_R09``
+# below — r07 greens) keep their r07 row until round 10, where they
+# MUST be fronted.
 # tests/test_registry.py enforces the three-window cover and that
 # deferral beyond two rounds happens only because the registry
 # outgrew two windows — never silently.  Local full-registry parity
 # evidence stays per-round in PARITY_LOCAL.json
 # (tools/harness_replica.py).
-_DEFERRED_R07 = [
-    "graph_ingest_matrix", "pivot_returns", "window_showcase",
-    "sql_grouping_sets", "sample_split", "corpus_histogram",
-]
-
-_DEFERRED_R08 = [
-    "scalar_functions", "set_ops", "summary_stats", "top_expensive_orders",
-    "small_qty_revenue", "disjunctive_revenue", "text_stats", "token_count",
-    "file_search", "wordcount_docs", "lang_id", "quality_score",
-    "doc_fingerprint", "dedup_exact", "dedup_simhash", "pii_scrub",
-    "dedup_minhash_lsh", "running_user_stats", "search_bm25",
-    "semdedup_ivf", "knn_join", "connected_components", "dedup_clusters",
-    "corpus_funnel", "ivf_recenter",
+_DEFERRED_R09 = [
+    # r07-window ids squeezed out of the round-9 window (122 ids >
+    # 2 x 50 driver slots); their latest driver row is r07, inside the
+    # three-window horizon, and tests/test_registry.py keeps this list
+    # explicit. Round 10 MUST front these.
+    "asof_join_events", "contamination_check", "corpus_prep",
+    "embedding_ann_lsh", "embedding_ivf_topk", "events_anomaly",
+    "events_enriched", "events_funnel", "events_quantiles",
+    "events_retention", "events_rollup_daily", "events_sessionization",
+    "events_sliding_avg", "events_trending", "events_tumbling_counts",
+    "graph_stats", "quality_repetition", "range_join_events",
+    "revenue_by_nation", "salted_join_orders", "scc",
+    "segment_distinct_customers_approx", "sequence_pack",
+    "sql_forecast_revenue", "tfidf_top_terms", "top_ngrams",
 ]
 
 _PREV_WINDOW2 = [
-    # round-6 window (CORRECTNESS_r06.json's 50 rows, in order)
-    "shipping_priority", "customers_without_orders", "order_priority_rollup",
-    "returns_cube", "top_orders_per_customer", "running_revenue",
-    "top_expensive_orders", "segment_distinct_customers", "set_ops",
-    "scalar_functions", "local_supplier_volume", "promo_revenue",
-    "top_supplier", "small_qty_revenue", "large_volume_customers",
-    "disjunctive_revenue", "sales_opportunity", "summary_stats",
-    "personalized_pagerank", "label_propagation", "graph_degree",
-    "reachability", "shortest_path_hops", "clustering_coefficient",
-    "dfs_leaves_tree", "dfs_leaves", "wordcount_docs", "file_search",
-    "text_stats", "token_count", "lang_id", "quality_score",
-    "doc_fingerprint", "dedup_exact", "dedup_near_guarded", "dedup_simhash",
-    "embedding_cosine_topk", "events_quantiles_approx", "pii_scrub",
-    "chunk_dedup", "domain_mix", "corpus_funnel", "ivf_recenter",
-    "connected_components", "dedup_clusters", "dedup_minhash_lsh",
-    "running_user_stats", "search_bm25", "semdedup_ivf", "knn_join",
-]
-
-_PREV_WINDOW = [
     # round-7 window (CORRECTNESS_r07.json's 50 rows, in order)
     "store_stats", "store_bfs_all", "store_cc_all", "store_scc_all",
     "store_sssp_all", "store_pagerank_all",
@@ -110,32 +91,18 @@ _PREV_WINDOW = [
     "sssp_weighted", "tfidf_top_terms", "top_ngrams", "triangle_count",
 ]
 
-_CHECK_FIRST = [
-    # -- _DEFERRED_R07: r05 rows at the three-round horizon, must front --
+_PREV_WINDOW = [
+    # round-8 window (CORRECTNESS_r08.json's 50 rows, in order)
     "graph_ingest_matrix", "pivot_returns", "window_showcase",
     "sql_grouping_sets", "sample_split", "corpus_histogram",
-    # -- NEW this round: streaming append-commit ingest + MERGE INTO,
-    # and two more TPC-H plan shapes (Q13 outer-join distribution,
-    # Q21 double-correlated exists/not-exists) --
     "store_stream_ingest", "store_merge_edges", "store_sql_degree",
     "customer_distribution", "waiting_suppliers",
     "volume_shipping", "market_share",
-    # -- NEW this round (late additions): the five remaining TPC-H plan
-    # shapes adapted to the partsupp-less testdata (Q2 correlated
-    # scalar-MIN, Q9 profit star, Q11 HAVING-vs-global-scalar, Q16
-    # NOT-IN + distinct count, Q20 nested-IN semi-join chain) --
     "min_cost_supplier", "product_profit", "important_parts",
     "parts_supplier_counts", "excess_stock_suppliers",
-    # -- NEW this round (latest additions, completing all 22 TPC-H plan
-    # shapes): Q10 agg-below-join returned-revenue top-k, Q12
-    # conditional-count priority split --
     "returned_item_revenue", "shipmode_priority",
-    # -- NEW this round: per-edge neighborhood-Jaccard (link
-    # prediction) and snapshot time-travel diff (table-changes/CDC) --
     "vertex_jaccard", "store_snapshot_diff",
-    # -- MODIFIED this round: _fake_decode error contract + real codecs --
     "multimodal_features", "multimodal_frames", "multimodal_resize",
-    # -- latest driver row is round 6 (round-6 window minus _DEFERRED_R08) --
     "shipping_priority", "customers_without_orders", "order_priority_rollup",
     "returns_cube", "top_orders_per_customer", "running_revenue",
     "segment_distinct_customers", "local_supplier_volume", "promo_revenue",
@@ -146,12 +113,34 @@ _CHECK_FIRST = [
     "embedding_cosine_topk", "events_quantiles_approx",
     "chunk_dedup", "domain_mix",
 ]
-# (wordcount_docs joined _DEFERRED_R08 to make room for the new
-# store_stream_ingest id; dedup_minhash_lsh / running_user_stats /
-# search_bm25 / semdedup_ivf / knn_join joined it for the five TPC-H
-# late additions; connected_components / dedup_clusters joined it for
-# the Q10/Q12 shapes; corpus_funnel / ivf_recenter for vertex_jaccard
-# + store_snapshot_diff — first-driver-row ids must be fronted.)
+
+_CHECK_FIRST = [
+    # -- the round-8 deferral (25 ids, r06 rows at the three-round
+    # horizon): MUST front per the rotation invariant --
+    "scalar_functions", "set_ops", "summary_stats", "top_expensive_orders",
+    "small_qty_revenue", "disjunctive_revenue", "text_stats", "token_count",
+    "file_search", "wordcount_docs", "lang_id", "quality_score",
+    "doc_fingerprint", "dedup_exact", "dedup_simhash", "pii_scrub",
+    "dedup_minhash_lsh", "running_user_stats", "search_bm25",
+    "semdedup_ivf", "knn_join", "connected_components", "dedup_clusters",
+    "corpus_funnel", "ivf_recenter",
+    # -- MODIFIED this round (round-8 advice fixes: packed-union stride
+    # from actual max vid, manifest txn exactly-once, merge CAS no-op
+    # guard, compact meta aggregate, w >= 1 enforcement; plus the
+    # shared merge/diff fixture-store build): the whole store surface
+    # re-earns driver rows --
+    "store_stream_ingest", "store_merge_edges", "store_snapshot_diff",
+    "store_stats", "store_bfs_all", "store_cc_all", "store_scc_all",
+    "store_sssp_all", "store_pagerank_all", "store_sql_degree",
+    # -- oldest r07-window ids (latest driver row is round 7) --
+    "dedup_embedding", "dedup_near", "asof_join_events_salted",
+    "hybrid_search_rrf", "sql_recursive_reachability", "multimodal_meta",
+    "events_stream_dedup", "events_stream_join", "bfs_levels", "pagerank",
+    "kcore", "triangle_count", "similarity_topk", "sssp_weighted",
+    "pricing_summary",
+]
+# (the remaining r07-window ids are _DEFERRED_R09 above — their r07
+# rows stay within the three-window horizon; round 10 fronts them.)
 
 # Query ids registered WITHOUT a DuckDB oracle (the driver records a
 # weaker rows-only check): approximate/sketch outputs whose exact values

@@ -17,12 +17,17 @@ safely because they share the same optimistic commit protocol.
 
 Exactly-once: foreachBatch is at-least-once (a batch replays after a
 failure between the sink call and the checkpoint write). The sink
-derives a DETERMINISTIC commit id from (checkpoint location, batch id),
-and ``append_edges`` refuses to publish a commit id the manifest
-already references — so a replayed batch rewrites its (identical,
-immutable) data dirs and publishes nothing. This is the same
-txn-appId/version dedup a Delta streaming sink uses, expressed over
-the manifest log.
+passes ``append_edges`` a transaction identity — app = a hash of the
+checkpoint location (the sink's identity), version = the batch id —
+which the manifest records in its ``txns`` map and every later commit
+(including compact/merge) carries forward. A replayed batch whose
+version is already recorded rewrites its (identical, immutable) data
+dirs and publishes nothing — even if a concurrent compaction collapsed
+the append chain in the replay window, which is exactly the case a
+commit-id-referenced check alone missed. This is the Delta streaming
+sink's txn-appId/version dedup, expressed over the manifest log; the
+deterministic commit id is kept as well so replayed data dirs land on
+the same immutable path instead of orphaning a new one.
 """
 
 from __future__ import annotations
@@ -59,10 +64,13 @@ def stream_edges_into_store(edge_stream: DataFrame, engine,
     consumed) lives in the checkpoint; the store's own idempotency
     guard covers the replay window the checkpoint can't."""
 
+    sink_app = "ckpt-" + hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         engine.append_edges(batch_df,
                             commit_id=batch_commit_id(checkpoint_dir,
-                                                      batch_id))
+                                                      batch_id),
+                            txn_app=sink_app, txn_version=batch_id)
 
     writer = (edge_stream.writeStream
               .foreachBatch(sink)

@@ -585,3 +585,53 @@ def test_stats_matches_fixture_shapes(engine):
     assert nv == engine.vertices("G1").count()
     from pyspark.sql import functions as F
     assert mx == ev.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+
+
+def test_packed_kernels_correct_for_appended_raw_vid_graphs(engine, spark):
+    """The round-8 advice HIGH: appended graphs carry arbitrary user
+    vids (a stream keying src by raw user_id), so the packed-union
+    stride must come from the ACTUAL max vid — a stride derived from
+    meta n alone (vertex counts for appended graphs) packs two graphs'
+    vids into overlapping ranges and decodes kernel labels to the
+    WRONG graph, silently. Mix a matrix graph (small n) with two
+    appended raw-vid graphs and require batched == per-graph for
+    cc/scc/sssp."""
+    engine.add_graph("G3", _fixture_text("G3"))
+    engine.append_edges(spark.createDataFrame(
+        [("A", 100, 205, 1), ("A", 205, 100, 1), ("A", 205, 300, 2)],
+        "graph string, src int, dst int, w int"))
+    engine.append_edges(spark.createDataFrame(
+        [("B", 150, 151, 4), ("B", 151, 152, 4)],
+        "graph string, src int, dst int, w int"))
+    for batched_fn, per_graph_fn, label in (
+            (engine.cc_all, engine.connected_components, "component"),
+            (engine.scc_all, engine.scc, "scc")):
+        batched = {}
+        for r in batched_fn().collect():
+            batched.setdefault(r["graph"], set()).add((r["vid"], r[label]))
+        for name in ("G3", "A", "B"):
+            want = {(r["vid"], r[label])
+                    for r in per_graph_fn(name).collect()}
+            assert batched[name] == want, (label, name)
+    # weighted SSSP from a vid only the appended graphs contain
+    dists = {}
+    for r in engine.sssp_all(100).collect():
+        dists.setdefault(r["graph"], {})[r["vertex"]] = r["dist"]
+    assert set(dists) == {"A"}
+    assert dists["A"] == {100: 0.0, 205: 1.0, 300: 3.0}
+
+
+def test_append_bumps_no_meta_but_stride_still_safe(engine, spark):
+    """A merge inserting vids beyond an existing graph's declared n
+    must not break the packed kernels either — the stride bound is the
+    store-wide max vid, re-derived per snapshot."""
+    engine.add_graph("G9", _fixture_text("G9"))        # n = 2
+    engine.merge_edges(spark.createDataFrame(
+        [("G9", 2, 77, 1)], "graph string, src int, dst int, w int"))
+    batched = {}
+    for r in engine.cc_all().collect():
+        batched.setdefault(r["graph"], set()).add((r["vid"], r["component"]))
+    want = {(r["vid"], r["component"])
+            for r in engine.connected_components("G9").collect()}
+    assert batched["G9"] == want
+    assert (77, 1) in batched["G9"]

@@ -236,3 +236,122 @@ def test_diff_classifies_added_updated_removed(engine, spark):
     assert rows2 == {(2, 3): "removed"}
     # seq_new defaults to the newest manifest
     assert engine.diff(seq1).count() == 3
+
+
+def test_txn_replay_after_compaction_stays_exactly_once(engine, spark):
+    """The round-8 advice MEDIUM: the commit-id replay guard only held
+    while the manifest still referenced the appended cid — a compaction
+    (or merge) collapsing the chain dropped it, so a batch replayed in
+    that window re-published. The txn (app, version) record lives in
+    the manifest itself and every commit carries it forward, so the
+    replay is refused even after the chain collapsed."""
+    df = _edges_df(spark, [("R", 1, 2, 1)])
+    assert engine.append_edges(df, commit_id="b00000000000",
+                               txn_app="sinkA", txn_version=0) is True
+    engine.compact()  # chain collapsed: cid b0… no longer referenced
+    assert "b00000000000" not in str(engine.manifests.load()["graphs"])
+    # the foreachBatch replay window: batch 0 re-sent after a failure
+    assert engine.append_edges(df, commit_id="b00000000000",
+                               txn_app="sinkA", txn_version=0) is False
+    assert engine.weighted_edges("R").count() == 1  # not duplicated
+    # same guard across a MERGE collapse
+    assert engine.append_edges(_edges_df(spark, [("R", 2, 3, 1)]),
+                               commit_id="b00000000001",
+                               txn_app="sinkA", txn_version=1) is True
+    engine.merge_edges(_edges_df(spark, [("R", 2, 3, 9)]))
+    assert engine.append_edges(_edges_df(spark, [("R", 2, 3, 1)]),
+                               commit_id="b00000000001",
+                               txn_app="sinkA", txn_version=1) is False
+    # a NEW version from the same sink still lands, and a different
+    # sink's version 0 is independent
+    assert engine.append_edges(_edges_df(spark, [("R", 3, 4, 1)]),
+                               txn_app="sinkA", txn_version=2) is True
+    assert engine.append_edges(_edges_df(spark, [("R", 4, 5, 1)]),
+                               txn_app="sinkB", txn_version=0) is True
+    assert engine.manifests.load()["txns"] == {"sinkA": 2, "sinkB": 0}
+
+
+def test_txn_pair_must_come_together(engine, spark):
+    import pytest
+    with pytest.raises(ValueError, match="pair"):
+        engine.append_edges(_edges_df(spark, [("Z", 1, 2, 1)]),
+                            txn_app="only-app")
+
+
+def test_append_and_merge_reject_nonpositive_weights(engine, spark):
+    """The store's CDC read encodes 'absent' as weight 0, so the write
+    paths enforce w >= 1 loudly instead of documenting it (round-8
+    advice low). Deletes are key-only and stay exempt."""
+    import pytest
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="weights >= 1"):
+            engine.append_edges(_edges_df(spark, [("W", 1, 2, bad)]))
+        with pytest.raises(ValueError, match="weights >= 1"):
+            engine.merge_edges(_edges_df(spark, [("W", 1, 2, bad)]))
+    with pytest.raises(ValueError, match="weights >= 1"):
+        engine.append_edges(
+            engine.spark.createDataFrame([("W", 1, 2, None)],
+                                         "graph string, src int, dst int, w int"))
+    assert engine.graphs() == []  # nothing landed
+    engine.add_graph("W", "2\n0 1\n0 0\n")
+    engine.merge_edges(_edges_df(spark, [("W", 1, 2, 0)]), delete=True)
+    assert engine.weighted_edges("W").count() == 0
+
+
+def test_merge_publishes_nothing_when_every_pointer_moved(spark, tmp_path):
+    """Round-8 advice low: when every touched graph's pointer changed
+    mid-merge (nothing adopted), the CAS closure must return None —
+    publishing a manifest whose 'commit' nothing references just mints
+    an orphan and a no-op history entry."""
+    from graphdatabase_spark import metastore
+
+    store = metastore.InMemoryManifestStore()
+    eng = GraphEngine(spark, str(tmp_path / "s"), manifest_store=store)
+    eng.add_graph("M", "2\n0 1\n0 0\n")                       # seq 1
+    fired = {}
+
+    def interleave(name):
+        if not fired:
+            fired["x"] = True
+            store.before_put = None
+            # a competing writer overwrites M between the merge's
+            # snapshot pin and its publish
+            GraphEngine(spark, eng.store,
+                        manifest_store=store).modify_graph("M", "2\n0 0\n1 0\n")
+
+    store.before_put = interleave
+    eng.merge_edges(_edges_df(spark, [("M", 1, 2, 9)]))
+    doc = eng.manifests.load()
+    assert doc["seq"] == 2                      # only the modify published
+    assert _edge_set(eng.weighted_edges("M")) == {("M", 2, 1, 1)}
+
+
+def test_compact_heals_conflicting_meta_rows(spark, tmp_path):
+    """Round-8 advice low: two concurrent appends that both CREATE the
+    same graph each write a meta row with a different n; distinct()
+    kept both forever. Compaction now aggregates per graph (max n)."""
+    from pyspark.sql import functions as F
+
+    from graphdatabase_spark import metastore
+
+    store = metastore.InMemoryManifestStore()
+    eng = GraphEngine(spark, str(tmp_path / "s"), manifest_store=store)
+    fired = {}
+
+    def interleave(name):
+        if not fired:
+            fired["x"] = True
+            store.before_put = None
+            GraphEngine(spark, eng.store, manifest_store=store).append_edges(
+                _edges_df(spark, [("C", 5, 6, 1)]))
+
+    store.before_put = interleave
+    eng.append_edges(_edges_df(spark, [("C", 1, 2, 1)]))
+    pre = eng.snapshot().meta().filter(F.col("graph") == "C").collect()
+    assert sorted(r["n"] for r in pre) == [2, 6]   # the conflict exists
+    eng.compact()
+    post = eng.snapshot().meta().filter(F.col("graph") == "C").collect()
+    assert [r["n"] for r in post] == [6]
+    # data healed too: both appends' edges survive the rewrite
+    assert _edge_set(eng.weighted_edges("C")) == {
+        ("C", 1, 2, 1), ("C", 5, 6, 1)}
