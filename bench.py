@@ -91,17 +91,18 @@ def run_single(qid: str) -> None:
                       "warm_sec": round(warm, 4), "rows": len(rows)}))
 
 
-def run_isolated(ids: list[str]) -> None:
+def _isolated_timings(ids: list[str], per_query_timeout: int = 600
+                      ) -> dict[str, dict]:
     out: dict[str, dict] = {}
     for qid in ids:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--single", qid],
-                capture_output=True, text=True, timeout=600)
+                capture_output=True, text=True, timeout=per_query_timeout)
         except subprocess.TimeoutExpired:
             # One hung query must not abort the sweep and discard the
             # timings already collected — record it and move on.
-            out[qid] = {"error": "timeout after 600s"}
+            out[qid] = {"error": f"timeout after {per_query_timeout}s"}
             print(f"# isolated {qid}: TIMEOUT", file=sys.stderr)
             continue
         parsed = None
@@ -115,13 +116,18 @@ def run_isolated(ids: list[str]) -> None:
             parsed = {"query": qid, "error": (proc.stderr or "no output")[-500:]}
         out[qid] = {k: v for k, v in parsed.items() if k != "query"}
         print(f"# isolated {qid}: {out[qid]}", file=sys.stderr)
+    return out
+
+
+def run_isolated(ids: list[str]) -> None:
+    out = _isolated_timings(ids)
     print(json.dumps({"metric": "isolated_query_wall_seconds",
                       "unit": "sec", "sf": _sf_num(), "queries": out},
                      sort_keys=True))
 
 
 def _emit(medians: dict[str, float], sweep_totals: list[float],
-          repeat: int) -> None:
+          repeat: int, iso_top: dict | None = None) -> None:
     """Write BENCH_FULL.json and print the budgeted one-line JSON for
     the current median state. Called after every completed sweep so a
     killed run still leaves the latest completed medians in the output
@@ -137,6 +143,11 @@ def _emit(medians: dict[str, float], sweep_totals: list[float],
         "repeat": repeat,
         "sweep_totals": [round(t, 4) for t in sweep_totals],
     }
+    if iso_top is not None:
+        # isolated-warm figures for the slowest ids: stable numbers a
+        # future regression flag can start from (sweep medians on this
+        # host still swing; the isolated warm run is the ground truth)
+        full["iso_top"] = iso_top
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
@@ -197,6 +208,21 @@ def main(repeat: int) -> None:
         medians = {name: round(statistics.median(sw[name] for sw in sweeps), 4)
                    for name in timings}
         _emit(medians, [sum(sw.values()) for sw in sweeps], repeat)
+
+    # After the final sweep: isolated cold+warm runs (fresh JVM each)
+    # for the N slowest ids, folded into the same artifact — in-sweep
+    # medians on this host swing 2-12x on individual queries, so the
+    # isolated-warm figure is the stable baseline future rounds diff
+    # against. Emitted LAST: if the run is killed mid-phase, the plain
+    # medians line above already stands.
+    n_iso = int(os.environ.get("SPARK_GRAFT_BENCH_ISO_TOP", "10"))
+    if n_iso > 0:
+        top = sorted(medians, key=medians.get, reverse=True)[:n_iso]
+        iso = _isolated_timings(top, per_query_timeout=240)
+        iso_top = {q: ({"cold": d["cold_sec"], "warm": d["warm_sec"]}
+                       if "warm_sec" in d else d)
+                   for q, d in iso.items()}
+        _emit(medians, [sum(sw.values()) for sw in sweeps], repeat, iso_top)
 
 
 if __name__ == "__main__":

@@ -97,6 +97,21 @@ def _pack_ids(df: DataFrame, gidx: DataFrame, stride: int,
     return df.join(F.broadcast(gidx), "graph").select(*packed, *keep)
 
 
+def _check_layout(prev: dict | None, eff: int | None) -> None:
+    """Publish-time guard inside every commit closure: the data files
+    of this write were laid out for ``eff`` buckets (resolved from the
+    snapshot pinned at write start); if a CAS race establishes a
+    DIFFERENT layout first (two first-writers on a virgin store with
+    different configs), publishing would register wrongly-partitioned
+    dirs — fail loudly instead."""
+    got = prev.get("buckets") if prev is not None else eff
+    if got != eff:
+        raise metastore.CommitConflict(
+            f"store layout changed mid-write: this commit's data dirs "
+            f"were written for buckets={eff} but the store's first "
+            f"manifest established buckets={got}; re-run the write")
+
+
 def _cids(ptr) -> list[str]:
     """A manifest graph pointer normalized to a commit-id list: a plain
     string is the single-commit (overwrite) form every add/modify
@@ -116,6 +131,9 @@ class GraphSnapshot:
         self.spark = spark
         self.store = store
         self.manifest = manifest
+        # bucketed layout (see GraphEngine): data dirs are partitioned
+        # by gb = crc32(graph) % buckets instead of by graph name
+        self.buckets = (manifest or {}).get("buckets")
         # graphs grouped by the commits currently serving them: the
         # all-graphs read is one parquet scan per distinct commit,
         # partition-pruned to that commit's still-current graphs. An
@@ -143,8 +161,40 @@ class GraphSnapshot:
                 return self.spark.createDataFrame([], schema)
             raise
 
+    def _commit_df(self, table: str, cid: str, row_schema: str) -> DataFrame:
+        """One commit dir of one table, normalized to ``row_schema +
+        graph`` columns regardless of the store layout. In a bucketed
+        store the partition column is ``gb`` (crc32(graph) % buckets)
+        and graph is a plain data column; the gb column is kept through
+        the caller's filters (so partition pruning applies) and dropped
+        by the caller's final select."""
+        full_schema = row_schema + ", graph string"
+        if self.buckets:
+            full_schema += ", gb int"
+        return self._read_or_empty(
+            os.path.join(self.store, "data", table, f"c={cid}"), full_schema)
+
+    def _graph_filter(self, df: DataFrame, names: list[str]) -> DataFrame:
+        """Restrict a commit read to ``names``. Bucketed stores get a
+        partition-pruning gb filter FIRST (buckets computed driver-side
+        with the same CRC-32 Spark uses — no job); the graph filter
+        stays a literal isin up to a bounded list size, beyond which it
+        becomes a broadcast semi-join so the PLAN never grows O(catalog)
+        (same discipline as _pack_ids)."""
+        if self.buckets:
+            gbs = sorted({metastore.graph_bucket(g, self.buckets)
+                          for g in names})
+            if len(gbs) < self.buckets:
+                df = df.filter(F.col("gb").isin(gbs))
+        if len(names) <= 256:
+            return df.filter(F.col("graph").isin(names))
+        names_df = self.spark.createDataFrame(
+            [(g,) for g in names], "graph string")
+        return df.join(F.broadcast(names_df), "graph", "left_semi")
+
     def _table(self, table: str, row_schema: str, name: str | None) -> DataFrame:
         full_schema = row_schema + ", graph string"
+        cols = [f.strip().split()[0] for f in full_schema.split(",")]
         if name is not None:
             ptr = (self.manifest or {}).get("graphs", {}).get(name)
             if ptr is None:
@@ -155,32 +205,26 @@ class GraphSnapshot:
             # (a graph called "G#1" lands in graph=G%231), so a raw-name
             # path would PATH_NOT_FOUND and silently read as empty.
             # Partition pruning on the filter keeps this one-partition IO
-            # per chain commit (one for overwrite-written graphs).
+            # per chain commit (one for overwrite-written graphs; one
+            # BUCKET dir in a bucketed store).
             parts = [
-                self._read_or_empty(
-                    os.path.join(self.store, "data", table, f"c={cid}"),
-                    full_schema)
-                .filter(F.col("graph") == name)
+                self._graph_filter(self._commit_df(table, cid, row_schema),
+                                   [name])
                 for cid in _cids(ptr)]
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-            return out
-        parts = [
-            # Explicit schema includes the graph partition column; the
-            # isin filter prunes partitions belonging to graphs this
-            # commit no longer serves (they were overwritten later).
-            self._read_or_empty(os.path.join(self.store, "data", table,
-                                             f"c={cid}"), full_schema)
-            .filter(F.col("graph").isin(gs))
-            for cid, gs in sorted(self._by_commit.items())
-        ]
+        else:
+            parts = [
+                # the per-commit graph restriction prunes partitions
+                # belonging to graphs this commit no longer serves
+                # (they were overwritten later)
+                self._graph_filter(self._commit_df(table, cid, row_schema), gs)
+                for cid, gs in sorted(self._by_commit.items())
+            ]
         if not parts:
             return self.spark.createDataFrame([], full_schema)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return out.select(*cols)  # drops gb in bucketed stores
 
     def edges(self, name: str | None = None) -> DataFrame:
         return self._table("edges", "src int, dst int", name)
@@ -210,9 +254,23 @@ class GraphEngine:
     SURVEY.md §1.4)."""
 
     def __init__(self, spark: SparkSession, store_path: str,
-                 manifest_store: metastore.ManifestStore | None = None):
+                 manifest_store: metastore.ManifestStore | None = None,
+                 buckets: int | None = None):
+        """``buckets=B`` selects the BUCKETED layout for a NEW store:
+        data dirs are partitioned by ``gb = crc32(graph) % B`` (B dirs
+        per commit per table, independent of catalog size — a
+        10^5-graph catalog must not create 3×N directories per commit)
+        and the manifest log is chunked into B bucket blobs (no single
+        JSON document ever holds the whole graphs map). The layout is
+        decided by the store's FIRST published manifest and persisted
+        in it; engines opened later follow the stored layout, so the
+        argument only matters on a virgin store. Reads stay
+        partition-pruned: a single-graph read touches one bucket dir
+        per chain commit, with the bucket computed driver-side (CRC-32
+        matches between zlib and Spark's crc32 builtin)."""
         self.spark = spark
         self.store = store_path
+        self.buckets = buckets
         self.manifest_dir = os.path.join(store_path, "manifests")
         # Metadata layer: pluggable (see metastore.py). Auto-selected
         # by the store path's URI scheme so the commit log lives where
@@ -227,7 +285,29 @@ class GraphEngine:
             else:
                 manifest_store = metastore.PosixManifestStore(
                     self.manifest_dir)
-        self.manifests = metastore.ManifestLog(manifest_store)
+        self.manifests = metastore.ManifestLog(manifest_store,
+                                               buckets=buckets)
+
+    def _eff_buckets(self, snap: GraphSnapshot) -> int | None:
+        """The layout this write must use: the store's persisted layout
+        when a manifest exists, else the constructor's intent (first
+        write on a virgin store decides)."""
+        return snap.buckets if snap.manifest is not None else self.buckets
+
+    def _store_write(self, df: DataFrame, table: str, cid: str,
+                     buckets: int | None) -> None:
+        """Land one table's rows under the immutable ``c=<cid>`` dir:
+        graph-partitioned (legacy) or bucket-partitioned (``gb``
+        column, graph kept as a data column for row-group pruning)."""
+        out = df.select(*[c for c in df.columns if c != "graph"], "graph")
+        path = os.path.join(self.store, "data", table, f"c={cid}")
+        if buckets:
+            out = out.withColumn(
+                "gb", (F.crc32(F.col("graph").cast("binary"))
+                       % buckets).cast("int"))
+            out.write.mode("overwrite").partitionBy("gb").parquet(path)
+        else:
+            out.write.mode("overwrite").partitionBy("graph").parquet(path)
 
     # -- op 1 / op 2: add / modify (full overwrite of one graph) ---------
 
@@ -344,15 +424,13 @@ class GraphEngine:
                           .agg(F.max("vid").cast("int").alias("n"))
                           .join(snap.meta().select("graph").distinct(),
                                 "graph", "left_anti"))
+        eff = self._eff_buckets(snap)
         for df, table in ((edges, "edges"), (new_vids, "vertices"),
                           (new_graph_meta, "meta")):
-            out = df.select(*[c for c in df.columns if c != "graph"],
-                            "graph")
-            (out.write.mode("overwrite").partitionBy("graph")
-                .parquet(os.path.join(self.store, "data", table,
-                                      f"c={cid}")))
+            self._store_write(df, table, cid, eff)
 
         def update(prev: dict | None) -> dict | None:
+            _check_layout(prev, eff)
             txns = dict((prev or {}).get("txns", {}))
             if txn_app is not None:
                 # re-checked INSIDE the CAS closure: a competing replica
@@ -434,16 +512,14 @@ class GraphEngine:
                     .agg(F.max("vid").cast("int").alias("n"))
                     .join(old_meta.select("graph"), "graph", "left_anti"))
         cid = uuid.uuid4().hex[:12]
+        eff = self._eff_buckets(snap)
         for df, table in ((merged, "edges"), (verts, "vertices"),
                           (old_meta.unionByName(new_meta), "meta")):
-            out = df.select(*[c for c in df.columns if c != "graph"],
-                            "graph")
-            (out.write.mode("overwrite").partitionBy("graph")
-                .parquet(os.path.join(self.store, "data", table,
-                                      f"c={cid}")))
+            self._store_write(df, table, cid, eff)
         pinned = (snap.manifest or {}).get("graphs", {})
 
         def update(prev: dict | None) -> dict | None:
+            _check_layout(prev, eff)
             graphs_map = dict(prev["graphs"]) if prev else {}
             adopted = False
             for g in touched:
@@ -477,6 +553,7 @@ class GraphEngine:
         meta = lines.filter(F.col("line_no") == 0).select(
             F.trim(F.col("line")).cast("int").alias("n"), "graph")
         cid = uuid.uuid4().hex[:12]
+        eff = self._eff_buckets(self.snapshot())
         writes = (
             # weighted melt: on the reference's 0/1 matrices this is
             # exactly the 0/1 edge set with w=1 (pinned by tests); a
@@ -486,9 +563,7 @@ class GraphEngine:
             (meta, "meta"),
         )
         for df, table in writes:
-            out = df.select(*[c for c in df.columns if c != "graph"], "graph")
-            (out.write.mode("overwrite").partitionBy("graph")
-                .parquet(os.path.join(self.store, "data", table, f"c={cid}")))
+            self._store_write(df, table, cid, eff)
         # The graph set of this write (one small driver-side collect of
         # catalog metadata — graph NAMES, not data; one per commit, not
         # per table). Envelope: the manifest itself stores one entry
@@ -504,6 +579,7 @@ class GraphEngine:
             # winner's map, so two writers to different graphs both
             # land (the multi-writer analogue of the reference's
             # per-graph RW lock).
+            _check_layout(prev, eff)
             graphs_map = dict(prev["graphs"]) if prev else {}
             graphs_map.update({g: cid for g in write_graphs})
             return {"commit": cid, "graphs": graphs_map,
@@ -538,6 +614,7 @@ class GraphEngine:
         if not graphs:
             return
         cid = uuid.uuid4().hex[:12]
+        eff = self._eff_buckets(snap)
         for table in ("edges", "vertices", "meta"):
             if table == "edges":
                 # the weighted read normalizes legacy commits (no w
@@ -558,12 +635,11 @@ class GraphEngine:
                 # "n >= max vid at write time" bound both writers held.
                 df = (snap._table(table, "n int", None)
                       .groupBy("graph").agg(F.max("n").alias("n")))
-            (df.select(*[c for c in df.columns if c != "graph"], "graph")
-               .write.mode("overwrite").partitionBy("graph")
-               .parquet(os.path.join(self.store, "data", table, f"c={cid}")))
+            self._store_write(df, table, cid, eff)
         pinned = snap.manifest["graphs"]
 
         def update(prev: dict | None) -> dict:
+            _check_layout(prev, eff)
             graphs_map = {
                 g: cid if pinned.get(g) == ptr else ptr
                 for g, ptr in (prev["graphs"] if prev else {}).items()}
@@ -602,6 +678,12 @@ class GraphEngine:
         overrides the age gate when the caller KNOWS no write is in
         flight (tests, single-writer maintenance windows)."""
         live = self.manifests.vacuum(keep_last=keep_last)
+        if force:
+            # orphaned chunk blobs (CAS-race losers, writers that died
+            # pre-publish) are indistinguishable from a mid-commit
+            # writer's chunks, so — like fresh data dirs — they are
+            # only swept when the caller KNOWS no write is in flight
+            self.manifests.sweep_orphan_chunks()
         if not live:
             return 0
         now = time.time()
@@ -666,7 +748,10 @@ class GraphEngine:
         def fetch(item):
             seq, name = item
             doc = json.loads(self.manifests.store.get(name))
-            return seq, doc.get("commit"), len(doc.get("graphs", {}))
+            # chunked roots carry n_graphs as metadata so history stays
+            # one blob get per seq (never assembles the chunk set)
+            return seq, doc.get("commit"), doc.get(
+                "n_graphs", len(doc.get("graphs", {})))
 
         # blob gets are IO-bound round trips (one per retained seq, so
         # remote stores pay latency × history depth if serial) — fan
@@ -721,6 +806,17 @@ class GraphEngine:
         snap.vertices().createOrReplaceTempView(f"{prefix}_vertices")
         snap.meta().createOrReplaceTempView(f"{prefix}_meta")
         return snap
+
+    def sql(self, text: str, prefix: str = "gdb") -> DataFrame | None:
+        """The store drivable from SQL text alone: ``SELECT``/``WITH``
+        read through a fresh pinned snapshot's views and return the
+        DataFrame; ``INSERT INTO`` / ``MERGE INTO`` / ``DELETE FROM``
+        on ``<prefix>_edges`` dispatch onto the commit-protocol
+        writers and return None (operators/dml.py documents the
+        supported grammar and fails loudly outside it)."""
+        from graphdatabase_spark.operators import dml
+
+        return dml.execute_sql(self, text, prefix)
 
     def snapshot(self, seq: int | None = None) -> GraphSnapshot:
         """Pin ONE consistent view of the whole store (every graph's

@@ -356,11 +356,97 @@ class InMemoryManifestStore(ManifestStore):
             self._blobs.pop(name, None)
 
 
-class ManifestLog:
-    """The commit log: versioned manifests over any ManifestStore."""
+def graph_bucket(name: str, buckets: int) -> int:
+    """Stable bucket of a graph name: CRC-32 of the UTF-8 bytes mod
+    ``buckets``. CRC-32 is the one hash that is BOTH driver-computable
+    (zlib.crc32) and executor-computable (Spark's ``crc32`` builtin,
+    java.util.zip.CRC32 — same standard polynomial), so partition
+    pruning filters can be built as literals with no Spark job."""
+    import zlib
 
-    def __init__(self, store: ManifestStore):
+    return zlib.crc32(name.encode("utf-8")) % buckets
+
+
+class ManifestLog:
+    """The commit log: versioned manifests over any ManifestStore.
+
+    Two on-disk layouts, transparent to callers:
+
+    - **Monolithic** (default): one JSON doc per seq holding the whole
+      ``graphs`` map — right up to catalogs of ~10^5 graphs, after
+      which every commit rewrites a multi-MB document.
+    - **Chunked** (``chunk_buckets=B``): the ``graphs`` map is split
+      into B bucket chunks (:func:`graph_bucket`), each an immutable
+      content blob (``chunk-<uuid>.json``, a name :func:`parse_seq`
+      ignores); the per-seq root doc stores only the chunk NAME per
+      bucket plus commit metadata. A commit touching graphs in k
+      buckets writes k new chunk blobs and reuses the previous names
+      for the rest — so commit IO is O(touched buckets × N/B), not
+      O(N), and no single document ever holds the whole catalog (the
+      round-8 verdict's ~10^6-graph single-JSON-doc ceiling). Chunk
+      blobs are immutable → cached by name across loads; vacuum
+      deletes chunks no retained root references. The layout is
+      decided by the FIRST published manifest and persists in the root
+      doc (``chunk_buckets``); later log instances follow it
+      regardless of their constructor argument.
+    """
+
+    def __init__(self, store: ManifestStore, buckets: int | None = None):
         self.store = store
+        self.buckets = buckets
+        self._chunk_cache: dict[str, dict] = {}
+
+    # -- chunked layout internals ------------------------------------
+
+    def _chunk(self, name: str) -> dict:
+        """A chunk blob's graphs map, cached by name (immutable)."""
+        got = self._chunk_cache.get(name)
+        if got is None:
+            got = json.loads(self.store.get(name))["graphs"]
+            self._chunk_cache[name] = got
+        return got
+
+    def _assemble(self, doc: dict) -> dict:
+        """A root doc in caller shape: chunked docs gain their full
+        ``graphs`` map (chunk reads cached); monolithic docs pass
+        through. ``chunks``/``buckets`` stay in the dict so a later
+        commit can diff against the previous chunk set and writers can
+        discover the store layout."""
+        if "chunks" not in doc:
+            return doc
+        graphs: dict = {}
+        for cname in doc["chunks"].values():
+            graphs.update(self._chunk(cname))
+        return {**doc, "graphs": graphs}
+
+    def _encode(self, prev: dict | None, seq: int, body: dict) -> dict:
+        """Root doc for ``body`` at ``seq``: monolithic, or chunked
+        when the store's layout (first manifest wins, constructor arg
+        seeds a virgin store) says so — only buckets whose content
+        changed get a new chunk blob."""
+        doc = {"seq": seq, **body}
+        b = self.buckets if prev is None else prev.get("buckets")
+        if not b:
+            return doc
+        graphs = doc.pop("graphs")
+        per: list[dict] = [{} for _ in range(b)]
+        for g, ptr in graphs.items():
+            per[graph_bucket(g, b)][g] = ptr
+        prev_chunks = (prev or {}).get("chunks", {})
+        chunks: dict[str, str] = {}
+        for i in range(b):
+            old_name = prev_chunks.get(str(i))
+            if old_name is not None and self._chunk(old_name) == per[i]:
+                chunks[str(i)] = old_name  # untouched bucket: reuse
+                continue
+            name = f"chunk-{uuid.uuid4().hex[:12]}.json"
+            ok = self.store.put_if_absent(
+                name, json.dumps({"graphs": per[i]}).encode())
+            assert ok, f"uuid chunk name collided: {name}"
+            self._chunk_cache[name] = per[i]
+            chunks[str(i)] = name
+        doc.update(buckets=b, chunks=chunks, n_graphs=len(graphs))
+        return doc
 
     def names(self) -> list[tuple[int, str]]:
         """Retained manifests as (seq, blob name), ascending by seq —
@@ -388,10 +474,10 @@ class ManifestLog:
                     f"no manifest with seq {seq} (vacuumed, or never "
                     f"published); retained history: "
                     f"{[s for s, _ in names] or 'none'}")
-            return json.loads(self.store.get(hit[0]))
+            return self._assemble(json.loads(self.store.get(hit[0])))
         if not names:
             return None
-        return json.loads(self.store.get(names[-1][1]))
+        return self._assemble(json.loads(self.store.get(names[-1][1])))
 
     def commit(self, update: Callable[[dict | None], dict | None],
                max_attempts: int = 50) -> dict | None:
@@ -407,10 +493,10 @@ class ManifestLog:
             if body is None:
                 return None
             seq = (prev["seq"] + 1) if prev else 1
-            doc = {"seq": seq, **body}
+            doc = self._encode(prev, seq, body)
             data = json.dumps(doc).encode()
             if self.store.put_if_absent(manifest_name(seq), data):
-                return doc
+                return self._assemble(doc)
         raise CommitConflict(
             f"lost the manifest publish race {max_attempts} times")
 
@@ -425,11 +511,47 @@ class ManifestLog:
         names = self.names()
         retained = names[-keep_last:]
         live = set()
+        live_chunks: set[str] = set()
+        dead_chunks: set[str] = set()
         for _, n in retained:
-            for ptr in json.loads(self.store.get(n))["graphs"].values():
+            doc = json.loads(self.store.get(n))
+            live_chunks.update(doc.get("chunks", {}).values())
+            for ptr in self._assemble(doc)["graphs"].values():
                 # a pointer is one commit id (overwrite form) or an
                 # append CHAIN (list) — every chained commit stays live
                 live.update(ptr if isinstance(ptr, list) else [ptr])
         for _, n in names[:-keep_last]:
+            # chunks referenced ONLY by roots being deleted are
+            # provably dead (published history, no longer reachable);
+            # this deliberately does NOT sweep never-referenced
+            # chunk blobs — those are indistinguishable from a
+            # concurrent commit's chunks written just before its root
+            # publish (the in-flight-write problem, same as data
+            # dirs). sweep_orphan_chunks reclaims them when the
+            # caller KNOWS no write is in flight.
+            dead_chunks.update(
+                json.loads(self.store.get(n)).get("chunks", {}).values())
             self.store.delete(n)
+        for n in dead_chunks - live_chunks:
+            self.store.delete(n)
+            self._chunk_cache.pop(n, None)
         return live
+
+    def sweep_orphan_chunks(self) -> int:
+        """Delete chunk blobs no retained root references — the
+        leftovers of CAS-race losers and writers that died before
+        publishing. ONLY safe when no commit is in flight (a
+        mid-commit writer's chunks look identical); callers gate this
+        exactly like the data-dir orphan sweep."""
+        live_chunks: set[str] = set()
+        for _, n in self.names():
+            live_chunks.update(
+                json.loads(self.store.get(n)).get("chunks", {}).values())
+        removed = 0
+        for n in self.store.list():
+            if (n.startswith("chunk-") and n.endswith(".json")
+                    and n not in live_chunks):
+                self.store.delete(n)
+                self._chunk_cache.pop(n, None)
+                removed += 1
+        return removed

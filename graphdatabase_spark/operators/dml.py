@@ -1,0 +1,174 @@
+"""SQL-text DML over the versioned graph store: ``INSERT INTO`` /
+``MERGE INTO`` / ``DELETE FROM`` on the ``<prefix>_edges`` surface,
+dispatched onto the engine's commit-protocol writers
+(``append_edges`` / ``merge_edges``). The read side already exists
+(``GraphEngine.create_views`` + plain ``spark.sql``); this closes the
+write side so the whole store is drivable from SQL text alone — the
+Delta-style ``MERGE INTO`` spelling over the manifest-commit store.
+
+Spark's own parser cannot target the store (temp views are not
+writable tables), so the statement HEAD is parsed here — a thin,
+anchored grammar, not a SQL parser — and every embedded QUERY
+(``SELECT``/``VALUES`` sources, ``WHERE`` predicates) is handed to
+``spark.sql``/Catalyst verbatim. Supported shapes:
+
+- ``INSERT INTO <t> [(cols)] SELECT ...`` / ``... VALUES (...), ...``
+- ``DELETE FROM <t> [WHERE <predicate>]``
+- ``MERGE INTO <t> [AS] a USING (<query>)|<view> [AS] b
+  ON <key equalities over graph, src, dst>
+  WHEN MATCHED THEN UPDATE SET w = b.w
+  [WHEN NOT MATCHED THEN INSERT *]`` — or
+  ``WHEN MATCHED THEN DELETE`` alone.
+
+Anything else raises ValueError naming the unsupported clause —
+failing loudly beats silently writing the wrong rows. ``SELECT`` /
+``WITH`` statements pass through to a fresh pinned-snapshot view set.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EDGE_COLS = ("graph", "src", "dst", "w")
+
+
+def _strip_alias(rest: str) -> tuple[str | None, str]:
+    """Consume an optional ``[AS] name`` prefix; returns (alias, tail)."""
+    m = re.match(r"(?is)^(?:AS\s+)?(\w+)\s+(.*)$", rest)
+    if m and m.group(1).upper() not in ("ON", "USING", "WHEN"):
+        return m.group(1), m.group(2)
+    return None, rest
+
+
+def _split_using_source(rest: str) -> tuple[str, bool, str]:
+    """The MERGE source after ``USING``: a parenthesized query (scanned
+    to its matching close paren, so ``ON`` inside the subquery never
+    confuses the statement split) or a bare view name. Returns
+    (source_text, is_subquery, tail)."""
+    rest = rest.lstrip()
+    if rest.startswith("("):
+        depth = 0
+        for i, ch in enumerate(rest):
+            depth += ch == "("
+            depth -= ch == ")"
+            if depth == 0:
+                return rest[1:i], True, rest[i + 1:].lstrip()
+        raise ValueError("MERGE INTO: unbalanced parentheses in USING source")
+    m = re.match(r"(?is)^(\w+)\s*(.*)$", rest)
+    if not m:
+        raise ValueError("MERGE INTO: missing USING source")
+    return m.group(1), False, m.group(2)
+
+
+def _check_on_condition(cond: str, target: str, source: str) -> None:
+    """The ON clause must be exactly the edge-key equality (graph, src,
+    dst in any order, either side first) — the one join the store's
+    MERGE is defined over."""
+    seen = set()
+    for part in re.split(r"(?i)\s+AND\s+", cond.strip()):
+        m = re.match(r"(?is)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", part)
+        if not m:
+            raise ValueError(f"MERGE INTO: unsupported ON term {part!r} "
+                             f"(need <alias>.<col> = <alias>.<col>)")
+        a_al, a_col, b_al, b_col = (m.group(1).lower(), m.group(2).lower(),
+                                    m.group(3).lower(), m.group(4).lower())
+        if a_col != b_col or {a_al, b_al} != {target.lower(), source.lower()}:
+            raise ValueError(f"MERGE INTO: ON must equate the same key "
+                             f"column across target and source, got {part!r}")
+        seen.add(a_col)
+    if seen != {"graph", "src", "dst"}:
+        raise ValueError(f"MERGE INTO: ON must cover exactly the edge key "
+                         f"(graph, src, dst); got {sorted(seen)}")
+
+
+def _edge_frame(df: DataFrame, stmt: str) -> DataFrame:
+    cols = [c.lower() for c in df.columns]
+    if cols == list(_EDGE_COLS[:3]) or cols == list(_EDGE_COLS):
+        return df.toDF(*cols)
+    raise ValueError(f"{stmt}: source must produce columns "
+                     f"(graph, src, dst[, w]); got {df.columns}")
+
+
+def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
+    """Run one SQL statement against ``engine``'s store. DML statements
+    commit through the store's write protocol and return None; a
+    ``SELECT``/``WITH`` registers fresh pinned-snapshot views and
+    returns the result DataFrame."""
+    spark = engine.spark
+    stmt = text.strip().rstrip(";").strip()
+    edges_t = f"{prefix}_edges"
+
+    if re.match(r"(?is)^(SELECT|WITH)\b", stmt):
+        engine.create_views(prefix)
+        return spark.sql(stmt)
+
+    m = re.match(rf"(?is)^INSERT\s+INTO\s+{edges_t}\s+(.*)$", stmt)
+    if m:
+        tail = m.group(1).strip()
+        cols = None
+        cm = re.match(r"(?is)^\(([\w\s,]*)\)\s*(VALUES|SELECT|WITH)(.*)$",
+                      tail)
+        if cm:
+            cols = [c.strip().lower() for c in cm.group(1).split(",")]
+            tail = cm.group(2) + cm.group(3)
+        df = spark.sql(tail)  # VALUES / SELECT are queries Catalyst owns
+        if cols is not None:
+            if sorted(cols) not in (sorted(_EDGE_COLS),
+                                    sorted(_EDGE_COLS[:3])):
+                raise ValueError(f"INSERT INTO {edges_t}: column list must "
+                                 f"be (graph, src, dst[, w]); got {cols}")
+            df = df.toDF(*cols)
+        elif tail.split(None, 1)[0].upper() == "VALUES":
+            # positional VALUES take the table's column order
+            df = df.toDF(*_EDGE_COLS[: len(df.columns)])
+        engine.append_edges(_edge_frame(df, f"INSERT INTO {edges_t}"))
+        return None
+
+    m = re.match(rf"(?is)^DELETE\s+FROM\s+{edges_t}"
+                 rf"(?:\s+WHERE\s+(.*))?$", stmt)
+    if m:
+        engine.create_views(prefix)
+        keys = spark.table(edges_t)
+        if m.group(1):
+            keys = keys.filter(F.expr(m.group(1)))
+        engine.merge_edges(keys.select("graph", "src", "dst"), delete=True)
+        return None
+
+    m = re.match(rf"(?is)^MERGE\s+INTO\s+{edges_t}\s+(.*)$", stmt)
+    if m:
+        target, rest = _strip_alias(m.group(1))
+        target = target or edges_t
+        um = re.match(r"(?is)^USING\s+(.*)$", rest)
+        if not um:
+            raise ValueError("MERGE INTO: expected USING <source>")
+        source_text, is_subquery, rest = _split_using_source(um.group(1))
+        source, rest = _strip_alias(rest)
+        source = source or source_text
+        om = re.match(r"(?is)^ON\s+(.*?)\s+(WHEN\s.*)$", rest)
+        if not om:
+            raise ValueError("MERGE INTO: expected ON <cond> WHEN ...")
+        _check_on_condition(om.group(1), target, source)
+        actions = om.group(2).strip()
+        src_df = (spark.sql(source_text) if is_subquery
+                  else spark.table(source_text))
+        upsert = re.match(
+            rf"(?is)^WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+"
+            rf"(?:{target}\.)?w\s*=\s*{source}\.w\s+"
+            rf"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$", actions)
+        if upsert:
+            engine.merge_edges(_edge_frame(src_df, "MERGE INTO"))
+            return None
+        if re.match(r"(?is)^WHEN\s+MATCHED\s+THEN\s+DELETE$", actions):
+            engine.merge_edges(
+                _edge_frame(src_df.select(*src_df.columns), "MERGE INTO")
+                .select("graph", "src", "dst"), delete=True)
+            return None
+        raise ValueError(
+            f"MERGE INTO: unsupported WHEN clauses {actions!r} (supported: "
+            f"UPDATE SET w = {source}.w + INSERT *, or DELETE alone)")
+
+    raise ValueError(f"unsupported statement for the {prefix}_* store "
+                     f"surface: {stmt.split(None, 2)[:2]}")

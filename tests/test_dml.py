@@ -1,0 +1,132 @@
+"""SQL-text DML over the store (operators/dml.py): the write-side twin
+of the ``create_views`` read surface. Every statement commits through
+the same append/merge protocol the DataFrame API uses, so these tests
+check SQL-in == API-out equivalence plus the loud-failure contract for
+unsupported SQL."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdatabase_spark.engine import GraphEngine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return GraphEngine(spark, str(tmp_path / "store"))
+
+
+def _wedges(eng, name=None):
+    return {(r["graph"], r["src"], r["dst"], r["w"])
+            for r in eng.weighted_edges(name).collect()}
+
+
+def test_insert_values_and_select(engine, spark):
+    engine.sql("INSERT INTO gdb_edges VALUES ('A', 1, 2, 5), ('A', 2, 3, 1)")
+    assert _wedges(engine) == {("A", 1, 2, 5), ("A", 2, 3, 1)}
+    # column-list form reorders
+    engine.sql("INSERT INTO gdb_edges (graph, src, dst) VALUES ('B', 7, 8)")
+    assert ("B", 7, 8, 1) in _wedges(engine)  # w defaults to 1
+    # INSERT ... SELECT from any Catalyst-visible relation
+    spark.createDataFrame([("C", 4, 5, 2)],
+                          "graph string, src int, dst int, w int") \
+        .createOrReplaceTempView("incoming_edges")
+    engine.sql("INSERT INTO gdb_edges SELECT graph, src, dst, w "
+               "FROM incoming_edges WHERE w > 0")
+    assert ("C", 4, 5, 2) in _wedges(engine)
+    # SELECT passthrough reads the store through pinned views
+    got = engine.sql("SELECT graph, COUNT(*) AS n FROM gdb_edges "
+                     "GROUP BY graph ORDER BY graph").collect()
+    assert [(r["graph"], r["n"]) for r in got] == [("A", 2), ("B", 1),
+                                                   ("C", 1)]
+
+
+def test_merge_upsert_matches_api_merge(engine, spark):
+    engine.add_graph("M", "3\n0 2 0\n0 0 3\n0 0 0\n")
+    spark.createDataFrame([("M", 1, 2, 7), ("M", 1, 3, 4)],
+                          "graph string, src int, dst int, w int") \
+        .createOrReplaceTempView("upd")
+    engine.sql("""
+        MERGE INTO gdb_edges AS t
+        USING (SELECT * FROM upd) AS s
+        ON t.graph = s.graph AND t.src = s.src AND t.dst = s.dst
+        WHEN MATCHED THEN UPDATE SET w = s.w
+        WHEN NOT MATCHED THEN INSERT *""")
+    assert _wedges(engine, "M") == {("M", 1, 2, 7), ("M", 2, 3, 3),
+                                    ("M", 1, 3, 4)}
+    # bare-view source + key order shuffled + t.w spelling
+    engine.sql("MERGE INTO gdb_edges t USING upd s "
+               "ON s.dst = t.dst AND t.graph = s.graph AND s.src = t.src "
+               "WHEN MATCHED THEN UPDATE SET t.w = s.w "
+               "WHEN NOT MATCHED THEN INSERT *")
+    assert _wedges(engine, "M") == {("M", 1, 2, 7), ("M", 2, 3, 3),
+                                    ("M", 1, 3, 4)}
+
+
+def test_merge_delete_and_delete_from(engine, spark):
+    engine.add_graph("D", "3\n0 1 1\n0 0 1\n0 0 0\n")
+    spark.createDataFrame([("D", 1, 2, 1)],
+                          "graph string, src int, dst int, w int") \
+        .createOrReplaceTempView("victims")
+    engine.sql("MERGE INTO gdb_edges t USING victims s "
+               "ON t.graph = s.graph AND t.src = s.src AND t.dst = s.dst "
+               "WHEN MATCHED THEN DELETE")
+    assert _wedges(engine, "D") == {("D", 1, 3, 1), ("D", 2, 3, 1)}
+    engine.sql("DELETE FROM gdb_edges WHERE src = 2")
+    assert _wedges(engine, "D") == {("D", 1, 3, 1)}
+    engine.sql("DELETE FROM gdb_edges")
+    assert _wedges(engine) == set()
+    assert "D" in engine.graphs()  # catalog entry survives, like the API
+
+
+def test_dml_commits_are_snapshot_versioned(engine):
+    """SQL DML goes through the SAME commit protocol: every statement
+    is one manifest seq, time travel sees each."""
+    engine.sql("INSERT INTO gdb_edges VALUES ('V', 1, 2, 1)")
+    engine.sql("MERGE INTO gdb_edges t USING "
+               "(SELECT 'V' AS graph, 1 AS src, 2 AS dst, 9 AS w) s "
+               "ON t.graph = s.graph AND t.src = s.src AND t.dst = s.dst "
+               "WHEN MATCHED THEN UPDATE SET w = s.w "
+               "WHEN NOT MATCHED THEN INSERT *")
+    assert {(r["src"], r["dst"], r["w"])
+            for r in engine.snapshot(seq=1).weighted_edges("V").collect()} \
+        == {(1, 2, 1)}
+    rows = engine.diff(1, 2).collect()
+    assert [(r["old_w"], r["new_w"], r["change"]) for r in rows] == \
+        [(1, 9, "updated")]
+
+
+def test_unsupported_sql_fails_loudly(engine, spark):
+    spark.createDataFrame([("X", 1, 2, 1)],
+                          "graph string, src int, dst int, w int") \
+        .createOrReplaceTempView("u2")
+    for bad, why in [
+            ("UPDATE gdb_edges SET w = 2", "unsupported statement"),
+            ("INSERT INTO gdb_edges (graph, src, weight) VALUES ('A',1,2)",
+             "column list"),
+            ("MERGE INTO gdb_edges t USING u2 s ON t.graph = s.graph "
+             "WHEN MATCHED THEN UPDATE SET w = s.w "
+             "WHEN NOT MATCHED THEN INSERT *", "edge key"),
+            ("MERGE INTO gdb_edges t USING u2 s ON t.graph = s.graph "
+             "AND t.src = s.src AND t.dst = s.dst "
+             "WHEN NOT MATCHED THEN INSERT *", "unsupported WHEN"),
+            ("MERGE INTO gdb_edges t USING u2 s ON t.w < s.w "
+             "WHEN MATCHED THEN DELETE", "unsupported ON term"),
+    ]:
+        with pytest.raises(ValueError, match=why):
+            engine.sql(bad)
+    assert engine.graphs() == []  # nothing leaked into the store
+
+
+def test_dml_over_bucketed_store(spark, tmp_path):
+    """The SQL surface composes with the bucketed layout — one store
+    built entirely from SQL text, read back consistent."""
+    eng = GraphEngine(spark, str(tmp_path / "b"), buckets=4)
+    eng.sql("INSERT INTO gdb_edges VALUES ('P', 1, 2, 2), ('Q', 5, 6, 1)")
+    eng.sql("MERGE INTO gdb_edges t USING "
+            "(SELECT 'P' AS graph, 1 AS src, 2 AS dst, 8 AS w) s "
+            "ON t.graph = s.graph AND t.src = s.src AND t.dst = s.dst "
+            "WHEN MATCHED THEN UPDATE SET w = s.w "
+            "WHEN NOT MATCHED THEN INSERT *")
+    got = eng.sql("SELECT graph, src, dst, w FROM gdb_edges").collect()
+    assert {(r["graph"], r["src"], r["dst"], r["w"]) for r in got} == {
+        ("P", 1, 2, 8), ("Q", 5, 6, 1)}

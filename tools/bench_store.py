@@ -218,9 +218,70 @@ def main_scale(counts: list[int]) -> None:
     print(json.dumps(doc, sort_keys=True))
 
 
+def main_dirs(n_graphs: int, buckets: int) -> None:
+    """The round-8 verdict's directory-count caveat, measured: a
+    5,000-graph ingest wrote 3×N partition dirs per commit under the
+    graph-partitioned layout; the bucketed layout must write ≤3×B
+    regardless of N, with the same read results. Builds BOTH stores
+    from the same seeded corpus, records ingest wall time, dir counts,
+    and a read-parity check; writes ``BENCH_STORE_DIRS.json``."""
+    from graphdatabase_spark import get_spark
+    from graphdatabase_spark.engine import GraphEngine
+
+    spark = get_spark("bench-store-dirs",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix=f"bench_store_dirs_{n_graphs}_")
+    try:
+        rng = random.Random(SEED)
+        gdir = os.path.join(tmp, "graphs")
+        os.makedirs(gdir)
+        for i in range(n_graphs):
+            n = rng.randint(20, 100)  # the reference's size envelope
+            with open(os.path.join(gdir, f"S{i:05d}.txt"), "w") as f:
+                f.write(make_matrix(rng, n))
+
+        def build(path: str, b: int | None) -> dict:
+            eng = GraphEngine(spark, path, buckets=b)
+            t0 = time.perf_counter()
+            eng.ingest_dir(gdir)
+            ingest_sec = round(time.perf_counter() - t0, 3)
+            dirs = {}
+            for table in ("edges", "vertices", "meta"):
+                root = os.path.join(path, "data", table)
+                (commit,) = os.listdir(root)
+                dirs[table] = len(os.listdir(os.path.join(root, commit))) - 2
+            t0 = time.perf_counter()
+            n_edges = eng.edges().count()
+            scan_sec = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            one = eng.edges("S00000").count()
+            one_sec = round(time.perf_counter() - t0, 3)
+            return {"ingest_sec": ingest_sec, "partition_dirs": dirs,
+                    "n_edges": n_edges, "full_scan_sec": scan_sec,
+                    "single_graph_rows": one, "single_graph_sec": one_sec}
+
+        legacy = build(os.path.join(tmp, "plain"), None)
+        bucketed = build(os.path.join(tmp, "bucketed"), buckets)
+        assert legacy["n_edges"] == bucketed["n_edges"]
+        assert legacy["single_graph_rows"] == bucketed["single_graph_rows"]
+        doc = {"metric": "store_partition_dirs_vs_catalog_size",
+               "n_graphs": n_graphs, "buckets": buckets, "seed": SEED,
+               "edge_p": EDGE_P, "legacy": legacy, "bucketed": bucketed}
+        with open(os.path.join(REPO, "BENCH_STORE_DIRS.json"), "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        print(json.dumps(doc, sort_keys=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "--scale":
         arg = sys.argv[2] if len(sys.argv) >= 3 else "100,1000,5000"
         main_scale([int(x) for x in arg.split(",")])
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--dirs":
+        n = int(sys.argv[2]) if len(sys.argv) >= 3 else 5000
+        b = int(sys.argv[3]) if len(sys.argv) >= 4 else 64
+        main_dirs(n, b)
     else:
         main()
