@@ -183,3 +183,28 @@ def test_many_graph_read_uses_semi_join_not_literal_isin(spark, tmp_path):
     assert "g299" not in plan       # no 300-name literal IN list
     assert df.count() == 300
     assert eng.edges("g299").count() == 1
+
+
+def test_bucketed_single_graph_read_prunes_to_one_bucket(spark, tmp_path):
+    """The plan must show BOTH pruning layers: PartitionFilters pinning
+    gb to the graph's CRC-32 bucket (one dir of B read, not all), and
+    the graph equality pushed to the parquet scan (row-group stats
+    prune within the bucket). Without the gb literal the read would
+    list every bucket dir — the 108x single-graph-read regression the
+    layout exists to avoid (BENCH_STORE_DIRS.json)."""
+    import re
+
+    from graphdatabase_spark.metastore import graph_bucket
+
+    d = tmp_path / "g"
+    d.mkdir()
+    for i in range(20):
+        (d / f"g{i:02d}.txt").write_text("2\n0 1\n1 0\n")
+    eng = GraphEngine(spark, str(tmp_path / "s"), buckets=8)
+    eng.ingest_dir(str(d))
+    plan = (eng.edges("g07")._jdf.queryExecution()
+            .executedPlan().toString())
+    want_gb = graph_bucket("g07", 8)
+    assert re.search(rf"PartitionFilters: \[isnotnull\(gb#\d+\), "
+                     rf"\(gb#\d+ = {want_gb}\)\]", plan), plan
+    assert "EqualTo(graph,g07)" in plan, plan

@@ -63,6 +63,31 @@ AUDIT = [
      "until the final agg) — the merge-on-read economics of append commits"),
     ("store_merge_edges", "post-MERGE state: the COW rewrite collapsed the "
      "touched graphs to ONE commit, so the read is a single pruned scan"),
+    ("store_snapshot_diff", "CDC read: ONE full-outer sort-merge join keyed "
+     "(graph, src, dst) between two pinned snapshots; change-sized output "
+     "(unchanged rows filtered before anything wide)"),
+    ("store_sql_dml", "SQL-driven bucketed store read-back: the DELETE's COW "
+     "rewrite collapsed everything to ONE commit, so the full-catalog "
+     "read is a single scan with the current-graphs restriction pushed "
+     "to row-group stats (single-GRAPH reads add a gb partition filter "
+     "- pinned by the plan test in tests/test_bucketed_store.py)"),
+    ("min_cost_supplier", "TPC-H Q2 shape: correlated scalar-MIN as a "
+     "per-part broadcast-joined aggregate, dims broadcast, one fact shuffle"),
+    ("product_profit", "TPC-H Q9 shape: star join fact-side single shuffle, "
+     "all dims broadcast, map-side partial agg on (nation, year)"),
+    ("important_parts", "TPC-H Q11 shape: HAVING vs a global scalar — the "
+     "1-row global aggregate broadcast-crossed, never a second fact scan "
+     "per group"),
+    ("parts_supplier_counts", "TPC-H Q16 shape: NOT-IN as broadcast "
+     "anti-join + distinct count, no cartesian anywhere"),
+    ("excess_stock_suppliers", "TPC-H Q20 shape: nested-IN chain as "
+     "left-semi joins, innermost aggregate first"),
+    ("returned_item_revenue", "TPC-H Q10 shape: agg-below-join then top-k "
+     "(TakeOrdered), customer dim joined AFTER the fact aggregate"),
+    ("shipmode_priority", "TPC-H Q12 shape: conditional counts in ONE "
+     "map-side-combined agg, shipmode filter pushed to scan"),
+    ("vertex_jaccard", "per-edge neighborhood Jaccard: reuses the triangle "
+     "corner kernel (degree-ordered adjacency), no wedge materialization"),
 ]
 
 
