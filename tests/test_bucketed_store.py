@@ -208,3 +208,67 @@ def test_bucketed_single_graph_read_prunes_to_one_bucket(spark, tmp_path):
     assert re.search(rf"PartitionFilters: \[isnotnull\(gb#\d+\), "
                      rf"\(gb#\d+ = {want_gb}\)\]", plan), plan
     assert "EqualTo(graph,g07)" in plan, plan
+
+
+def test_concurrent_appends_merge_across_chunked_manifest(spark, tmp_path):
+    """Two writers racing on a CHUNKED manifest must both land (the
+    CAS loser re-applies onto the winner's root and rewrites only its
+    own bucket chunks) — the multi-writer contract of the monolithic
+    log, re-proven over the chunked encoding."""
+    from graphdatabase_spark import metastore
+
+    store = metastore.InMemoryManifestStore()
+    eng = GraphEngine(spark, str(tmp_path / "s"), manifest_store=store,
+                      buckets=B)
+    fired = {}
+
+    def interleave(name):
+        if not fired:
+            fired["x"] = True
+            store.before_put = None
+            GraphEngine(spark, eng.store, manifest_store=store,
+                        buckets=B).append_edges(
+                spark.createDataFrame([("other", 5, 6, 1)],
+                                      "graph string, src int, dst int, w int"))
+
+    store.before_put = interleave
+    eng.append_edges(spark.createDataFrame(
+        [("mine", 1, 2, 1)], "graph string, src int, dst int, w int"))
+    assert eng.graphs() == ["mine", "other"]
+    assert {(r["graph"], r["src"], r["dst"])
+            for r in eng.edges().collect()} == {
+        ("mine", 1, 2), ("other", 5, 6)}
+    # the loser's retry reused the winner's untouched chunks: exactly
+    # two roots and no more than 2*B chunk blobs exist
+    roots = [n for n in store.list() if not n.startswith("chunk-")]
+    assert len(roots) == 2
+    final = eng.manifests.load()
+    assert final["seq"] == 2 and len(final["graphs"]) == 2
+
+
+def test_streaming_ingest_into_bucketed_store(spark, tmp_path):
+    """The foreachBatch append-commit sink composes with the bucketed
+    layout unchanged: commits land gb-partitioned, replays stay
+    exactly-once through the manifest txn record."""
+    from graphdatabase_spark.streaming.ingest import stream_edges_into_store
+
+    eng = GraphEngine(spark, str(tmp_path / "store"), buckets=B)
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame([("W", 1, 2, 1), ("X", 3, 4, 2)],
+                          "graph string, src int, dst int, w int") \
+        .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    part = [f for f in os.listdir(tmp_path / "stage")
+            if f.endswith(".parquet")][0]
+    os.rename(tmp_path / "stage" / part, src / "b0.parquet")
+    stream = spark.readStream.schema(
+        "graph string, src int, dst int, w int").parquet(str(src))
+    q = stream_edges_into_store(stream, eng, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert {(r["graph"], r["src"], r["dst"], r["w"])
+            for r in eng.weighted_edges().collect()} == {
+        ("W", 1, 2, 1), ("X", 3, 4, 2)}
+    for c in os.listdir(tmp_path / "store" / "data" / "edges"):
+        parts = os.listdir(tmp_path / "store" / "data" / "edges" / c)
+        assert any(p.startswith("gb=") for p in parts)
+    assert "txns" in eng.manifests.load()
