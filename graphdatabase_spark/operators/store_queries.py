@@ -472,6 +472,31 @@ WHERE b.w IS NULL OR b.w <> u.w
 """
 
 
+def q_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph pattern matching (the GraphFrames ``find`` surface) over
+    EVERY stored graph in one call: open wedges — a→b→c paths whose
+    closing edge a→c is absent (the link-prediction candidate set, and
+    the motif a triangle count says nothing about). Compiled to two
+    self-joins of the store's edge table keyed (graph, vid) plus one
+    anti-join for the negation (operators/motif.py); the oracle states
+    the same pattern as SQL joins + NOT EXISTS over the literal
+    fixture edges."""
+    out = fixture_engine(spark).find("(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+    return out.select("graph", "a", "b", "c")
+
+
+ORACLE_MOTIF_FIND = f"""
+WITH {_edges_cte()},
+de AS (SELECT DISTINCT graph, src, dst FROM graph_edges)
+SELECT e1.graph, e1.src AS a, e1.dst AS b, e2.dst AS c
+FROM de e1
+JOIN de e2 ON e2.graph = e1.graph AND e2.src = e1.dst
+WHERE NOT EXISTS (
+  SELECT 1 FROM de e3
+  WHERE e3.graph = e1.graph AND e3.src = e1.src AND e3.dst = e2.dst)
+"""
+
+
 _DML_HALF_SQL = """
         SELECT event_type AS graph,
                CAST(user_id % 25 AS INT) AS src,
@@ -563,6 +588,7 @@ QUERIES = {
     "store_snapshot_diff": q_store_snapshot_diff,
     "store_sql_degree": q_store_sql_degree,
     "store_sql_dml": q_store_sql_dml,
+    "motif_find": q_motif_find,
 }
 
 ORACLES = {
@@ -577,4 +603,5 @@ ORACLES = {
     "store_snapshot_diff": ORACLE_STORE_SNAPSHOT_DIFF,
     "store_sql_degree": ORACLE_STORE_SQL_DEGREE,
     "store_sql_dml": ORACLE_STORE_SQL_DML,
+    "motif_find": ORACLE_MOTIF_FIND,
 }

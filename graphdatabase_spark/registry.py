@@ -66,8 +66,8 @@ _DEFERRED_R09 = [
     "graph_stats", "quality_repetition", "range_join_events",
     "revenue_by_nation", "salted_join_orders", "scc",
     "segment_distinct_customers_approx", "sequence_pack",
-    "pricing_summary", "sql_forecast_revenue", "tfidf_top_terms",
-    "top_ngrams",
+    "pricing_summary", "sql_forecast_revenue", "sssp_weighted",
+    "tfidf_top_terms", "top_ngrams",
 ]
 
 _PREV_WINDOW2 = [
@@ -134,13 +134,15 @@ _CHECK_FIRST = [
     "store_stats", "store_bfs_all", "store_cc_all", "store_scc_all",
     "store_sssp_all", "store_pagerank_all", "store_sql_degree",
     # -- NEW this round: SQL-text DML (INSERT INTO / MERGE INTO /
-    # DELETE FROM gdb_edges) over the new bucketed store layout --
-    "store_sql_dml",
+    # DELETE FROM gdb_edges) over the new bucketed store layout, and
+    # motif/pattern matching (the GraphFrames find surface) over the
+    # whole store --
+    "store_sql_dml", "motif_find",
     # -- oldest r07-window ids (latest driver row is round 7) --
     "dedup_embedding", "dedup_near", "asof_join_events_salted",
     "hybrid_search_rrf", "sql_recursive_reachability", "multimodal_meta",
     "events_stream_dedup", "events_stream_join", "bfs_levels", "pagerank",
-    "kcore", "triangle_count", "similarity_topk", "sssp_weighted",
+    "kcore", "triangle_count", "similarity_topk",
 ]
 # (the remaining r07-window ids are _DEFERRED_R09 above — their r07
 # rows stay within the three-window horizon; round 10 fronts them.)

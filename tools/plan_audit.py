@@ -88,6 +88,9 @@ AUDIT = [
      "map-side-combined agg, shipmode filter pushed to scan"),
     ("vertex_jaccard", "per-edge neighborhood Jaccard: reuses the triangle "
      "corner kernel (degree-ordered adjacency), no wedge materialization"),
+    ("motif_find", "pattern matching: two (graph, vid)-keyed self-joins of "
+     "the edge table + one anti-join for the negation; NO cartesian "
+     "anywhere, AQE picks broadcast vs shuffle per join"),
 ]
 
 
