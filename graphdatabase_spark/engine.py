@@ -807,19 +807,25 @@ class GraphEngine:
         snap.meta().createOrReplaceTempView(f"{prefix}_meta")
         return snap
 
-    def find(self, pattern: str, name: str | None = None) -> DataFrame:
+    def find(self, pattern: str, name: str | None = None,
+             weighted: bool = False) -> DataFrame:
         """GraphFrames-style motif matching over the stored edge sets
         (``operators/motif.py``; public ``find()`` API shape):
         ``"(a)-[e]->(b); (b)-[]->(c); !(a)-[]->(c)"`` → one row per
         binding with a ``graph`` column plus named vertices/edges.
         One call matches EVERY stored graph at once (every join keys
         on graph — matches never cross graphs); ``name`` restricts to
-        one graph. Disconnected patterns are rejected up front (they
-        would be cartesian products at graph scale)."""
+        one graph. ``weighted=True`` matches over the weighted edge
+        set: named-edge structs gain the stored ``w``, so bindings
+        post-filter GraphFrames-style (``.filter("e.w > 2")``).
+        Disconnected patterns are rejected up front (they would be
+        cartesian products at graph scale)."""
         from graphdatabase_spark.operators import motif
 
-        return motif.find(self.edges(name).select("graph", "src", "dst"),
-                          pattern)
+        snap = self.snapshot()
+        e = (snap.weighted_edges(name) if weighted
+             else snap.edges(name).select("graph", "src", "dst"))
+        return motif.find(e, pattern)
 
     def sql(self, text: str, prefix: str = "gdb") -> DataFrame | None:
         """The store drivable from SQL text alone: ``SELECT``/``WITH``

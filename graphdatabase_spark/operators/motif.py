@@ -84,8 +84,14 @@ def find(edges: DataFrame, pattern: str) -> DataFrame:
     if not positive:
         raise ValueError("motif needs at least one positive term")
 
+    # extra edge columns (weights, attributes) ride along inside named
+    # edge structs, GraphFrames-style — so callers post-filter bindings
+    # with plain expressions (result.filter("e.w > 2")). A multigraph
+    # row set (same key, different attributes) binds once per distinct
+    # attribute row, exactly like GraphFrames' per-edge-row semantics.
+    extra = [c for c in edges.columns if c not in ("graph", "src", "dst")]
     e = edges.select("graph", F.col("src").cast("long"),
-                     F.col("dst").cast("long")).distinct()
+                     F.col("dst").cast("long"), *extra).distinct()
 
     bound: set[str] = set()
     edge_names: list[str] = []
@@ -118,7 +124,11 @@ def find(edges: DataFrame, pattern: str) -> DataFrame:
             if en in edge_names:
                 raise ValueError(f"edge name {en!r} used twice")
             edge_names.append(en)
-            cols.append(F.struct("src", "dst").alias(en))
+            cols.append(F.struct("src", "dst", *extra).alias(en))
+        elif extra:
+            # anonymous edge on a multigraph: bindings are per EDGE KEY
+            # (attributes unobservable), so collapse attribute rows
+            src = src.select("graph", "src", "dst").distinct()
         term_df = src.select(*cols)
         if out is None:
             out = term_df

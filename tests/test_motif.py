@@ -103,3 +103,22 @@ def test_engine_facade_and_store(spark, tmp_path):
     assert _rows(tri, "graph", "a") == {("T", 1), ("T", 2), ("T", 3)}
     one = eng.find("(a)-[]->(b); (b)-[]->(c)", name="P")
     assert _rows(one, "graph", "a", "b", "c") == {("P", 1, 2, 3)}
+
+
+def test_weighted_motif_structs_and_post_filter(spark, tmp_path):
+    """weighted=True carries the stored w into named-edge structs so
+    bindings post-filter with plain expressions — and an anonymous
+    edge on the same weighted set binds per edge KEY, never once per
+    attribute row."""
+    eng = GraphEngine(spark, str(tmp_path / "s"))
+    eng.add_graph("W", "3\n0 5 0\n0 0 2\n0 0 0\n")  # (1,2,5) (2,3,2)
+    out = eng.find("(a)-[e1]->(b); (b)-[e2]->(c)", weighted=True)
+    row = out.collect()[0]
+    assert (row["e1"]["src"], row["e1"]["dst"], row["e1"]["w"]) == (1, 2, 5)
+    assert row["e2"]["w"] == 2
+    assert out.filter("e1.w > 2 AND e2.w <= 2").count() == 1
+    assert out.filter("e1.w > 9").count() == 0
+    # anonymous edges over the weighted set: same binding count as the
+    # unweighted pattern
+    anon = eng.find("(a)-[]->(b); (b)-[]->(c)", weighted=True)
+    assert anon.count() == eng.find("(a)-[]->(b); (b)-[]->(c)").count() == 1
