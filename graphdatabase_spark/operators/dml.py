@@ -13,6 +13,10 @@ anchored grammar, not a SQL parser — and every embedded QUERY
 ``spark.sql``/Catalyst verbatim. Supported shapes:
 
 - ``INSERT INTO <t> [(cols)] SELECT ...`` / ``... VALUES (...), ...``
+- ``UPDATE <t> SET w = <expr> [WHERE <predicate>]`` — the expression
+  may reference the row's own columns (``SET w = w + 1``); only ``w``
+  is assignable (graph/src/dst ARE the key — a key update is a
+  delete + insert, spell it as one)
 - ``DELETE FROM <t> [WHERE <predicate>]``
 - ``MERGE INTO <t> [AS] a USING (<query>)|<view> [AS] b
   ON <key equalities over graph, src, dst>
@@ -125,6 +129,24 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
             # positional VALUES take the table's column order
             df = df.toDF(*_EDGE_COLS[: len(df.columns)])
         engine.append_edges(_edge_frame(df, f"INSERT INTO {edges_t}"))
+        return None
+
+    m = re.match(rf"(?is)^UPDATE\s+{edges_t}\s+SET\s+(\w+)\s*=\s*(.*?)"
+                 rf"(?:\s+WHERE\s+(.*))?$", stmt)
+    if m:
+        if m.group(1).lower() != "w":
+            raise ValueError(
+                f"UPDATE {edges_t}: only w is assignable (graph/src/dst "
+                f"are the edge key — rewrite a key change as DELETE + "
+                f"INSERT); got SET {m.group(1)}")
+        engine.create_views(prefix)
+        rows = spark.table(edges_t)
+        if m.group(3):
+            rows = rows.filter(F.expr(m.group(3)))
+        updates = rows.select(
+            "graph", "src", "dst",
+            F.expr(m.group(2)).cast("int").alias("w"))
+        engine.merge_edges(updates)
         return None
 
     m = re.match(rf"(?is)^DELETE\s+FROM\s+{edges_t}"

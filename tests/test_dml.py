@@ -78,6 +78,27 @@ def test_merge_delete_and_delete_from(engine, spark):
     assert "D" in engine.graphs()  # catalog entry survives, like the API
 
 
+def test_update_set_w(engine):
+    """UPDATE = read the matching keys through a pinned snapshot,
+    recompute w (the expression sees the row's own columns), merge the
+    result back — one COW commit, same versioning as every write."""
+    engine.add_graph("U", "3\n0 5 0\n0 0 2\n0 0 0\n")  # (1,2,5) (2,3,2)
+    engine.sql("UPDATE gdb_edges SET w = w + 10 WHERE src = 1")
+    assert _wedges(engine, "U") == {("U", 1, 2, 15), ("U", 2, 3, 2)}
+    engine.sql("UPDATE gdb_edges SET w = 1")       # no WHERE: all rows
+    assert _wedges(engine, "U") == {("U", 1, 2, 1), ("U", 2, 3, 1)}
+    # an update that would break the w >= 1 invariant fails loudly
+    # and commits nothing
+    import pytest
+    with pytest.raises(ValueError, match="weights >= 1"):
+        engine.sql("UPDATE gdb_edges SET w = w - 5")
+    assert _wedges(engine, "U") == {("U", 1, 2, 1), ("U", 2, 3, 1)}
+    # no-match update publishes nothing (no empty manifest entry)
+    seq = engine.manifests.load()["seq"]
+    engine.sql("UPDATE gdb_edges SET w = 9 WHERE src = 999")
+    assert engine.manifests.load()["seq"] == seq
+
+
 def test_dml_commits_are_snapshot_versioned(engine):
     """SQL DML goes through the SAME commit protocol: every statement
     is one manifest seq, time travel sees each."""
@@ -100,7 +121,8 @@ def test_unsupported_sql_fails_loudly(engine, spark):
                           "graph string, src int, dst int, w int") \
         .createOrReplaceTempView("u2")
     for bad, why in [
-            ("UPDATE gdb_edges SET w = 2", "unsupported statement"),
+            ("TRUNCATE TABLE gdb_edges", "unsupported statement"),
+            ("UPDATE gdb_edges SET src = 9", "only w is assignable"),
             ("INSERT INTO gdb_edges (graph, src, weight) VALUES ('A',1,2)",
              "column list"),
             ("MERGE INTO gdb_edges t USING u2 s ON t.graph = s.graph "
