@@ -450,7 +450,8 @@ class GraphEngine:
 
         return self.manifests.commit(update) is not None
 
-    def merge_edges(self, updates: DataFrame, delete: bool = False) -> None:
+    def merge_edges(self, updates: DataFrame,
+                    delete: bool = False) -> tuple[frozenset, frozenset]:
         """MERGE INTO over the stored edge sets: upsert (default) or
         delete by edge key. ``updates`` carries ``(graph, src, dst[,
         w])``; matched (graph, src, dst) keys take the update's weight
@@ -471,7 +472,15 @@ class GraphEngine:
         only if it is UNCHANGED since the merge pinned its snapshot —
         a write landing mid-merge keeps its newer pointer (same
         protection as compact()); the merge's rewrite of that graph is
-        simply not adopted."""
+        simply not adopted.
+
+        Returns ``(adopted, skipped)`` graph-name frozensets so callers
+        can SEE partial non-adoption instead of inferring success from
+        a silent return: ``adopted`` are the graphs whose pointer
+        flipped to this merge's rewrite, ``skipped`` the touched graphs
+        whose pointer moved mid-merge (their changes were dropped —
+        retry the merge for those). The SQL-DML surface
+        (operators/dml.py) raises on a non-empty ``skipped``."""
         snap = self.snapshot()
         if delete:
             # a delete matches on keys only — w is never stored
@@ -491,7 +500,7 @@ class GraphEngine:
             known = (snap.manifest or {}).get("graphs", {})
             touched = [g for g in touched if g in known]
         if not touched:
-            return
+            return frozenset(), frozenset()
         base = (snap.weighted_edges()
                 .filter(F.col("graph").isin(touched)))
         kept = base.join(updates.select("graph", "src", "dst"),
@@ -517,15 +526,19 @@ class GraphEngine:
                           (old_meta.unionByName(new_meta), "meta")):
             self._store_write(df, table, cid, eff)
         pinned = (snap.manifest or {}).get("graphs", {})
+        # the CAS closure can retry; the LAST invocation is the one
+        # that published, so it overwrites (not accumulates) this cell
+        outcome: list[set] = [set()]
 
         def update(prev: dict | None) -> dict | None:
             _check_layout(prev, eff)
             graphs_map = dict(prev["graphs"]) if prev else {}
-            adopted = False
+            adopted = set()
             for g in touched:
                 if graphs_map.get(g) == pinned.get(g):
                     graphs_map[g] = cid
-                    adopted = True
+                    adopted.add(g)
+            outcome[0] = adopted
             if not adopted:
                 # every touched graph's pointer moved mid-merge: the
                 # rewrite is stale everywhere — publish NOTHING (the
@@ -537,6 +550,8 @@ class GraphEngine:
                     "txns": (prev or {}).get("txns", {})}
 
         self.manifests.commit(update)
+        adopted = frozenset(outcome[0])
+        return adopted, frozenset(touched) - adopted
 
     def _write(self, lines: DataFrame) -> None:
         # One COMMIT: land all three tables' files under a fresh

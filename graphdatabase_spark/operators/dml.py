@@ -96,6 +96,21 @@ def _edge_frame(df: DataFrame, stmt: str) -> DataFrame:
                      f"(graph, src, dst[, w]); got {df.columns}")
 
 
+def _check_adopted(result: tuple, stmt_head: str) -> None:
+    """DataFrame-API ``merge_edges`` documents silent non-adoption
+    (a concurrent write moving a touched graph's pointer mid-merge
+    keeps the newer pointer and drops the merge's rewrite of that
+    graph). A SQL statement must not half-apply silently: raise,
+    naming what landed and what needs a retry."""
+    adopted, skipped = result
+    if skipped:
+        raise RuntimeError(
+            f"{stmt_head}: concurrent writes moved {sorted(skipped)} "
+            f"mid-statement; their changes were NOT applied"
+            + (f" (changes to {sorted(adopted)} committed)" if adopted
+               else "") + " — retry the statement for the skipped graphs")
+
+
 def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
     """Run one SQL statement against ``engine``'s store. DML statements
     commit through the store's write protocol and return None; a
@@ -124,9 +139,12 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
                                     sorted(_EDGE_COLS[:3])):
                 raise ValueError(f"INSERT INTO {edges_t}: column list must "
                                  f"be (graph, src, dst[, w]); got {cols}")
-            df = df.toDF(*cols)
-        elif tail.split(None, 1)[0].upper() == "VALUES":
-            # positional VALUES take the table's column order
+            # an explicit column list names the source's columns in ANY
+            # order (standard SQL); reorder by name to the table order
+            df = df.toDF(*cols).select(*_EDGE_COLS[: len(cols)])
+        elif re.match(r"(?is)^VALUES\b", tail):
+            # positional VALUES take the table's column order (\b, not
+            # whitespace split: 'VALUES(...)' has no space after the head)
             df = df.toDF(*_EDGE_COLS[: len(df.columns)])
         engine.append_edges(_edge_frame(df, f"INSERT INTO {edges_t}"))
         return None
@@ -146,7 +164,7 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
         updates = rows.select(
             "graph", "src", "dst",
             F.expr(m.group(2)).cast("int").alias("w"))
-        engine.merge_edges(updates)
+        _check_adopted(engine.merge_edges(updates), f"UPDATE {edges_t}")
         return None
 
     m = re.match(rf"(?is)^DELETE\s+FROM\s+{edges_t}"
@@ -156,7 +174,10 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
         keys = spark.table(edges_t)
         if m.group(1):
             keys = keys.filter(F.expr(m.group(1)))
-        engine.merge_edges(keys.select("graph", "src", "dst"), delete=True)
+        _check_adopted(
+            engine.merge_edges(keys.select("graph", "src", "dst"),
+                               delete=True),
+            f"DELETE FROM {edges_t}")
         return None
 
     m = re.match(rf"(?is)^MERGE\s+INTO\s+{edges_t}\s+(.*)$", stmt)
@@ -181,12 +202,13 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
             rf"(?:{target}\.)?w\s*=\s*{source}\.w\s+"
             rf"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$", actions)
         if upsert:
-            engine.merge_edges(_edge_frame(src_df, "MERGE INTO"))
+            _check_adopted(engine.merge_edges(
+                _edge_frame(src_df, "MERGE INTO")), "MERGE INTO")
             return None
         if re.match(r"(?is)^WHEN\s+MATCHED\s+THEN\s+DELETE$", actions):
-            engine.merge_edges(
+            _check_adopted(engine.merge_edges(
                 _edge_frame(src_df.select(*src_df.columns), "MERGE INTO")
-                .select("graph", "src", "dst"), delete=True)
+                .select("graph", "src", "dst"), delete=True), "MERGE INTO")
             return None
         raise ValueError(
             f"MERGE INTO: unsupported WHEN clauses {actions!r} (supported: "

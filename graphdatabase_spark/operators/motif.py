@@ -58,8 +58,14 @@ def _parse(pattern: str) -> list[tuple[bool, str, str, str]]:
         if neg and e:
             raise ValueError(f"negated term {raw.strip()!r} must use an "
                              f"anonymous edge []")
+        if e.startswith("__anon"):
+            raise ValueError(f"edge name {e!r} collides with the "
+                             f"internal anonymous-vertex namespace")
         names = []
         for v in (a, b):
+            if v.startswith("__anon"):
+                raise ValueError(f"vertex name {v!r} collides with the "
+                                 f"internal anonymous-vertex namespace")
             if not v:
                 if neg:
                     raise ValueError(f"negated term {raw.strip()!r} must "
@@ -71,6 +77,21 @@ def _parse(pattern: str) -> list[tuple[bool, str, str, str]]:
         terms.append((neg, names[0], e, names[1]))
     if not terms:
         raise ValueError("empty motif pattern")
+    # name hygiene up front (the module's loud-ValueError contract):
+    # a vertex/edge name that collides with the reserved columns or
+    # with a name of the other kind would otherwise build duplicate/
+    # ambiguous output columns and die in an opaque AnalysisException
+    vnames = {v for _, a, _, b in terms for v in (a, b)
+              if not v.startswith("__anon")}
+    enames = {e for _, _, e, _ in terms if e}
+    reserved = {"graph", "src", "dst"} & (vnames | enames)
+    if reserved:
+        raise ValueError(f"motif names {sorted(reserved)} collide with "
+                         f"the reserved output columns (graph, src, dst)")
+    both = vnames & enames
+    if both:
+        raise ValueError(f"motif names {sorted(both)} are used as both "
+                         f"a vertex and an edge name")
     return terms
 
 

@@ -510,15 +510,17 @@ def q_store_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The store driven ENTIRELY from SQL text over a BUCKETED layout
     (engine.sql → operators/dml.py): INSERT INTO lands the even-id
     half as an append commit, MERGE INTO upserts the odd-id half
-    (copy-on-write + CAS pointer flip), DELETE FROM trims a key range,
-    and the final SELECT reads back through a pinned snapshot — four
-    statements, four manifest seqs, zero DataFrame-API calls in the
-    query text. buckets=4 means every commit writes ≤4 dirs per table
-    (catalog-size-independent) and the manifest is chunked; the oracle
-    recomputes the same final state relationally, so this one id
-    oracle-checks the SQL-DML dispatcher AND the bucketed read/write
-    path together. A fresh store per call keeps the timing honest
-    (the commit protocol IS the measured work)."""
+    (copy-on-write + CAS pointer flip), UPDATE … SET w bumps a key
+    range's weights (expression may reference the row's own columns),
+    DELETE FROM trims a key range, and the final SELECT reads back
+    through a pinned snapshot — five statements, five manifest seqs,
+    zero DataFrame-API calls in the query text. buckets=4 means every
+    commit writes ≤4 dirs per table (catalog-size-independent) and the
+    manifest is chunked; the oracle recomputes the same final state
+    relationally, so this one id oracle-checks the SQL-DML dispatcher
+    AND the bucketed read/write path together. A fresh store per call
+    keeps the timing honest (the commit protocol IS the measured
+    work)."""
     import tempfile
 
     from graphdatabase_spark.engine import GraphEngine
@@ -534,6 +536,7 @@ def q_store_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON t.graph = s.graph AND t.src = s.src AND t.dst = s.dst
         WHEN MATCHED THEN UPDATE SET w = s.w
         WHEN NOT MATCHED THEN INSERT *""")
+    eng.sql("UPDATE gdb_edges SET w = w * 2 + 1 WHERE src < 5")
     eng.sql("DELETE FROM gdb_edges WHERE src >= 20")
     return eng.sql("SELECT graph, src, dst, w FROM gdb_edges")
 
@@ -550,7 +553,9 @@ base AS (SELECT graph, src, dst, CAST(SUM(w1) AS INT) AS w
          FROM m WHERE par = 0 GROUP BY 1, 2, 3),
 upd AS (SELECT graph, src, dst, CAST(SUM(w1) AS INT) AS w
         FROM m WHERE par = 1 GROUP BY 1, 2, 3)
-SELECT graph, src, dst, CAST(COALESCE(u.w, b.w) AS INT) AS w
+SELECT graph, src, dst,
+       CAST(CASE WHEN src < 5 THEN COALESCE(u.w, b.w) * 2 + 1
+                 ELSE COALESCE(u.w, b.w) END AS INT) AS w
 FROM base b FULL OUTER JOIN upd u USING (graph, src, dst)
 WHERE src < 20
 """

@@ -39,60 +39,38 @@ _MODULES = [relational, graph_queries, text, dedup, similarity, streamops, multi
 # i.e. ids whose first driver row is still pending — are fronted in
 # ``_CHECK_FIRST``.  When rotating for round N+1: copy ``_CHECK_FIRST``
 # into ``_PREV_WINDOW`` first.
-# Round-9 window: the round-8 deferral (``_DEFERRED_R08`` — 25 ids
-# whose r06 rows hit the three-round horizon) is fronted FIRST, per
-# the rotation invariant.  Next the ten store_* ids whose engine
-# semantics changed this round (round-8 advice fixes), then as many
-# round-7-window ids as fit.  With >100 registered ids and a fixed
-# 50-row driver window a two-window cover stays arithmetically
-# impossible (2 × 50 < N): the ids squeezed out (``_DEFERRED_R09``
-# below — r07 greens) keep their r07 row until round 10, where they
-# MUST be fronted.
+# Round-10 window: the round-9 deferral (``_DEFERRED_R09`` — 28 ids
+# whose r07 rows hit the three-round horizon) is fronted FIRST, per
+# the rotation invariant.  Next the ids NEW or MODIFIED this round
+# (``store_sql_dml`` gained an ``UPDATE … SET w`` statement in its
+# oracle-checked statement list), then as many round-8-window ids as
+# fit.  With >100 registered ids and a fixed 50-row driver window a
+# two-window cover stays arithmetically impossible (2 × 50 < N): the
+# ids squeezed out (``_DEFERRED_R10`` below — r08 greens) keep their
+# r08 row until round 11, where they MUST be fronted.
 # tests/test_registry.py enforces the three-window cover and that
 # deferral beyond two rounds happens only because the registry
 # outgrew two windows — never silently.  Local full-registry parity
 # evidence stays per-round in PARITY_LOCAL.json
 # (tools/harness_replica.py).
-_DEFERRED_R09 = [
-    # r07-window ids squeezed out of the round-9 window (122 ids >
-    # 2 x 50 driver slots); their latest driver row is r07, inside the
+_DEFERRED_R10 = [
+    # r08-window ids squeezed out of the round-10 window (>100 ids >
+    # 2 x 50 driver slots); their latest driver row is r08, inside the
     # three-window horizon, and tests/test_registry.py keeps this list
-    # explicit. Round 10 MUST front these.
-    "asof_join_events", "contamination_check", "corpus_prep",
-    "embedding_ann_lsh", "embedding_ivf_topk", "events_anomaly",
-    "events_enriched", "events_funnel", "events_quantiles",
-    "events_retention", "events_rollup_daily", "events_sessionization",
-    "events_sliding_avg", "events_trending", "events_tumbling_counts",
-    "graph_stats", "quality_repetition", "range_join_events",
-    "revenue_by_nation", "salted_join_orders", "scc",
-    "segment_distinct_customers_approx", "sequence_pack",
-    "pricing_summary", "sql_forecast_revenue", "sssp_weighted",
-    "tfidf_top_terms", "top_ngrams",
+    # explicit. Round 11 MUST front these.
+    "shipping_priority", "customers_without_orders",
+    "order_priority_rollup", "returns_cube", "top_orders_per_customer",
+    "running_revenue", "segment_distinct_customers",
+    "local_supplier_volume", "promo_revenue", "top_supplier",
+    "large_volume_customers", "sales_opportunity",
+    "personalized_pagerank", "label_propagation", "graph_degree",
+    "reachability", "shortest_path_hops", "clustering_coefficient",
+    "dfs_leaves_tree", "dfs_leaves", "dedup_near_guarded",
+    "embedding_cosine_topk", "events_quantiles_approx",
+    "chunk_dedup", "domain_mix",
 ]
 
 _PREV_WINDOW2 = [
-    # round-7 window (CORRECTNESS_r07.json's 50 rows, in order)
-    "store_stats", "store_bfs_all", "store_cc_all", "store_scc_all",
-    "store_sssp_all", "store_pagerank_all",
-    "asof_join_events_salted", "hybrid_search_rrf",
-    "segment_distinct_customers_approx",
-    "sql_recursive_reachability", "scc", "graph_stats",
-    "asof_join_events", "bfs_levels", "contamination_check",
-    "corpus_prep", "dedup_embedding", "dedup_near",
-    "embedding_ann_lsh", "embedding_ivf_topk", "events_anomaly",
-    "events_enriched", "events_funnel", "events_quantiles",
-    "events_retention", "events_rollup_daily", "events_sessionization",
-    "events_sliding_avg", "events_stream_dedup", "events_stream_join",
-    "events_trending", "events_tumbling_counts",
-    "kcore", "multimodal_features", "multimodal_frames", "multimodal_meta",
-    "multimodal_resize", "pagerank", "pricing_summary",
-    "quality_repetition", "range_join_events", "revenue_by_nation",
-    "salted_join_orders", "sequence_pack",
-    "similarity_topk", "sql_forecast_revenue",
-    "sssp_weighted", "tfidf_top_terms", "top_ngrams", "triangle_count",
-]
-
-_PREV_WINDOW = [
     # round-8 window (CORRECTNESS_r08.json's 50 rows, in order)
     "graph_ingest_matrix", "pivot_returns", "window_showcase",
     "sql_grouping_sets", "sample_split", "corpus_histogram",
@@ -115,9 +93,8 @@ _PREV_WINDOW = [
     "chunk_dedup", "domain_mix",
 ]
 
-_CHECK_FIRST = [
-    # -- the round-8 deferral (25 ids, r06 rows at the three-round
-    # horizon): MUST front per the rotation invariant --
+_PREV_WINDOW = [
+    # round-9 window (CORRECTNESS_r09.json's 50 rows, in order)
     "scalar_functions", "set_ops", "summary_stats", "top_expensive_orders",
     "small_qty_revenue", "disjunctive_revenue", "text_stats", "token_count",
     "file_search", "wordcount_docs", "lang_id", "quality_score",
@@ -125,27 +102,44 @@ _CHECK_FIRST = [
     "dedup_minhash_lsh", "running_user_stats", "search_bm25",
     "semdedup_ivf", "knn_join", "connected_components", "dedup_clusters",
     "corpus_funnel", "ivf_recenter",
-    # -- MODIFIED this round (round-8 advice fixes: packed-union stride
-    # from actual max vid, manifest txn exactly-once, merge CAS no-op
-    # guard, compact meta aggregate, w >= 1 enforcement; plus the
-    # shared merge/diff fixture-store build): the whole store surface
-    # re-earns driver rows --
     "store_stream_ingest", "store_merge_edges", "store_snapshot_diff",
     "store_stats", "store_bfs_all", "store_cc_all", "store_scc_all",
     "store_sssp_all", "store_pagerank_all", "store_sql_degree",
-    # -- NEW this round: SQL-text DML (INSERT INTO / MERGE INTO /
-    # DELETE FROM gdb_edges) over the new bucketed store layout, and
-    # motif/pattern matching (the GraphFrames find surface) over the
-    # whole store --
     "store_sql_dml", "motif_find",
-    # -- oldest r07-window ids (latest driver row is round 7) --
     "dedup_embedding", "dedup_near", "asof_join_events_salted",
     "hybrid_search_rrf", "sql_recursive_reachability", "multimodal_meta",
     "events_stream_dedup", "events_stream_join", "bfs_levels", "pagerank",
     "kcore", "triangle_count", "similarity_topk",
 ]
-# (the remaining r07-window ids are _DEFERRED_R09 above — their r07
-# rows stay within the three-window horizon; round 10 fronts them.)
+
+_CHECK_FIRST = [
+    # -- the round-9 deferral (28 ids, r07 rows at the three-round
+    # horizon): MUST front per the rotation invariant --
+    "asof_join_events", "contamination_check", "corpus_prep",
+    "embedding_ann_lsh", "embedding_ivf_topk", "events_anomaly",
+    "events_enriched", "events_funnel", "events_quantiles",
+    "events_retention", "events_rollup_daily", "events_sessionization",
+    "events_sliding_avg", "events_trending", "events_tumbling_counts",
+    "graph_stats", "quality_repetition", "range_join_events",
+    "revenue_by_nation", "salted_join_orders", "scc",
+    "segment_distinct_customers_approx", "sequence_pack",
+    "pricing_summary", "sql_forecast_revenue", "sssp_weighted",
+    "tfidf_top_terms", "top_ngrams",
+    # -- MODIFIED this round: store_sql_dml's statement list gained
+    # UPDATE … SET w (the round-9 verdict's missing oracle-checked
+    # UPDATE row) --
+    "store_sql_dml",
+    # -- oldest r08-window ids (latest driver row is round 8) --
+    "graph_ingest_matrix", "pivot_returns", "window_showcase",
+    "sql_grouping_sets", "sample_split", "corpus_histogram",
+    "customer_distribution", "waiting_suppliers", "volume_shipping",
+    "market_share", "min_cost_supplier", "product_profit",
+    "important_parts", "parts_supplier_counts", "excess_stock_suppliers",
+    "returned_item_revenue", "shipmode_priority", "vertex_jaccard",
+    "multimodal_features", "multimodal_frames", "multimodal_resize",
+]
+# (the remaining r08-window ids are _DEFERRED_R10 above — their r08
+# rows stay within the three-window horizon; round 11 fronts them.)
 
 # Query ids registered WITHOUT a DuckDB oracle (the driver records a
 # weaker rows-only check): approximate/sketch outputs whose exact values

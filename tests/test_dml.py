@@ -152,3 +152,56 @@ def test_dml_over_bucketed_store(spark, tmp_path):
     got = eng.sql("SELECT graph, src, dst, w FROM gdb_edges").collect()
     assert {(r["graph"], r["src"], r["dst"], r["w"]) for r in got} == {
         ("P", 1, 2, 8), ("Q", 5, 6, 1)}
+
+
+def test_insert_column_list_any_order_and_values_no_space(engine):
+    """Round-9 advice lows: an explicit column list names the source's
+    columns in ANY order (standard SQL), and a VALUES head written
+    without a space ('VALUES(...)') still takes positional renames."""
+    engine.sql("INSERT INTO gdb_edges (src, dst, graph) "
+               "VALUES (1, 2, 'A'), (3, 4, 'A')")
+    assert _wedges(engine) == {("A", 1, 2, 1), ("A", 3, 4, 1)}
+    engine.sql("INSERT INTO gdb_edges (w, graph, src, dst) "
+               "VALUES (9, 'B', 5, 6)")
+    assert ("B", 5, 6, 9) in _wedges(engine)
+    engine.sql("INSERT INTO gdb_edges VALUES('C', 7, 8, 2)")
+    assert ("C", 7, 8, 2) in _wedges(engine)
+
+
+def test_sql_dml_raises_on_concurrent_non_adoption(spark, tmp_path):
+    """Round-9 advice low: DataFrame-API merge_edges documents silent
+    non-adoption under a concurrent pointer move; the SQL surface must
+    NOT half-apply silently — execute_sql raises, naming the skipped
+    graphs, when part of a statement was dropped."""
+    from graphdatabase_spark import metastore
+
+    store = metastore.InMemoryManifestStore()
+    eng = GraphEngine(spark, str(tmp_path / "s"), manifest_store=store)
+    eng.add_graph("M", "2\n0 1\n0 0\n")
+    fired = {}
+
+    def interleave(name):
+        if not fired:
+            fired["x"] = True
+            store.before_put = None
+            GraphEngine(spark, eng.store, manifest_store=store) \
+                .modify_graph("M", "2\n0 0\n1 0\n")
+
+    store.before_put = interleave
+    with pytest.raises(RuntimeError, match=r"UPDATE gdb_edges.*\['M'\]"):
+        eng.sql("UPDATE gdb_edges SET w = w + 1")
+    # the concurrent writer's state won, untouched
+    assert _wedges(eng, "M") == {("M", 2, 1, 1)}
+
+
+def test_merge_edges_returns_adopted_and_skipped(engine, spark):
+    """merge_edges reports (adopted, skipped) so callers can see
+    partial non-adoption; the plain path adopts everything."""
+    engine.sql("INSERT INTO gdb_edges VALUES ('A', 1, 2, 1), ('B', 1, 2, 1)")
+    adopted, skipped = engine.merge_edges(spark.createDataFrame(
+        [("A", 1, 2, 5), ("B", 3, 4, 2)],
+        "graph string, src int, dst int, w int"))
+    assert adopted == {"A", "B"} and skipped == frozenset()
+    # merging nothing touches nothing
+    empty = spark.createDataFrame([], "graph string, src int, dst int, w int")
+    assert engine.merge_edges(empty) == (frozenset(), frozenset())

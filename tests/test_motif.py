@@ -122,3 +122,22 @@ def test_weighted_motif_structs_and_post_filter(spark, tmp_path):
     # unweighted pattern
     anon = eng.find("(a)-[]->(b); (b)-[]->(c)", weighted=True)
     assert anon.count() == eng.find("(a)-[]->(b); (b)-[]->(c)").count() == 1
+
+
+def test_name_collision_contract(spark):
+    """Round-9 advice low: names colliding with the reserved output
+    columns, used as both a vertex and an edge, or squatting on the
+    internal anonymous namespace raise the module's documented loud
+    ValueError instead of an opaque AnalysisException."""
+    e = _edges(spark, [("g", 1, 2), ("g", 2, 3)])
+    for bad, why in [
+            ("(graph)-[]->(b)", "reserved"),
+            ("(a)-[src]->(b)", "reserved"),
+            ("(a)-[]->(dst)", "reserved"),
+            ("(a)-[a]->(b)", "both a vertex and an edge"),
+            ("(a)-[e]->(b); (e)-[]->(c)", "both a vertex and an edge"),
+            ("(__anon1)-[]->(b)", "anonymous-vertex namespace"),
+            ("(a)-[__anon2]->(b)", "anonymous-vertex namespace"),
+    ]:
+        with pytest.raises(ValueError, match=why):
+            find(e, bad).collect()
