@@ -69,9 +69,48 @@ def _warm_engine(spark) -> None:
        .collect())
 
 
+# Session-shared HARNESS FIXTURES, mapped to the query ids that read
+# them: built once per process and reused by every consumer, so their
+# one-time construction is warm-up, not query work (round-9 verdict
+# items 3 and 8 — the iso harness was measuring fixture-store builds
+# for store_* ids, and bfs_levels' sweep slot carried the derived-edge
+# materialization). Queries that build a FRESH store per call by
+# design (store_stream_ingest, store_sql_dml) are absent: there the
+# commit protocol IS the measured work.
+_FIXTURE_STORE_IDS = frozenset({
+    "store_stats", "store_bfs_all", "store_cc_all", "store_scc_all",
+    "store_sssp_all", "store_pagerank_all", "store_sql_degree",
+    "motif_find"})
+_MERGE_STORE_IDS = frozenset({"store_merge_edges", "store_snapshot_diff"})
+_PROPS_STORE_IDS = frozenset({"motif_weighted", "bfs_expr"})
+_DERIVED_EDGE_IDS = frozenset({
+    "bfs_levels", "reachability", "shortest_path_hops", "kcore",
+    "graph_degree", "sssp_weighted", "dfs_leaves_tree", "graph_stats"})
+
+
+def _warm_shared(spark, qid: str | None = None) -> None:
+    """Pre-build the session-shared fixtures ``qid`` reads (all of
+    them for the full sweep, ``qid=None``), untimed. On-disk fixture
+    stores persist for the whole process; the derived-edge persist is
+    dropped by ``registry.release()`` between sweeps, so the sweep
+    loop re-warms it."""
+    from graphdatabase_spark.operators import derived_graph as dg
+    from graphdatabase_spark.operators import store_queries as sq
+
+    if qid is None or qid in _DERIVED_EDGE_IDS:
+        dg.full_edges_prepared(spark, SF_DIR).count()
+    if qid is None or qid in _FIXTURE_STORE_IDS:
+        sq.fixture_engine(spark)
+    if qid is None or qid in _MERGE_STORE_IDS:
+        sq._merge_fixture_engine(spark, SF_DIR)
+    if qid is None or qid in _PROPS_STORE_IDS:
+        sq._props_fixture_engine(spark, SF_DIR)
+
+
 def run_single(qid: str) -> None:
-    """One query in this (fresh) process: warm-up scans, then a cold
-    and a warm timed execution. Prints one JSON line."""
+    """One query in this (fresh) process: warm-up scans + the shared
+    fixtures the query reads, then a cold and a warm timed execution.
+    Prints one JSON line."""
     from graphdatabase_spark import get_spark, registry
 
     spark = get_spark("graphdatabase-spark-bench-iso",
@@ -80,6 +119,7 @@ def run_single(qid: str) -> None:
     for t in WARMUP_TABLES:
         spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
     _warm_engine(spark)
+    _warm_shared(spark, qid)
     fn = registry.queries()[qid]
     t0 = time.perf_counter()
     rows = fn(spark, SF_DIR).collect()
@@ -193,6 +233,10 @@ def main(repeat: int) -> None:
 
     sweeps: list[dict[str, float]] = []
     for s in range(repeat):
+        # re-warm per sweep: release() below drops the derived-edge
+        # persist, and its rebuild is harness fixture cost, not the
+        # first consumer's query cost
+        _warm_shared(spark)
         timings: dict[str, float] = {}
         for name, fn in sorted(registry.queries().items()):
             t0 = time.perf_counter()

@@ -112,6 +112,49 @@ def _check_layout(prev: dict | None, eff: int | None) -> None:
             f"manifest established buckets={got}; re-run the write")
 
 
+_RESERVED_COLS = frozenset({"graph", "src", "dst", "w", "vid", "n", "gb"})
+
+
+def _prop_schema(df: DataFrame, core: tuple[str, ...],
+                 op: str) -> dict[str, str]:
+    """Schema of a write batch's PROPERTY columns — every column
+    beyond the ``core`` edge/vertex columns — as ``{name: DDL type}``.
+    Property names must be plain identifiers and must not collide
+    (case-insensitively) with the store's reserved columns (the edge/
+    vertex keys, ``w``, ``n``, and the ``gb`` bucket partition)."""
+    props: dict[str, str] = {}
+    for f in df.schema.fields:
+        if f.name.lower() in core:
+            continue
+        if f.name.lower() in _RESERVED_COLS or not f.name.isidentifier():
+            raise ValueError(
+                f"{op}: property column {f.name!r} collides with a "
+                f"reserved store column {sorted(_RESERVED_COLS)} or is "
+                f"not a plain identifier")
+        props[f.name] = f.dataType.simpleString()
+    return props
+
+
+def _merge_props(declared: dict, batch: dict, op: str) -> dict:
+    """Store-wide property schema after a write: new names EXTEND it
+    (schema evolution — commits written before a column existed read
+    as NULL through the explicit-schema scan, the same backfill rule
+    as the legacy-``w`` migration), known names must keep their type
+    (reads resolve parquet columns by name under ONE schema across
+    commits, so a per-write type flip would corrupt older commits'
+    values instead of failing)."""
+    out = dict(declared)
+    for name, typ in batch.items():
+        old = out.get(name)
+        if old is not None and old != typ:
+            raise ValueError(
+                f"{op}: property column {name!r} is declared {old} in "
+                f"the store but this batch carries {typ}; property "
+                f"types are store-wide — cast the batch")
+        out[name] = typ
+    return out
+
+
 def _cids(ptr) -> list[str]:
     """A manifest graph pointer normalized to a commit-id list: a plain
     string is the single-commit (overwrite) form every add/modify
@@ -134,6 +177,11 @@ class GraphSnapshot:
         # bucketed layout (see GraphEngine): data dirs are partitioned
         # by gb = crc32(graph) % buckets instead of by graph name
         self.buckets = (manifest or {}).get("buckets")
+        # store-wide PROPERTY schema ({"edges": {name: ddl_type},
+        # "vertices": {...}}), declared by the writes that carried the
+        # columns and recorded in the manifest — absent for stores
+        # that never wrote properties (every pre-props manifest)
+        self.props = (manifest or {}).get("props", {})
         # graphs grouped by the commits currently serving them: the
         # all-graphs read is one parquet scan per distinct commit,
         # partition-pruned to that commit's still-current graphs. An
@@ -194,7 +242,11 @@ class GraphSnapshot:
 
     def _table(self, table: str, row_schema: str, name: str | None) -> DataFrame:
         full_schema = row_schema + ", graph string"
-        cols = [f.strip().split()[0] for f in full_schema.split(",")]
+        # DDL-parse for the column names — naive comma-splitting breaks
+        # on property types that contain commas (decimal(10,2),
+        # map<string,int>)
+        from pyspark.sql.types import StructType
+        cols = [f.name for f in StructType.fromDDL(full_schema).fields]
         if name is not None:
             ptr = (self.manifest or {}).get("graphs", {}).get(name)
             if ptr is None:
@@ -226,22 +278,42 @@ class GraphSnapshot:
             out = out.unionByName(p)
         return out.select(*cols)  # drops gb in bucketed stores
 
+    def _props_ddl(self, table: str) -> str:
+        """DDL fragment (leading comma) for ``table``'s declared
+        property columns, empty for prop-less stores."""
+        return "".join(f", {n} {t}"
+                       for n, t in self.props.get(table, {}).items())
+
     def edges(self, name: str | None = None) -> DataFrame:
         return self._table("edges", "src int, dst int", name)
 
-    def weighted_edges(self, name: str | None = None) -> DataFrame:
-        """``(src, dst, w, graph)`` — the stored integer edge weights
-        (cell values of the generalized matrix ingest). Commits written
-        before weights existed have no ``w`` column in their parquet;
-        the explicit-schema read surfaces those as NULL and they
-        coalesce to weight 1, the only weight the 0/1 format could
-        express — so old stores read identically."""
-        e = self._table("edges", "src int, dst int, w int", name)
+    def weighted_edges(self, name: str | None = None, *,
+                       props: bool = False) -> DataFrame:
+        """``(src, dst, w[, *props], graph)`` — the stored integer edge
+        weights (cell values of the generalized matrix ingest).
+        Commits written before weights existed have no ``w`` column in
+        their parquet; the explicit-schema read surfaces those as NULL
+        and they coalesce to weight 1, the only weight the 0/1 format
+        could express — so old stores read identically.
+        ``props=True`` additionally reads the store's declared edge
+        PROPERTY columns (same backfill rule: commits written before a
+        property existed read it as NULL); the default stays the bare
+        4-column shape every kernel consumes."""
+        extra = list(self.props.get("edges", {})) if props else []
+        ddl = "src int, dst int, w int" + \
+            (self._props_ddl("edges") if props else "")
+        e = self._table("edges", ddl, name)
         return e.select("src", "dst",
-                        F.coalesce("w", F.lit(1)).alias("w"), "graph")
+                        F.coalesce("w", F.lit(1)).alias("w"),
+                        *extra, "graph")
 
-    def vertices(self, name: str | None = None) -> DataFrame:
-        return self._table("vertices", "vid int", name)
+    def vertices(self, name: str | None = None, *,
+                 props: bool = False) -> DataFrame:
+        """``(vid[, *props], graph)``; ``props=True`` reads the store's
+        declared vertex property columns (NULL-backfilled for commits
+        that predate a column)."""
+        ddl = "vid int" + (self._props_ddl("vertices") if props else "")
+        return self._table("vertices", ddl, name)
 
     def meta(self) -> DataFrame:
         return self._table("meta", "n int", None)
@@ -328,26 +400,33 @@ class GraphEngine:
     # -- append commits (streaming / incremental writes) -------------------
 
     @staticmethod
-    def _validated_weights(df: DataFrame, op: str) -> DataFrame:
-        """Normalize an edge batch to ``(src, dst, w, graph)`` with the
-        store's weight invariant ENFORCED: ``w >= 1`` (w defaults to 1
-        when absent). diff() encodes "row absent" as weight 0, so a
-        stored 0/negative/NULL weight would be misclassified in — or
-        indistinguishable from absence in — the CDC output; failing the
-        write loudly keeps the invariant true instead of documented.
-        One metadata-cheap job over the (micro-batch-sized) input."""
+    def _validated_weights(df: DataFrame,
+                           op: str) -> tuple[DataFrame, dict[str, str]]:
+        """Normalize an edge batch to ``(src, dst, w, graph, *props)``
+        with the store's weight invariant ENFORCED: ``w >= 1`` (w
+        defaults to 1 when absent). diff() encodes "row absent" as
+        weight 0, so a stored 0/negative/NULL weight would be
+        misclassified in — or indistinguishable from absence in — the
+        CDC output; failing the write loudly keeps the invariant true
+        instead of documented. Columns beyond the core four are typed
+        edge PROPERTY columns, kept verbatim; returns the batch's
+        property schema alongside (``{name: ddl_type}``, empty for a
+        plain batch). One metadata-cheap job over the
+        (micro-batch-sized) input."""
+        props = _prop_schema(df, ("graph", "src", "dst", "w"), op)
         if "w" not in df.columns:
             df = df.withColumn("w", F.lit(1))
         df = df.select(F.col("src").cast("int"),
                        F.col("dst").cast("int"),
                        F.col("w").cast("int"),
-                       F.col("graph").cast("string"))
+                       F.col("graph").cast("string"),
+                       *props)
         if not df.filter(F.col("w").isNull() | (F.col("w") < 1)).isEmpty():
             raise ValueError(
                 f"{op} requires integer edge weights >= 1 (w is the "
                 f"stored multiplicity/weight; 0, negative, and NULL "
                 f"break the store's CDC absence encoding)")
-        return df
+        return df, props
 
     def append_edges(self, edges: DataFrame,
                      commit_id: str | None = None,
@@ -401,7 +480,11 @@ class GraphEngine:
                           for c in _cids(ptr)}
             if cid in referenced:
                 return False  # replayed batch — already published
-        edges = self._validated_weights(edges, "append_edges")
+        edges, batch_props = self._validated_weights(edges, "append_edges")
+        # loud type-conflict check BEFORE any files land (re-checked
+        # inside the CAS closure against the then-current manifest)
+        _merge_props(prev0.get("props", {}).get("edges", {}),
+                     batch_props, "append_edges")
         # graph NAMES of this batch (metadata-sized collect, same
         # envelope note as _write) — also prunes the anti-join reads
         write_graphs = [r["graph"]
@@ -445,8 +528,16 @@ class GraphEngine:
                 if cid not in chain:
                     graphs_map[g] = chain + [cid]
                     changed = True
-            return {"commit": cid, "graphs": graphs_map,
-                    "txns": txns} if changed else None
+            if not changed:
+                return None
+            body = {"commit": cid, "graphs": graphs_map, "txns": txns}
+            props_doc = dict((prev or {}).get("props", {}))
+            if batch_props:
+                props_doc["edges"] = _merge_props(
+                    props_doc.get("edges", {}), batch_props, "append_edges")
+            if props_doc:
+                body["props"] = props_doc
+            return body
 
         return self.manifests.commit(update) is not None
 
@@ -482,6 +573,7 @@ class GraphEngine:
         retry the merge for those). The SQL-DML surface
         (operators/dml.py) raises on a non-empty ``skipped``."""
         snap = self.snapshot()
+        batch_props: dict[str, str] = {}
         if delete:
             # a delete matches on keys only — w is never stored
             if "w" not in updates.columns:
@@ -491,7 +583,10 @@ class GraphEngine:
                                      F.col("w").cast("int"),
                                      F.col("graph").cast("string"))
         else:
-            updates = self._validated_weights(updates, "merge_edges")
+            updates, batch_props = self._validated_weights(
+                updates, "merge_edges")
+            _merge_props(snap.props.get("edges", {}), batch_props,
+                         "merge_edges")
         touched = [r["graph"]
                    for r in updates.select("graph").distinct().collect()]
         if delete:
@@ -501,18 +596,29 @@ class GraphEngine:
             touched = [g for g in touched if g in known]
         if not touched:
             return frozenset(), frozenset()
-        base = (snap.weighted_edges()
+        # the COW rewrite reads the props-carrying shape so untouched
+        # rows keep their property values; matched keys take the
+        # update row WHOLESALE (a declared property absent from the
+        # update batch becomes NULL for those keys — row-level upsert,
+        # every MERGE dialect's semantics), unmatched keys insert
+        base = (snap.weighted_edges(props=True)
                 .filter(F.col("graph").isin(touched)))
         kept = base.join(updates.select("graph", "src", "dst"),
                          ["graph", "src", "dst"], "left_anti")
-        merged = kept if delete else kept.unionByName(updates)
-        verts = (merged.select(F.col("src").alias("vid"), "graph")
+        merged = kept if delete else kept.unionByName(
+            updates, allowMissingColumns=True)
+        # vertex rows carry through with their properties; only vids
+        # NEW to their graph are appended (prop-less)
+        old_verts = (snap.vertices(props=True)
+                     .filter(F.col("graph").isin(touched)).distinct())
+        evids = (merged.select(F.col("src").alias("vid"), "graph")
                  .unionByName(merged.select(F.col("dst").alias("vid"),
                                             "graph"))
-                 .unionByName(snap.vertices()
-                              .filter(F.col("graph").isin(touched))
-                              .select("vid", "graph"))
                  .distinct())
+        verts = old_verts.unionByName(
+            evids.join(old_verts.select("vid", "graph"),
+                       ["vid", "graph"], "left_anti"),
+            allowMissingColumns=True)
         # meta carries over (graph stays cataloged even if the merge
         # deletes its last edge); graphs new to the store gain a row
         old_meta = (snap.meta().filter(F.col("graph").isin(touched))
@@ -546,8 +652,100 @@ class GraphEngine:
                 # append_edges' changed-else-None guard, instead of a
                 # no-op manifest whose "commit" nothing references
                 return None
-            return {"commit": cid, "graphs": graphs_map,
+            body = {"commit": cid, "graphs": graphs_map,
                     "txns": (prev or {}).get("txns", {})}
+            props_doc = dict((prev or {}).get("props", {}))
+            if batch_props:
+                props_doc["edges"] = _merge_props(
+                    props_doc.get("edges", {}), batch_props, "merge_edges")
+            if props_doc:
+                body["props"] = props_doc
+            return body
+
+        self.manifests.commit(update)
+        adopted = frozenset(outcome[0])
+        return adopted, frozenset(touched) - adopted
+
+    def set_vertex_props(self, verts: DataFrame) -> tuple[frozenset,
+                                                          frozenset]:
+        """Upsert typed VERTEX property rows by ``(graph, vid)``:
+        ``verts`` carries the key plus one or more property columns
+        (any Spark SQL type; names validated against the reserved
+        store columns, types recorded store-wide in the manifest —
+        same evolution rule as edge properties). Matched vids take the
+        batch row's property values WHOLESALE (a declared property
+        absent from the batch reads NULL for those vids — row-level
+        upsert, not a column-level patch); unmatched vids JOIN their
+        graph's vertex set (and a graph new to the store joins the
+        catalog), so a vertex can exist with properties before any
+        edge touches it.
+
+        The reference's store has no vertex state at all beyond
+        membership (``secondary_server.c:544-559`` — matrix cells
+        only); this is the property-graph extension. Economics and
+        concurrency are exactly :meth:`merge_edges`: copy-on-write
+        rewrite of the touched graphs (edges copied through
+        unchanged, props intact) + CAS pointer flip; returns
+        ``(adopted, skipped)``."""
+        snap = self.snapshot()
+        if not {"graph", "vid"} <= set(verts.columns):
+            raise ValueError("set_vertex_props needs (graph, vid, "
+                             f"*props) columns; got {verts.columns}")
+        batch_props = _prop_schema(verts, ("graph", "vid"),
+                                   "set_vertex_props")
+        if not batch_props:
+            raise ValueError("set_vertex_props: the batch carries no "
+                             "property columns (nothing to set)")
+        _merge_props(snap.props.get("vertices", {}), batch_props,
+                     "set_vertex_props")
+        verts = verts.select(F.col("vid").cast("int"),
+                             F.col("graph").cast("string"), *batch_props)
+        touched = [r["graph"]
+                   for r in verts.select("graph").distinct().collect()]
+        if not touched:
+            return frozenset(), frozenset()
+        old_verts = (snap.vertices(props=True)
+                     .filter(F.col("graph").isin(touched)).distinct())
+        kept = old_verts.join(verts.select("vid", "graph"),
+                              ["vid", "graph"], "left_anti")
+        new_verts = kept.unionByName(verts, allowMissingColumns=True)
+        edges = (snap.weighted_edges(props=True)
+                 .filter(F.col("graph").isin(touched)))
+        # meta keeps the "n >= max vid at write time" bound: max of the
+        # old rows (aggregated — heals concurrent-create duplicates)
+        # and the post-upsert vertex set's own bound; a graph new to
+        # the store gains its row from the latter
+        meta = (snap.meta().filter(F.col("graph").isin(touched))
+                .unionByName(new_verts.groupBy("graph")
+                             .agg(F.max("vid").cast("int").alias("n"))
+                             .select("n", "graph"))
+                .groupBy("graph").agg(F.max("n").alias("n")))
+        cid = uuid.uuid4().hex[:12]
+        eff = self._eff_buckets(snap)
+        for df, table in ((edges, "edges"), (new_verts, "vertices"),
+                          (meta, "meta")):
+            self._store_write(df, table, cid, eff)
+        pinned = (snap.manifest or {}).get("graphs", {})
+        outcome: list[set] = [set()]
+
+        def update(prev: dict | None) -> dict | None:
+            _check_layout(prev, eff)
+            graphs_map = dict(prev["graphs"]) if prev else {}
+            adopted = set()
+            for g in touched:
+                if graphs_map.get(g) == pinned.get(g):
+                    graphs_map[g] = cid
+                    adopted.add(g)
+            outcome[0] = adopted
+            if not adopted:
+                return None
+            props_doc = dict((prev or {}).get("props", {}))
+            props_doc["vertices"] = _merge_props(
+                props_doc.get("vertices", {}), batch_props,
+                "set_vertex_props")
+            return {"commit": cid, "graphs": graphs_map,
+                    "txns": (prev or {}).get("txns", {}),
+                    "props": props_doc}
 
         self.manifests.commit(update)
         adopted = frozenset(outcome[0])
@@ -597,8 +795,14 @@ class GraphEngine:
             _check_layout(prev, eff)
             graphs_map = dict(prev["graphs"]) if prev else {}
             graphs_map.update({g: cid for g in write_graphs})
-            return {"commit": cid, "graphs": graphs_map,
+            body = {"commit": cid, "graphs": graphs_map,
                     "txns": (prev or {}).get("txns", {})}
+            if (prev or {}).get("props"):
+                # the store-wide property schema carries forward; the
+                # overwritten graphs' new commit simply has no values
+                # for those columns (NULL-backfilled reads)
+                body["props"] = prev["props"]
+            return body
 
         self.manifests.commit(update)
 
@@ -633,14 +837,15 @@ class GraphEngine:
         for table in ("edges", "vertices", "meta"):
             if table == "edges":
                 # the weighted read normalizes legacy commits (no w
-                # column) to w=1, so compaction also migrates them
-                df = snap.weighted_edges()
+                # column) to w=1, so compaction also migrates them;
+                # props=True carries the declared property columns
+                df = snap.weighted_edges(props=True)
             elif table == "vertices":
                 # distinct: an append chain written by concurrent
                 # same-graph appenders can carry duplicate vertex rows
                 # (each anti-joined against the same pre-append
                 # snapshot); compaction is the heal point
-                df = snap._table(table, "vid int", None).distinct()
+                df = snap.vertices(props=True).distinct()
             else:
                 # meta needs a per-graph AGGREGATE, not distinct: two
                 # concurrent appends that both CREATE a graph write
@@ -661,9 +866,15 @@ class GraphEngine:
             # txns carry forward VERBATIM: collapsing an append chain
             # must not forget which streaming batch versions were
             # applied, or a replay after compaction re-publishes
-            # (the exactly-once contract of streaming/ingest.py)
-            return {"commit": cid, "graphs": graphs_map,
+            # (the exactly-once contract of streaming/ingest.py);
+            # props likewise (the compacted files were written under
+            # the pinned schema — a concurrently-added column simply
+            # NULL-backfills for the compacted commit)
+            body = {"commit": cid, "graphs": graphs_map,
                     "txns": (prev or {}).get("txns", {})}
+            if (prev or {}).get("props"):
+                body["props"] = prev["props"]
+            return body
 
         self.manifests.commit(update)
 
@@ -817,8 +1028,13 @@ class GraphEngine:
         results mid-query; re-call to refresh. Returns the pinned
         snapshot."""
         snap = self.snapshot(seq)
-        snap.weighted_edges().createOrReplaceTempView(f"{prefix}_edges")
-        snap.vertices().createOrReplaceTempView(f"{prefix}_vertices")
+        # props-aware: a property-carrying store's declared edge/vertex
+        # columns appear in the views; prop-less stores register the
+        # identical 4-/2-column shapes as before
+        snap.weighted_edges(props=True) \
+            .createOrReplaceTempView(f"{prefix}_edges")
+        snap.vertices(props=True) \
+            .createOrReplaceTempView(f"{prefix}_vertices")
         snap.meta().createOrReplaceTempView(f"{prefix}_meta")
         return snap
 
@@ -831,14 +1047,16 @@ class GraphEngine:
         One call matches EVERY stored graph at once (every join keys
         on graph — matches never cross graphs); ``name`` restricts to
         one graph. ``weighted=True`` matches over the weighted edge
-        set: named-edge structs gain the stored ``w``, so bindings
-        post-filter GraphFrames-style (``.filter("e.w > 2")``).
-        Disconnected patterns are rejected up front (they would be
-        cartesian products at graph scale)."""
+        set: named-edge structs gain the stored ``w`` AND any declared
+        edge property columns, so bindings post-filter
+        GraphFrames-style (``.filter("e.w > 2")``,
+        ``.filter("e.kind = 'follows'")``). Disconnected patterns are
+        rejected up front (they would be cartesian products at graph
+        scale)."""
         from graphdatabase_spark.operators import motif
 
         snap = self.snapshot()
-        e = (snap.weighted_edges(name) if weighted
+        e = (snap.weighted_edges(name, props=True) if weighted
              else snap.edges(name).select("graph", "src", "dst"))
         return motif.find(e, pattern)
 
@@ -903,6 +1121,100 @@ class GraphEngine:
                  .join(starts.select("graph").distinct(), "graph", "left_semi"))
         out = pregel.bfs_levels_grouped(edges, starts)
         return out.select("graph", F.col("vid").cast("int").alias("vertex"), "level")
+
+    def bfs_expr(self, from_expr: str, to_expr: str,
+                 name: str | None = None,
+                 max_hops: int = pregel.DEFAULT_MAX_ITERATIONS) -> DataFrame:
+        """Expression-targeted BFS — the GraphFrames
+        ``bfs(fromExpr, toExpr)`` surface over the stored graphs:
+        ``from_expr`` / ``to_expr`` are SQL predicates over the VERTEX
+        columns (``vid`` plus any declared vertex property columns).
+        Returns ``(graph, vid, hops)``: per graph, the ``to_expr``-
+        matching vertices at the MINIMAL multi-source BFS distance
+        from the ``from_expr``-matching set (hops 0 when a vertex
+        matches both — GraphFrames' length-0 paths), one row per
+        nearest target; graphs where no source matches, or no target
+        is reachable within ``max_hops``, contribute no rows.
+
+        Set-oriented like the other store kernels: EVERY stored graph
+        (or just ``name``) traverses in one superstep loop —
+        ``pregel.bfs_levels_grouped`` seeds all matching sources at
+        level 0, so "distance from the set" is exactly the grouped
+        kernel's level. The per-graph minimum is one map-side-combined
+        agg + a self-join back — no window over the full level set."""
+        snap = self.snapshot()
+        verts = snap.vertices(name, props=True)
+        starts = verts.filter(from_expr) \
+            .select("graph", F.col("vid").cast("long"))
+        edges = (snap.edges(name).select("graph", "src", "dst")
+                 .join(starts.select("graph").distinct(), "graph",
+                       "left_semi"))
+        levels = pregel.bfs_levels_grouped(edges, starts, max_hops)
+        targets = levels.join(
+            verts.filter(to_expr).select("graph",
+                                         F.col("vid").cast("long")),
+            ["graph", "vid"])
+        nearest = targets.groupBy("graph").agg(
+            F.min("level").alias("level"))
+        return (targets.join(nearest, ["graph", "level"])
+                .select("graph", F.col("vid").cast("int").alias("vid"),
+                        F.col("level").alias("hops")))
+
+    def aggregate_messages(self, agg: str,
+                           send_to_src: str | None = None,
+                           send_to_dst: str | None = None,
+                           name: str | None = None) -> DataFrame:
+        """The GraphFrames ``aggregateMessages`` surface: one round of
+        message passing over the TRIPLET view. ``send_to_src`` /
+        ``send_to_dst`` are SQL expressions over the triplet columns —
+        ``src`` and ``dst`` are structs of the endpoint vertex row
+        (``vid`` plus declared vertex properties), ``edge`` is a
+        struct of the edge row (``src``, ``dst``, ``w`` plus declared
+        edge properties) — each producing the message that edge sends
+        to its source/destination vertex. ``agg`` is an aggregate SQL
+        expression over the received messages, exposed as the column
+        ``msg`` (e.g. ``"sum(msg)"``, ``"count(msg)"``,
+        ``"max(msg)"``). Returns ``(graph, vid, agg_value)``; vertices
+        receiving no message contribute no row (GraphFrames'
+        semantics).
+
+        Scale shape: the triplet view is two (graph, vid)-keyed equi-
+        joins of the vertex table against the edge table (broadcast or
+        shuffle per AQE), the send legs are projections, and the
+        aggregation is one map-side-combined groupBy — no driver
+        loops, no UDFs."""
+        if send_to_src is None and send_to_dst is None:
+            raise ValueError("aggregate_messages: provide send_to_src "
+                             "and/or send_to_dst")
+        snap = self.snapshot()
+        e = snap.weighted_edges(name, props=True)
+        v = snap.vertices(name, props=True)
+        vcols = [c for c in v.columns if c != "graph"]
+        ecols = [c for c in e.columns if c != "graph"]
+
+        def _endpoint(key: str) -> DataFrame:
+            return v.select(
+                "graph", F.col("vid").alias(key),
+                F.struct(*[F.col(c) for c in vcols]).alias(f"__{key}_s"))
+
+        trip = (e.join(_endpoint("src"), ["graph", "src"])
+                .join(_endpoint("dst"), ["graph", "dst"])
+                .select("graph",
+                        F.struct(*[F.col(c) for c in ecols]).alias("edge"),
+                        F.col("__src_s").alias("src"),
+                        F.col("__dst_s").alias("dst")))
+        legs = []
+        if send_to_src is not None:
+            legs.append(trip.select(
+                "graph", F.col("src.vid").alias("vid"),
+                F.expr(send_to_src).alias("msg")))
+        if send_to_dst is not None:
+            legs.append(trip.select(
+                "graph", F.col("dst.vid").alias("vid"),
+                F.expr(send_to_dst).alias("msg")))
+        msgs = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+        return (msgs.groupBy("graph", "vid")
+                .agg(F.expr(agg).alias("agg_value")))
 
     # -- op 3: DFS-forest leaves ------------------------------------------
 

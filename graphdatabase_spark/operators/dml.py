@@ -14,9 +14,9 @@ anchored grammar, not a SQL parser — and every embedded QUERY
 
 - ``INSERT INTO <t> [(cols)] SELECT ...`` / ``... VALUES (...), ...``
 - ``UPDATE <t> SET w = <expr> [WHERE <predicate>]`` — the expression
-  may reference the row's own columns (``SET w = w + 1``); only ``w``
-  is assignable (graph/src/dst ARE the key — a key update is a
-  delete + insert, spell it as one)
+  may reference the row's own columns (``SET w = w + 1``); ``w`` and
+  declared edge PROPERTY columns are assignable (graph/src/dst ARE
+  the key — a key update is a delete + insert, spell it as one)
 - ``DELETE FROM <t> [WHERE <predicate>]``
 - ``MERGE INTO <t> [AS] a USING (<query>)|<view> [AS] b
   ON <key equalities over graph, src, dst>
@@ -89,11 +89,15 @@ def _check_on_condition(cond: str, target: str, source: str) -> None:
 
 
 def _edge_frame(df: DataFrame, stmt: str) -> DataFrame:
+    """A DML source normalized for the store writers: must carry the
+    edge key (graph, src, dst); w and any declared edge PROPERTY
+    columns ride along by name (the writers validate them against the
+    store's property schema)."""
     cols = [c.lower() for c in df.columns]
-    if cols == list(_EDGE_COLS[:3]) or cols == list(_EDGE_COLS):
+    if {"graph", "src", "dst"} <= set(cols):
         return df.toDF(*cols)
-    raise ValueError(f"{stmt}: source must produce columns "
-                     f"(graph, src, dst[, w]); got {df.columns}")
+    raise ValueError(f"{stmt}: source must produce at least the edge "
+                     f"key columns (graph, src, dst); got {df.columns}")
 
 
 def _check_adopted(result: tuple, stmt_head: str) -> None:
@@ -135,16 +139,26 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
             tail = cm.group(2) + cm.group(3)
         df = spark.sql(tail)  # VALUES / SELECT are queries Catalyst owns
         if cols is not None:
-            if sorted(cols) not in (sorted(_EDGE_COLS),
-                                    sorted(_EDGE_COLS[:3])):
+            if not {"graph", "src", "dst"} <= set(cols):
                 raise ValueError(f"INSERT INTO {edges_t}: column list must "
-                                 f"be (graph, src, dst[, w]); got {cols}")
+                                 f"include the edge key (graph, src, dst); "
+                                 f"got {cols}")
+            if len(cols) != len(df.columns):
+                raise ValueError(f"INSERT INTO {edges_t}: {len(cols)} "
+                                 f"columns listed but the source produces "
+                                 f"{len(df.columns)}")
             # an explicit column list names the source's columns in ANY
-            # order (standard SQL); reorder by name to the table order
-            df = df.toDF(*cols).select(*_EDGE_COLS[: len(cols)])
+            # order (standard SQL); writers resolve by name, and extra
+            # names are typed edge PROPERTY columns
+            df = df.toDF(*cols)
         elif re.match(r"(?is)^VALUES\b", tail):
             # positional VALUES take the table's column order (\b, not
             # whitespace split: 'VALUES(...)' has no space after the head)
+            if len(df.columns) > len(_EDGE_COLS):
+                raise ValueError(
+                    f"INSERT INTO {edges_t}: positional VALUES cover at "
+                    f"most (graph, src, dst, w) — name property columns "
+                    f"with an explicit column list")
             df = df.toDF(*_EDGE_COLS[: len(df.columns)])
         engine.append_edges(_edge_frame(df, f"INSERT INTO {edges_t}"))
         return None
@@ -152,18 +166,26 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
     m = re.match(rf"(?is)^UPDATE\s+{edges_t}\s+SET\s+(\w+)\s*=\s*(.*?)"
                  rf"(?:\s+WHERE\s+(.*))?$", stmt)
     if m:
-        if m.group(1).lower() != "w":
+        col = m.group(1)
+        snap = engine.create_views(prefix)
+        eprops = snap.props.get("edges", {})
+        if col.lower() == "w":
+            col, cast_t = "w", "int"
+        elif col in eprops:
+            cast_t = eprops[col]  # keep the store-wide declared type
+        else:
             raise ValueError(
-                f"UPDATE {edges_t}: only w is assignable (graph/src/dst "
-                f"are the edge key — rewrite a key change as DELETE + "
-                f"INSERT); got SET {m.group(1)}")
-        engine.create_views(prefix)
+                f"UPDATE {edges_t}: only w or a declared edge property "
+                f"column is assignable (graph/src/dst are the edge key "
+                f"— rewrite a key change as DELETE + INSERT); got SET "
+                f"{col}, declared properties {sorted(eprops)}")
         rows = spark.table(edges_t)
         if m.group(3):
             rows = rows.filter(F.expr(m.group(3)))
-        updates = rows.select(
-            "graph", "src", "dst",
-            F.expr(m.group(2)).cast("int").alias("w"))
+        # withColumn, not a 4-col select: the view is props-aware, so
+        # an UPDATE over a property-carrying store rewrites rows with
+        # their other property values intact
+        updates = rows.withColumn(col, F.expr(m.group(2)).cast(cast_t))
         _check_adopted(engine.merge_edges(updates), f"UPDATE {edges_t}")
         return None
 

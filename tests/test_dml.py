@@ -122,7 +122,8 @@ def test_unsupported_sql_fails_loudly(engine, spark):
         .createOrReplaceTempView("u2")
     for bad, why in [
             ("TRUNCATE TABLE gdb_edges", "unsupported statement"),
-            ("UPDATE gdb_edges SET src = 9", "only w is assignable"),
+            ("UPDATE gdb_edges SET src = 9",
+             "only w or a declared edge property"),
             ("INSERT INTO gdb_edges (graph, src, weight) VALUES ('A',1,2)",
              "column list"),
             ("MERGE INTO gdb_edges t USING u2 s ON t.graph = s.graph "

@@ -1,0 +1,101 @@
+"""The two GraphFrames surfaces a user reaches for after ``find``
+(round-9 verdict item 6): expression-targeted BFS
+(``engine.bfs_expr`` ≡ GraphFrames ``bfs(fromExpr, toExpr)``) and one
+round of triplet message passing (``engine.aggregate_messages`` ≡
+GraphFrames ``aggregateMessages``), both over the existing grouped
+Pregel kernel / snapshot reads — no new execution machinery."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdatabase_spark.engine import GraphEngine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = GraphEngine(spark, str(tmp_path / "store"))
+    # P: path 1→2→3→4→5; Q: star 1→{2,3}, plus 3→4
+    eng.append_edges(spark.createDataFrame(
+        [("P", 1, 2, 1), ("P", 2, 3, 1), ("P", 3, 4, 1), ("P", 4, 5, 1),
+         ("Q", 1, 2, 2), ("Q", 1, 3, 5), ("Q", 3, 4, 7)],
+        "graph string, src int, dst int, w int"))
+    return eng
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bfs_expr_vid_predicates_all_graphs(engine):
+    # from vid=1 to "vid >= 4": P's nearest match is 4 at 3 hops;
+    # Q's is 4 at 2 hops — per-graph minima, one grouped kernel run
+    assert _rows(engine.bfs_expr("vid = 1", "vid >= 4")) == [
+        ("P", 4, 3), ("Q", 4, 2)]
+
+
+def test_bfs_expr_zero_hop_and_tie(engine):
+    # a vertex matching BOTH predicates is a length-0 path
+    assert _rows(engine.bfs_expr("vid <= 2", "vid = 2")) == [
+        ("P", 2, 0), ("Q", 2, 0)]
+    # ties at the minimal distance all return (2 and 3 both 1 hop in Q)
+    assert _rows(engine.bfs_expr("vid = 1", "vid IN (2, 3)",
+                                 name="Q")) == [("Q", 2, 1), ("Q", 3, 1)]
+
+
+def test_bfs_expr_no_source_or_unreachable_is_empty(engine):
+    assert engine.bfs_expr("vid = 99", "vid = 1").count() == 0
+    # vid 1 has no in-edges anywhere: unreachable from vid 5
+    assert engine.bfs_expr("vid = 5", "vid = 1").count() == 0
+    # max_hops cuts the search: P needs 3 hops to reach 4
+    assert engine.bfs_expr("vid = 1", "vid = 4", name="P",
+                           max_hops=2).count() == 0
+
+
+def test_bfs_expr_vertex_property_predicates(engine, spark):
+    engine.set_vertex_props(spark.createDataFrame(
+        [("P", v, "hub" if v in (1, 4) else "leaf") for v in range(1, 6)],
+        "graph string, vid int, role string"))
+    assert _rows(engine.bfs_expr("role = 'hub' AND vid = 1",
+                                 "role = 'hub' AND vid <> 1",
+                                 name="P")) == [("P", 4, 3)]
+
+
+def test_aggregate_messages_degree_parity(engine):
+    """count-messages ≡ graph_degree for every fixture vertex — the
+    verdict's named parity pin."""
+    for g in ("P", "Q"):
+        out_d = {r["vid"]: r["agg_value"] for r in engine.aggregate_messages(
+            "count(msg)", send_to_src="1", name=g).collect()}
+        in_d = {r["vid"]: r["agg_value"] for r in engine.aggregate_messages(
+            "count(msg)", send_to_dst="1", name=g).collect()}
+        for r in engine.degrees(g).collect():
+            assert out_d.get(r["vid"], 0) == r["out_degree"]
+            assert in_d.get(r["vid"], 0) == r["in_degree"]
+
+
+def test_aggregate_messages_triplet_expressions(engine, spark):
+    # weighted in-degree: sum of incoming edge weights per vertex
+    got = {(r["graph"], r["vid"]): r["agg_value"]
+           for r in engine.aggregate_messages(
+               "sum(msg)", send_to_dst="edge.w").collect()}
+    assert got[("Q", 2)] == 2 and got[("Q", 3)] == 5 and got[("Q", 4)] == 7
+    # messages may read BOTH endpoint structs: send each neighbor's vid
+    # to the other side, max-aggregated
+    got = {(r["graph"], r["vid"]): r["agg_value"]
+           for r in engine.aggregate_messages(
+               "max(msg)", send_to_src="dst.vid",
+               send_to_dst="src.vid", name="Q").collect()}
+    assert got[("Q", 1)] == 3      # 1's neighbors: 2, 3
+    assert got[("Q", 4)] == 3      # 4 hears from 3
+    # vertex properties are visible through the endpoint structs
+    engine.set_vertex_props(spark.createDataFrame(
+        [("Q", v, v * 10) for v in (1, 2, 3, 4)],
+        "graph string, vid int, score int"))
+    got = {r["vid"]: r["agg_value"] for r in engine.aggregate_messages(
+        "sum(msg)", send_to_dst="src.score * edge.w", name="Q").collect()}
+    assert got[2] == 20 and got[3] == 50 and got[4] == 210
+
+
+def test_aggregate_messages_requires_a_leg(engine):
+    with pytest.raises(ValueError, match="send_to_src"):
+        engine.aggregate_messages("count(msg)")

@@ -1,0 +1,204 @@
+"""Typed edge/vertex PROPERTY columns through the versioned store
+(round-10: the property-graph extension the round-9 verdict named as
+north-star territory). The reference's store has no properties at all
+(``secondary_server.c:544-559`` — 0/1 matrix cells only); here any
+write batch may carry extra typed columns, the store-wide property
+schema lives in the manifest (evolution = NULL-backfill, type flips
+fail loudly), and properties surface through snapshots, SQL views,
+and motif structs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdatabase_spark.engine import GraphEngine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return GraphEngine(spark, str(tmp_path / "store"))
+
+
+def _prop_edges(spark):
+    return spark.createDataFrame(
+        [("A", 1, 2, 3, "follows", 0.5), ("A", 2, 3, 1, "likes", 0.9),
+         ("B", 1, 2, 2, "follows", 0.1)],
+        "graph string, src int, dst int, w int, kind string, score double")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_edge_props_roundtrip_and_plain_kernel_shape(engine, spark):
+    engine.append_edges(_prop_edges(spark))
+    snap = engine.snapshot()
+    assert snap.props == {"edges": {"kind": "string", "score": "double"}}
+    assert _rows(snap.weighted_edges(props=True)) == [
+        (1, 2, 2, "follows", 0.1, "B"), (1, 2, 3, "follows", 0.5, "A"),
+        (2, 3, 1, "likes", 0.9, "A")]
+    # the bare 4-column shape every kernel consumes is untouched
+    assert snap.weighted_edges("A").columns == ["src", "dst", "w", "graph"]
+    assert snap.vertices("A").columns == ["vid", "graph"]
+
+
+def test_schema_evolution_null_backfills_older_commits(engine, spark):
+    engine.append_edges(spark.createDataFrame(
+        [("A", 1, 2, 1, "x")], "graph string, src int, dst int, w int, "
+        "kind string"))
+    # a later batch declares a NEW column; the earlier commit's rows
+    # read it as NULL (explicit-schema scan backfill)
+    engine.append_edges(spark.createDataFrame(
+        [("A", 2, 3, 1, "y", 7)], "graph string, src int, dst int, "
+        "w int, kind string, rank int"))
+    assert engine.snapshot().props["edges"] == {"kind": "string",
+                                                "rank": "int"}
+    assert _rows(engine.snapshot().weighted_edges(props=True)) == [
+        (1, 2, 1, "x", None, "A"), (2, 3, 1, "y", 7, "A")]
+
+
+def test_type_conflicts_and_reserved_names_fail_loudly(engine, spark):
+    engine.append_edges(spark.createDataFrame(
+        [("A", 1, 2, 1, "x")], "graph string, src int, dst int, w int, "
+        "kind string"))
+    with pytest.raises(ValueError, match="store-wide"):
+        engine.append_edges(spark.createDataFrame(
+            [("A", 1, 3, 1, 5)], "graph string, src int, dst int, w int, "
+            "kind int"))
+    with pytest.raises(ValueError, match="reserved"):
+        engine.append_edges(spark.createDataFrame(
+            [("A", 1, 3, 1, 5)], "graph string, src int, dst int, w int, "
+            "vid int"))
+    with pytest.raises(ValueError, match="reserved"):
+        engine.set_vertex_props(spark.createDataFrame(
+            [("A", 1, 5)], "graph string, vid int, gb int"))
+    with pytest.raises(ValueError, match="no property columns"):
+        engine.set_vertex_props(spark.createDataFrame(
+            [("A", 1)], "graph string, vid int"))
+
+
+def test_merge_upsert_is_row_level_over_props(engine, spark):
+    engine.append_edges(_prop_edges(spark))
+    adopted, skipped = engine.merge_edges(spark.createDataFrame(
+        [("A", 1, 2, 9, "blocks")],
+        "graph string, src int, dst int, w int, kind string"))
+    assert adopted == {"A"} and not skipped
+    # matched key takes the update row WHOLESALE: score (absent from
+    # the batch) is NULL for it; untouched rows keep their values
+    assert _rows(engine.snapshot().weighted_edges("A", props=True)) == [
+        (1, 2, 9, "blocks", None, "A"), (2, 3, 1, "likes", 0.9, "A")]
+    # delete keeps survivors' props intact
+    engine.merge_edges(spark.createDataFrame(
+        [("A", 1, 2)], "graph string, src int, dst int"), delete=True)
+    assert _rows(engine.snapshot().weighted_edges("A", props=True)) == [
+        (2, 3, 1, "likes", 0.9, "A")]
+
+
+def test_vertex_props_upsert_and_membership(engine, spark):
+    engine.append_edges(_prop_edges(spark))
+    adopted, skipped = engine.set_vertex_props(spark.createDataFrame(
+        [("A", 1, "alice"), ("A", 7, "grace")],
+        "graph string, vid int, vname string"))
+    assert adopted == {"A"} and not skipped
+    snap = engine.snapshot()
+    assert snap.props["vertices"] == {"vname": "string"}
+    # vid 7 JOINED the graph (vertex with properties, no edges);
+    # 2 and 3 keep membership with NULL props
+    assert _rows(snap.vertices("A", props=True)) == [
+        (1, "alice", "A"), (2, None, "A"), (3, None, "A"), (7, "grace", "A")]
+    # meta bound holds for the propertied-in vid
+    n = {r["graph"]: r["n"] for r in snap.meta().collect()}
+    assert n["A"] >= 7
+    # second upsert REPLACES the row (row-level semantics)
+    engine.set_vertex_props(spark.createDataFrame(
+        [("A", 1, "ALICE")], "graph string, vid int, vname string"))
+    got = dict((r["vid"], r["vname"])
+               for r in engine.snapshot().vertices("A", props=True).collect())
+    assert got[1] == "ALICE" and got[7] == "grace"
+    # edges were copied through unchanged with their props
+    assert _rows(engine.snapshot().weighted_edges("A", props=True)) == [
+        (1, 2, 3, "follows", 0.5, "A"), (2, 3, 1, "likes", 0.9, "A")]
+
+
+def test_vertex_props_on_virgin_graph_creates_catalog_entry(engine, spark):
+    engine.set_vertex_props(spark.createDataFrame(
+        [("V", 4, 2.5)], "graph string, vid int, weight_kg double"))
+    assert engine.graphs() == ["V"]
+    assert _rows(engine.snapshot().vertices("V", props=True)) == [
+        (4, 2.5, "V")]
+    assert engine.snapshot().weighted_edges("V").count() == 0
+
+
+def test_motif_structs_and_sql_views_carry_props(engine, spark):
+    engine.append_edges(_prop_edges(spark))
+    out = (engine.find("(a)-[e]->(b)", weighted=True)
+           .filter("e.kind = 'follows' AND e.w >= 2")
+           .select("graph", "a", "b", F.col("e.w").alias("w")))
+    assert _rows(out) == [("A", 1, 2, 3), ("B", 1, 2, 2)]
+    # SQL views expose the property columns; UPDATE preserves them
+    engine.sql("UPDATE gdb_edges SET w = w + 10 WHERE src = 2")
+    assert _rows(engine.sql(
+        "SELECT graph, src, dst, w, kind, score FROM gdb_edges "
+        "WHERE graph = 'A'")) == [
+        ("A", 1, 2, 3, "follows", 0.5), ("A", 2, 3, 11, "likes", 0.9)]
+    # UPDATE may assign a declared property column (store-wide type)
+    engine.sql("UPDATE gdb_edges SET kind = upper(kind) WHERE graph = 'B'")
+    assert _rows(engine.sql(
+        "SELECT kind FROM gdb_edges WHERE graph = 'B'")) == [("FOLLOWS",)]
+    # INSERT with a property in the column list, any order
+    engine.sql("INSERT INTO gdb_edges (kind, graph, src, dst, w) "
+               "VALUES ('x', 'C', 5, 6, 2)")
+    assert _rows(engine.sql(
+        "SELECT graph, src, dst, w, kind, score FROM gdb_edges "
+        "WHERE graph = 'C'")) == [("C", 5, 6, 2, "x", None)]
+    # positional VALUES cannot reach beyond (graph, src, dst, w)
+    with pytest.raises(ValueError, match="explicit column list"):
+        engine.sql("INSERT INTO gdb_edges VALUES ('C', 7, 8, 1, 'y')")
+
+
+def test_compact_time_travel_and_overwrite_semantics(engine, spark):
+    engine.append_edges(_prop_edges(spark))                    # seq 1
+    engine.merge_edges(spark.createDataFrame(
+        [("A", 1, 2, 9, "blocks")],
+        "graph string, src int, dst int, w int, kind string"))  # seq 2
+    engine.compact()                                           # seq 3
+    assert _rows(engine.snapshot().weighted_edges("A", props=True)) == [
+        (1, 2, 9, "blocks", None, "A"), (2, 3, 1, "likes", 0.9, "A")]
+    # time travel: the pre-merge snapshot still reads its prop values
+    old = engine.snapshot(seq=1)
+    assert _rows(old.weighted_edges("A", props=True)) == [
+        (1, 2, 3, "follows", 0.5, "A"), (2, 3, 1, "likes", 0.9, "A")]
+    # a full overwrite (op 1/2) drops the graph's property VALUES —
+    # its state is replaced wholesale — but the store-wide schema
+    # persists and other graphs keep their values
+    engine.add_graph("A", "2\n0 1\n0 0\n")
+    snap = engine.snapshot()
+    assert snap.props["edges"] == {"kind": "string", "score": "double"}
+    assert _rows(snap.weighted_edges("A", props=True)) == [
+        (1, 2, 1, None, None, "A")]
+    assert _rows(snap.weighted_edges("B", props=True)) == [
+        (1, 2, 2, "follows", 0.1, "B")]
+
+
+def test_props_on_bucketed_store(spark, tmp_path):
+    eng = GraphEngine(spark, str(tmp_path / "b"), buckets=4)
+    eng.append_edges(_prop_edges(spark))
+    eng.set_vertex_props(spark.createDataFrame(
+        [("B", 2, "bob")], "graph string, vid int, vname string"))
+    assert _rows(eng.snapshot().weighted_edges("B", props=True)) == [
+        (1, 2, 2, "follows", 0.1, "B")]
+    assert _rows(eng.snapshot().vertices("B", props=True)) == [
+        (1, None, "B"), (2, "bob", "B")]
+
+
+def test_comma_typed_props_survive_schema_parse(engine, spark):
+    """decimal(p,s)/map types contain commas — the snapshot's DDL
+    parse must not split on them."""
+    engine.append_edges(spark.createDataFrame(
+        [("A", 1, 2, 1, None)],
+        "graph string, src int, dst int, w int, cost decimal(10,2)"))
+    from decimal import Decimal
+    engine.merge_edges(spark.createDataFrame(
+        [("A", 1, 2, 1, Decimal("3.50"))],
+        "graph string, src int, dst int, w int, cost decimal(10,2)"))
+    assert _rows(engine.snapshot().weighted_edges("A", props=True)) == [
+        (1, 2, 1, Decimal("3.50"), "A")]
