@@ -1160,6 +1160,53 @@ class GraphEngine:
                 .select("graph", F.col("vid").cast("int").alias("vid"),
                         F.col("level").alias("hops")))
 
+    def shortest_paths(self, landmarks: list[int],
+                       name: str | None = None,
+                       max_hops: int = pregel.DEFAULT_MAX_ITERATIONS
+                       ) -> DataFrame:
+        """The GraphFrames ``shortestPaths(landmarks)`` surface:
+        ``(graph, vid, landmark, hops)`` — the hop distance from every
+        vertex TO each landmark it can reach (directed; unreachable
+        (vertex, landmark) pairs contribute no row, GraphFrames'
+        absent-map-entry). One grouped kernel run answers ALL
+        (graph, landmark) pairs at once: BFS from each landmark over
+        the REVERSED edges (distance-to ≡ reversed distance-from),
+        with the landmark packed into the grouping key so k landmarks
+        are k independent traversals inside one superstep loop.
+
+        Scale shape: edges replicate k× (k = landmarks, small by the
+        API's own contract — GraphX's shortestPaths ships a k-entry
+        map per vertex, the same factor) via a broadcast join against
+        the (graph, landmark) pairs actually present; graphs lacking a
+        landmark vid never enter that landmark's traversal."""
+        if not landmarks:
+            raise ValueError("shortest_paths needs at least one landmark")
+        spark = self.spark
+        sep = "\x1f"
+        snap = self.snapshot()
+        lms = spark.createDataFrame([(int(v),) for v in landmarks],
+                                    "lm long")
+        verts = snap.vertices(name).select("graph",
+                                           F.col("vid").cast("long"))
+        starts = (verts.join(F.broadcast(lms),
+                             verts["vid"] == lms["lm"])
+                  .select("graph", "lm", "vid"))
+        rev = snap.edges(name).select(
+            "graph", F.col("dst").cast("long").alias("src"),
+            F.col("src").cast("long").alias("dst"))
+        lmg = starts.select("graph", "lm").distinct()
+        gk = F.concat_ws(sep, F.col("graph"), F.col("lm"))
+        e2 = (rev.join(F.broadcast(lmg), "graph")
+              .select(gk.alias("graph"), "src", "dst"))
+        seeds = starts.select(gk.alias("graph"), "vid")
+        levels = pregel.bfs_levels_grouped(e2, seeds, max_hops)
+        return levels.select(
+            F.substring_index("graph", sep, 1).alias("graph"),
+            F.col("vid").cast("int").alias("vid"),
+            F.substring_index("graph", sep, -1).cast("int")
+            .alias("landmark"),
+            F.col("level").alias("hops"))
+
     def aggregate_messages(self, agg: str,
                            send_to_src: str | None = None,
                            send_to_dst: str | None = None,

@@ -707,6 +707,36 @@ WHERE level = (SELECT MIN(level) FROM tgt WHERE graph = t.graph)
 """
 
 
+def q_shortest_paths_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GraphFrames ``shortestPaths(landmarks)`` surface
+    (engine.shortest_paths): hop distance from every vertex TO each
+    landmark it reaches, every stored graph and both landmarks in ONE
+    grouped kernel run — BFS from each landmark over the REVERSED
+    edges with the landmark packed into the grouping key. Oracle =
+    the same traversal as a seeded recursive CTE over reversed edges."""
+    eng = _props_fixture_engine(spark, sf_dir)
+    return eng.shortest_paths([1, 2], max_hops=40)
+
+
+ORACLE_SHORTEST_PATHS_LANDMARKS = f"""
+WITH RECURSIVE {_PROPS_EDGES_SQL},
+rev AS (SELECT graph, dst AS src, src AS dst FROM agg),
+verts AS (SELECT DISTINCT graph, vid FROM (
+    SELECT graph, src AS vid FROM agg
+    UNION ALL SELECT graph, dst FROM agg)),
+seeds AS (SELECT graph, vid AS lm, vid FROM verts WHERE vid IN (1, 2)),
+bfs(graph, lm, vid, level) AS (
+    SELECT graph, lm, vid, 0 FROM seeds
+    UNION
+    SELECT r.graph, b.lm, r.dst, b.level + 1
+    FROM bfs b JOIN rev r ON r.graph = b.graph AND r.src = b.vid
+    WHERE b.level < 40)
+SELECT graph, CAST(vid AS INT) AS vid, CAST(lm AS INT) AS landmark,
+       CAST(MIN(level) AS INT) AS hops
+FROM bfs GROUP BY graph, lm, vid
+"""
+
+
 QUERIES = {
     "store_stats": q_store_stats,
     "store_bfs_all": q_store_bfs_all,
@@ -722,6 +752,7 @@ QUERIES = {
     "motif_find": q_motif_find,
     "motif_weighted": q_motif_weighted,
     "bfs_expr": q_bfs_expr,
+    "shortest_paths_landmarks": q_shortest_paths_landmarks,
 }
 
 ORACLES = {
@@ -739,4 +770,5 @@ ORACLES = {
     "motif_find": ORACLE_MOTIF_FIND,
     "motif_weighted": ORACLE_MOTIF_WEIGHTED,
     "bfs_expr": ORACLE_BFS_EXPR,
+    "shortest_paths_landmarks": ORACLE_SHORTEST_PATHS_LANDMARKS,
 }

@@ -68,7 +68,7 @@ _DEFERRED_R10 = [
     "dfs_leaves_tree", "dfs_leaves", "dedup_near_guarded",
     "embedding_cosine_topk", "events_quantiles_approx",
     "chunk_dedup", "domain_mix",
-    "multimodal_frames", "multimodal_resize",
+    "multimodal_features", "multimodal_frames", "multimodal_resize",
 ]
 
 _PREV_WINDOW2 = [
@@ -132,9 +132,11 @@ _CHECK_FIRST = [
     "store_sql_dml",
     # -- NEW this round: typed edge/vertex PROPERTY columns through
     # the store (motif post-filtered on edge props + vertex-prop
-    # join), and expression-targeted BFS (the GraphFrames
-    # bfs(fromExpr, toExpr) surface over vertex properties) --
-    "motif_weighted", "bfs_expr",
+    # join), expression-targeted BFS (the GraphFrames
+    # bfs(fromExpr, toExpr) surface over vertex properties), and
+    # landmark shortest paths (GraphFrames shortestPaths — the last
+    # missing GraphFrames API) --
+    "motif_weighted", "bfs_expr", "shortest_paths_landmarks",
     # -- oldest r08-window ids (latest driver row is round 8) --
     "graph_ingest_matrix", "pivot_returns", "window_showcase",
     "sql_grouping_sets", "sample_split", "corpus_histogram",
@@ -142,7 +144,6 @@ _CHECK_FIRST = [
     "market_share", "min_cost_supplier", "product_profit",
     "important_parts", "parts_supplier_counts", "excess_stock_suppliers",
     "returned_item_revenue", "shipmode_priority", "vertex_jaccard",
-    "multimodal_features",
 ]
 # (the remaining r08-window ids are _DEFERRED_R10 above — their r08
 # rows stay within the three-window horizon; round 11 fronts them.)

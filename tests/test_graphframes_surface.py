@@ -99,3 +99,20 @@ def test_aggregate_messages_triplet_expressions(engine, spark):
 def test_aggregate_messages_requires_a_leg(engine):
     with pytest.raises(ValueError, match="send_to_src"):
         engine.aggregate_messages("count(msg)")
+
+
+def test_shortest_paths_landmarks(engine):
+    """GraphFrames shortestPaths: distance from every vertex TO each
+    landmark (directed, reversed-edge BFS), landmark at distance 0
+    from itself, unreachable pairs absent."""
+    got = _rows(engine.shortest_paths([5, 2], name="P"))
+    # P is the path 1→2→3→4→5: everything reaches 5; only 1 reaches 2
+    assert got == [("P", 1, 2, 1), ("P", 1, 5, 4), ("P", 2, 2, 0),
+                   ("P", 2, 5, 3), ("P", 3, 5, 2), ("P", 4, 5, 1),
+                   ("P", 5, 5, 0)]
+    # all graphs in one call; Q has no vertex 5, so only landmark 2
+    allg = _rows(engine.shortest_paths([2]))
+    assert ("Q", 1, 2, 1) in allg and ("Q", 2, 2, 0) in allg
+    assert not [r for r in allg if r[0] == "Q" and r[1] in (3, 4)]
+    with pytest.raises(ValueError, match="at least one landmark"):
+        engine.shortest_paths([])
