@@ -1263,8 +1263,6 @@ class GraphEngine:
         return (msgs.groupBy("graph", "vid")
                 .agg(F.expr(agg).alias("agg_value")))
 
-    # -- op 3: DFS-forest leaves ------------------------------------------
-
     def dfs_leaves(self, name: str, start: int) -> DataFrame:
         """Deterministic canonical-DFS respec of the reference's racy
         concurrent DFS (SURVEY §2.1 A2-3): ``(leaf)``, 1-indexed."""
@@ -1618,3 +1616,78 @@ class GraphEngine:
         memory."""
         cache.release_caches()
         self.spark.stop()
+
+    def pregel(self, vertex_col: str, initial_expr: str, agg_expr: str,
+               update_expr: str, send_to_src: str | None = None,
+               send_to_dst: str | None = None, max_iter: int = 10,
+               name: str | None = None) -> DataFrame:
+        """The GraphFrames ``lib.Pregel`` surface: iterated
+        ``aggregateMessages`` with a user-defined vertex state column.
+        Each vertex starts with ``vertex_col = initial_expr``
+        (evaluated over its vertex row — ``vid`` plus declared
+        properties). Every superstep: ``send_to_src``/``send_to_dst``
+        (expressions over the triplet structs ``src``/``dst``/``edge``,
+        which SEE the current ``vertex_col`` inside ``src``/``dst``)
+        produce messages; ``agg_expr`` aggregates them per vertex as
+        the column ``msg`` (NULL for vertices receiving none, like
+        GraphFrames' Pregel.msg); ``update_expr`` computes the next
+        state from the vertex row and ``msg``. Returns the vertex
+        frame ``(graph, vid[, *props], <vertex_col>)`` after
+        ``max_iter`` supersteps, every stored graph at once (or just
+        ``name``).
+
+        The loop is driver-side like every kernel here: one
+        (graph, vid)-keyed join round trip per superstep over edges
+        persisted once, states ``localCheckpoint``-ed per round so
+        lineage stays flat (the §4.2 iterative-plan discipline)."""
+        if send_to_src is None and send_to_dst is None:
+            raise ValueError("pregel: provide send_to_src and/or "
+                             "send_to_dst")
+        if vertex_col.lower() in _RESERVED_COLS or vertex_col == "msg":
+            raise ValueError(f"pregel: vertex_col {vertex_col!r} collides "
+                             f"with a reserved column")
+        snap = self.snapshot()
+        e = snap.weighted_edges(name, props=True)
+        ecols = [c for c in e.columns if c != "graph"]
+        e = (e.withColumn("edge",
+                          F.struct(*[F.col(c) for c in ecols]))
+             .select("graph", "src", "dst", "edge")
+             .repartition("graph", "src").persist())
+        v = (snap.vertices(name, props=True)
+             .withColumn(vertex_col, F.expr(initial_expr))
+             .localCheckpoint(eager=True))
+        vcols = [c for c in v.columns if c != "graph"]
+        for _ in range(max_iter):
+            def _endpoint(key: str):
+                return v.select(
+                    "graph", F.col("vid").alias(key),
+                    F.struct(*[F.col(c) for c in vcols])
+                    .alias(f"__{key}_s"))
+
+            trip = (e.join(_endpoint("src"), ["graph", "src"])
+                    .join(_endpoint("dst"), ["graph", "dst"])
+                    .select("graph", "edge",
+                            F.col("__src_s").alias("src"),
+                            F.col("__dst_s").alias("dst")))
+            legs = []
+            if send_to_src is not None:
+                legs.append(trip.select(
+                    "graph", F.col("src.vid").alias("vid"),
+                    F.expr(send_to_src).alias("msg")))
+            if send_to_dst is not None:
+                legs.append(trip.select(
+                    "graph", F.col("dst.vid").alias("vid"),
+                    F.expr(send_to_dst).alias("msg")))
+            msgs = (legs[0] if len(legs) == 1
+                    else legs[0].unionByName(legs[1]))
+            msgs = (msgs.groupBy("graph", "vid")
+                    .agg(F.expr(agg_expr).alias("msg")))
+            v = (v.join(msgs, ["graph", "vid"], "left")
+                 .withColumn(vertex_col, F.expr(update_expr))
+                 .drop("msg")
+                 .select("graph", *vcols)
+                 .localCheckpoint(eager=True))
+        e.unpersist()
+        return v
+
+    # -- op 3: DFS-forest leaves ------------------------------------------

@@ -116,3 +116,47 @@ def test_shortest_paths_landmarks(engine):
     assert not [r for r in allg if r[0] == "Q" and r[1] in (3, 4)]
     with pytest.raises(ValueError, match="at least one landmark"):
         engine.shortest_paths([])
+
+
+def test_pregel_max_propagation_components(engine):
+    """engine.pregel (the GraphFrames lib.Pregel surface): max-vid
+    propagation with bidirectional messages converges to the
+    undirected component's max vid — P (path to 5) all 5, Q all 4."""
+    out = engine.pregel(
+        "cc", initial_expr="vid",
+        send_to_src="dst.cc", send_to_dst="src.cc",
+        agg_expr="max(msg)",
+        update_expr="greatest(cc, coalesce(msg, cc))",
+        max_iter=4)
+    got = {(r["graph"], r["vid"]): r["cc"] for r in out.collect()}
+    assert all(v == 5 for (g, _), v in got.items() if g == "P")
+    assert all(v == 4 for (g, _), v in got.items() if g == "Q")
+
+
+def test_pregel_one_round_equals_aggregate_messages(engine):
+    """One superstep with a count aggregate reproduces in-degree
+    (aggregateMessages parity), isolated vertices keeping NULL-msg
+    semantics through the update expression."""
+    out = engine.pregel(
+        "indeg", initial_expr="CAST(0 AS BIGINT)",
+        send_to_dst="1", agg_expr="count(msg)",
+        update_expr="coalesce(msg, CAST(0 AS BIGINT))",
+        max_iter=1, name="Q")
+    got = {r["vid"]: r["indeg"] for r in out.collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 1}
+    # messages see the evolving state AND edge attributes
+    out = engine.pregel(
+        "acc", initial_expr="CAST(vid AS BIGINT)",
+        send_to_dst="src.acc * edge.w", agg_expr="sum(msg)",
+        update_expr="coalesce(msg, CAST(0 AS BIGINT))",
+        max_iter=1, name="Q")
+    got = {r["vid"]: r["acc"] for r in out.collect()}
+    assert got == {1: 0, 2: 2, 3: 5, 4: 21}
+
+
+def test_pregel_error_contract(engine):
+    with pytest.raises(ValueError, match="send_to_src"):
+        engine.pregel("x", "0", "max(msg)", "msg", max_iter=1)
+    with pytest.raises(ValueError, match="reserved"):
+        engine.pregel("graph", "0", "max(msg)", "msg",
+                      send_to_dst="1", max_iter=1)

@@ -91,6 +91,16 @@ AUDIT = [
     ("motif_find", "pattern matching: two (graph, vid)-keyed self-joins of "
      "the edge table + one anti-join for the negation; NO cartesian "
      "anywhere, AQE picks broadcast vs shuffle per join"),
+    ("motif_weighted", "property-graph motif: the same self-join shape over "
+     "the props-carrying edge read (kind/w inside named-edge structs), "
+     "post-filters pushed below the joins by Catalyst, vertex-prop join "
+     "keyed (graph, vid)"),
+    ("bfs_expr", "expression-targeted BFS final assembly: target-predicate "
+     "join + per-graph MIN agg + join-back (the kernel itself is a driver "
+     "superstep loop; its per-level plan is the checkpointed frontier join)"),
+    ("shortest_paths_landmarks", "landmark distances: k-replicated reversed "
+     "edges via broadcast (graph, landmark) join feeding ONE grouped "
+     "kernel; final plan is the checkpoint union + key unpack"),
 ]
 
 
