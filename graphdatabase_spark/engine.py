@@ -678,7 +678,9 @@ class GraphEngine:
         upsert, not a column-level patch); unmatched vids JOIN their
         graph's vertex set (and a graph new to the store joins the
         catalog), so a vertex can exist with properties before any
-        edge touches it.
+        edge touches it. A batch with NO property columns is a pure
+        MEMBERSHIP upsert: vids new to their graph are added (isolated
+        vertices), existing rows keep their property values untouched.
 
         The reference's store has no vertex state at all beyond
         membership (``secondary_server.c:544-559`` — matrix cells
@@ -693,9 +695,6 @@ class GraphEngine:
                              f"*props) columns; got {verts.columns}")
         batch_props = _prop_schema(verts, ("graph", "vid"),
                                    "set_vertex_props")
-        if not batch_props:
-            raise ValueError("set_vertex_props: the batch carries no "
-                             "property columns (nothing to set)")
         _merge_props(snap.props.get("vertices", {}), batch_props,
                      "set_vertex_props")
         verts = verts.select(F.col("vid").cast("int"),
@@ -706,9 +705,19 @@ class GraphEngine:
             return frozenset(), frozenset()
         old_verts = (snap.vertices(props=True)
                      .filter(F.col("graph").isin(touched)).distinct())
-        kept = old_verts.join(verts.select("vid", "graph"),
-                              ["vid", "graph"], "left_anti")
-        new_verts = kept.unionByName(verts, allowMissingColumns=True)
+        if batch_props:
+            kept = old_verts.join(verts.select("vid", "graph"),
+                                  ["vid", "graph"], "left_anti")
+            new_verts = kept.unionByName(verts, allowMissingColumns=True)
+        else:
+            # a PROP-LESS batch is a pure MEMBERSHIP upsert (INSERT INTO
+            # gdb_vertices (graph, vid) — isolated vertices): existing
+            # rows keep their property values untouched, only vids new
+            # to their graph are added
+            new_verts = old_verts.unionByName(
+                verts.join(old_verts.select("vid", "graph"),
+                           ["vid", "graph"], "left_anti"),
+                allowMissingColumns=True)
         edges = (snap.weighted_edges(props=True)
                  .filter(F.col("graph").isin(touched)))
         # meta keeps the "n >= max vid at write time" bound: max of the
@@ -739,13 +748,16 @@ class GraphEngine:
             outcome[0] = adopted
             if not adopted:
                 return None
+            body = {"commit": cid, "graphs": graphs_map,
+                    "txns": (prev or {}).get("txns", {})}
             props_doc = dict((prev or {}).get("props", {}))
-            props_doc["vertices"] = _merge_props(
-                props_doc.get("vertices", {}), batch_props,
-                "set_vertex_props")
-            return {"commit": cid, "graphs": graphs_map,
-                    "txns": (prev or {}).get("txns", {}),
-                    "props": props_doc}
+            if batch_props:
+                props_doc["vertices"] = _merge_props(
+                    props_doc.get("vertices", {}), batch_props,
+                    "set_vertex_props")
+            if props_doc:
+                body["props"] = props_doc
+            return body
 
         self.manifests.commit(update)
         adopted = frozenset(outcome[0])

@@ -23,6 +23,14 @@ anchored grammar, not a SQL parser — and every embedded QUERY
   WHEN MATCHED THEN UPDATE SET w = b.w
   [WHEN NOT MATCHED THEN INSERT *]`` — or
   ``WHEN MATCHED THEN DELETE`` alone.
+- the VERTEX side of the property graph:
+  ``INSERT INTO <prefix>_vertices [(cols)] VALUES/SELECT ...`` (row
+  upsert by (graph, vid); a bare-key batch adds isolated vertices
+  without touching existing property values) and
+  ``UPDATE <prefix>_vertices SET <declared prop> = <expr> [WHERE …]``
+  (graph/vid are the key — no vertex DELETE: removing a vertex that
+  edges may reference is a graph surgery, spell it via the edge DML
+  plus an overwrite).
 
 Anything else raises ValueError naming the unsupported clause —
 failing loudly beats silently writing the wrong rows. ``SELECT`` /
@@ -161,6 +169,64 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
                     f"with an explicit column list")
             df = df.toDF(*_EDGE_COLS[: len(df.columns)])
         engine.append_edges(_edge_frame(df, f"INSERT INTO {edges_t}"))
+        return None
+
+    verts_t = f"{prefix}_vertices"
+    m = re.match(rf"(?is)^INSERT\s+INTO\s+{verts_t}\s+(.*)$", stmt)
+    if m:
+        tail = m.group(1).strip()
+        cols = None
+        cm = re.match(r"(?is)^\(([\w\s,]*)\)\s*(VALUES|SELECT|WITH)(.*)$",
+                      tail)
+        if cm:
+            cols = [c.strip().lower() for c in cm.group(1).split(",")]
+            tail = cm.group(2) + cm.group(3)
+        df = spark.sql(tail)
+        if cols is not None:
+            if not {"graph", "vid"} <= set(cols):
+                raise ValueError(f"INSERT INTO {verts_t}: column list must "
+                                 f"include the vertex key (graph, vid); "
+                                 f"got {cols}")
+            if len(cols) != len(df.columns):
+                raise ValueError(f"INSERT INTO {verts_t}: {len(cols)} "
+                                 f"columns listed but the source produces "
+                                 f"{len(df.columns)}")
+            df = df.toDF(*cols)
+        elif re.match(r"(?is)^VALUES\b", tail):
+            if len(df.columns) > 2:
+                raise ValueError(
+                    f"INSERT INTO {verts_t}: positional VALUES cover "
+                    f"(graph, vid) — name property columns with an "
+                    f"explicit column list")
+            df = df.toDF(*("graph", "vid")[: len(df.columns)])
+        cols_l = {c.lower() for c in df.columns}
+        if not {"graph", "vid"} <= cols_l:
+            raise ValueError(f"INSERT INTO {verts_t}: source must produce "
+                             f"at least (graph, vid); got {df.columns}")
+        # row-level upsert by (graph, vid): with property columns the
+        # batch row wins; a bare (graph, vid) batch only ADDS missing
+        # vids (membership — engine.set_vertex_props semantics)
+        _check_adopted(engine.set_vertex_props(df.toDF(
+            *[c.lower() for c in df.columns])), f"INSERT INTO {verts_t}")
+        return None
+
+    m = re.match(rf"(?is)^UPDATE\s+{verts_t}\s+SET\s+(\w+)\s*=\s*(.*?)"
+                 rf"(?:\s+WHERE\s+(.*))?$", stmt)
+    if m:
+        col = m.group(1)
+        snap = engine.create_views(prefix)
+        vprops = snap.props.get("vertices", {})
+        if col not in vprops:
+            raise ValueError(
+                f"UPDATE {verts_t}: only a declared vertex property "
+                f"column is assignable (graph/vid are the key); got SET "
+                f"{col}, declared properties {sorted(vprops)}")
+        rows = spark.table(verts_t)
+        if m.group(3):
+            rows = rows.filter(F.expr(m.group(3)))
+        updates = rows.withColumn(col, F.expr(m.group(2)).cast(vprops[col]))
+        _check_adopted(engine.set_vertex_props(updates),
+                       f"UPDATE {verts_t}")
         return None
 
     m = re.match(rf"(?is)^UPDATE\s+{edges_t}\s+SET\s+(\w+)\s*=\s*(.*?)"

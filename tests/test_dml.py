@@ -206,3 +206,36 @@ def test_merge_edges_returns_adopted_and_skipped(engine, spark):
     # merging nothing touches nothing
     empty = spark.createDataFrame([], "graph string, src int, dst int, w int")
     assert engine.merge_edges(empty) == (frozenset(), frozenset())
+
+
+def test_vertex_dml_surface(engine, spark):
+    """The VERTEX side of the SQL property-graph surface: INSERT INTO
+    gdb_vertices (row upsert / membership add) and UPDATE of a
+    declared vertex property."""
+    engine.sql("INSERT INTO gdb_edges VALUES ('A', 1, 2, 1)")
+    # property upsert via column list (any order)
+    engine.sql("INSERT INTO gdb_vertices (vname, graph, vid) "
+               "VALUES ('alice', 'A', 1), ('grace', 'A', 7)")
+    got = {r["vid"]: r["vname"] for r in engine.sql(
+        "SELECT vid, vname FROM gdb_vertices WHERE graph = 'A'").collect()}
+    assert got == {1: "alice", 2: None, 7: "grace"}
+    # bare-key positional VALUES: membership only, props untouched
+    engine.sql("INSERT INTO gdb_vertices VALUES ('A', 9), ('A', 1)")
+    got = {r["vid"]: r["vname"] for r in engine.sql(
+        "SELECT vid, vname FROM gdb_vertices WHERE graph = 'A'").collect()}
+    assert got == {1: "alice", 2: None, 7: "grace", 9: None}
+    # UPDATE a declared property with a WHERE predicate
+    engine.sql("UPDATE gdb_vertices SET vname = upper(vname) "
+               "WHERE vid = 1")
+    got = {r["vid"]: r["vname"] for r in engine.sql(
+        "SELECT vid, vname FROM gdb_vertices WHERE graph = 'A'").collect()}
+    assert got[1] == "ALICE" and got[7] == "grace"
+    # loud contract: keys are not assignable, unknown props rejected
+    with pytest.raises(ValueError, match="declared vertex property"):
+        engine.sql("UPDATE gdb_vertices SET vid = 3")
+    with pytest.raises(ValueError, match="declared vertex property"):
+        engine.sql("UPDATE gdb_vertices SET nope = 1")
+    with pytest.raises(ValueError, match="vertex key"):
+        engine.sql("INSERT INTO gdb_vertices (vid, vname) VALUES (1, 'x')")
+    with pytest.raises(ValueError, match="explicit column list"):
+        engine.sql("INSERT INTO gdb_vertices VALUES ('A', 3, 'x')")

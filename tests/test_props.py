@@ -71,9 +71,19 @@ def test_type_conflicts_and_reserved_names_fail_loudly(engine, spark):
     with pytest.raises(ValueError, match="reserved"):
         engine.set_vertex_props(spark.createDataFrame(
             [("A", 1, 5)], "graph string, vid int, gb int"))
-    with pytest.raises(ValueError, match="no property columns"):
-        engine.set_vertex_props(spark.createDataFrame(
-            [("A", 1)], "graph string, vid int"))
+
+
+def test_propless_vertex_batch_is_membership_upsert(engine, spark):
+    engine.append_edges(spark.createDataFrame(
+        [("A", 1, 2, 1)], "graph string, src int, dst int, w int"))
+    engine.set_vertex_props(spark.createDataFrame(
+        [("A", 1, "alice")], "graph string, vid int, vname string"))
+    # membership-only batch: adds the isolated vid 9, leaves vid 1's
+    # property value untouched (NOT a row-level clobber)
+    engine.set_vertex_props(spark.createDataFrame(
+        [("A", 1), ("A", 9)], "graph string, vid int"))
+    assert _rows(engine.snapshot().vertices("A", props=True)) == [
+        (1, "alice", "A"), (2, None, "A"), (9, None, "A")]
 
 
 def test_merge_upsert_is_row_level_over_props(engine, spark):
