@@ -263,6 +263,11 @@ def main(repeat: int) -> None:
     n_iso = int(os.environ.get("SPARK_GRAFT_BENCH_ISO_TOP", "10"))
     if n_iso > 0:
         top = sorted(medians, key=medians.get, reverse=True)[:n_iso]
+        # stop THIS process's JVM first: a resident local[32] heap
+        # competing with each subprocess inflates and even INVERTS the
+        # cold/warm pair (round 10 measured store_cc_all warm 15.5 s >
+        # cold 9.2 s under the live parent vs 4.3/7.7 standalone)
+        spark.stop()
         iso = _isolated_timings(top, per_query_timeout=240)
         iso_top = {q: ({"cold": d["cold_sec"], "warm": d["warm_sec"]}
                        if "warm_sec" in d else d)

@@ -1219,6 +1219,33 @@ class GraphEngine:
             .alias("landmark"),
             F.col("level").alias("hops"))
 
+    def triplets(self, name: str | None = None) -> DataFrame:
+        """The GraphFrames ``triplets`` view: one row per stored edge
+        as ``(graph, src, edge, dst)`` — ``src``/``dst`` are structs of
+        the endpoint vertex row (``vid`` plus declared vertex
+        properties), ``edge`` a struct of the edge row (``src``,
+        ``dst``, ``w`` plus declared edge properties). Two
+        (graph, vid)-keyed equi-joins of the vertex table against the
+        edge table (broadcast or shuffle per AQE); the building block
+        :meth:`aggregate_messages` sends over."""
+        snap = self.snapshot()
+        e = snap.weighted_edges(name, props=True)
+        v = snap.vertices(name, props=True)
+        vcols = [c for c in v.columns if c != "graph"]
+        ecols = [c for c in e.columns if c != "graph"]
+
+        def _endpoint(key: str) -> DataFrame:
+            return v.select(
+                "graph", F.col("vid").alias(key),
+                F.struct(*[F.col(c) for c in vcols]).alias(f"__{key}_s"))
+
+        return (e.join(_endpoint("src"), ["graph", "src"])
+                .join(_endpoint("dst"), ["graph", "dst"])
+                .select("graph",
+                        F.col("__src_s").alias("src"),
+                        F.struct(*[F.col(c) for c in ecols]).alias("edge"),
+                        F.col("__dst_s").alias("dst")))
+
     def aggregate_messages(self, agg: str,
                            send_to_src: str | None = None,
                            send_to_dst: str | None = None,
@@ -1245,23 +1272,7 @@ class GraphEngine:
         if send_to_src is None and send_to_dst is None:
             raise ValueError("aggregate_messages: provide send_to_src "
                              "and/or send_to_dst")
-        snap = self.snapshot()
-        e = snap.weighted_edges(name, props=True)
-        v = snap.vertices(name, props=True)
-        vcols = [c for c in v.columns if c != "graph"]
-        ecols = [c for c in e.columns if c != "graph"]
-
-        def _endpoint(key: str) -> DataFrame:
-            return v.select(
-                "graph", F.col("vid").alias(key),
-                F.struct(*[F.col(c) for c in vcols]).alias(f"__{key}_s"))
-
-        trip = (e.join(_endpoint("src"), ["graph", "src"])
-                .join(_endpoint("dst"), ["graph", "dst"])
-                .select("graph",
-                        F.struct(*[F.col(c) for c in ecols]).alias("edge"),
-                        F.col("__src_s").alias("src"),
-                        F.col("__dst_s").alias("dst")))
+        trip = self.triplets(name)
         legs = []
         if send_to_src is not None:
             legs.append(trip.select(

@@ -160,3 +160,17 @@ def test_pregel_error_contract(engine):
     with pytest.raises(ValueError, match="reserved"):
         engine.pregel("graph", "0", "max(msg)", "msg",
                       send_to_dst="1", max_iter=1)
+
+
+def test_triplets_view(engine, spark):
+    """GraphFrames triplets: endpoint vertex structs + edge struct,
+    properties visible through both."""
+    engine.set_vertex_props(spark.createDataFrame(
+        [("Q", 1, "root")], "graph string, vid int, role string"))
+    trip = engine.triplets("Q")
+    assert trip.columns == ["graph", "src", "edge", "dst"]
+    rows = {(r["src"]["vid"], r["dst"]["vid"]): r for r in trip.collect()}
+    assert set(rows) == {(1, 2), (1, 3), (3, 4)}
+    assert rows[(1, 2)]["edge"]["w"] == 2
+    assert rows[(1, 2)]["src"]["role"] == "root"
+    assert rows[(3, 4)]["src"]["role"] is None

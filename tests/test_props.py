@@ -212,3 +212,30 @@ def test_comma_typed_props_survive_schema_parse(engine, spark):
         "graph string, src int, dst int, w int, cost decimal(10,2)"))
     assert _rows(engine.snapshot().weighted_edges("A", props=True)) == [
         (1, 2, 1, Decimal("3.50"), "A")]
+
+
+def test_vertex_upsert_reports_non_adoption(spark, tmp_path):
+    """set_vertex_props has merge_edges' CAS economics: a concurrent
+    overwrite mid-upsert wins, and the skipped graph is REPORTED."""
+    from graphdatabase_spark import metastore
+
+    store = metastore.InMemoryManifestStore()
+    eng = GraphEngine(spark, str(tmp_path / "s"), manifest_store=store)
+    eng.add_graph("M", "2\n0 1\n0 0\n")
+    fired = {}
+
+    def interleave(name):
+        if not fired:
+            fired["x"] = True
+            store.before_put = None
+            GraphEngine(spark, eng.store, manifest_store=store) \
+                .modify_graph("M", "2\n0 0\n1 0\n")
+
+    store.before_put = interleave
+    adopted, skipped = eng.set_vertex_props(spark.createDataFrame(
+        [("M", 1, "x")], "graph string, vid int, tag string"))
+    assert adopted == frozenset() and skipped == {"M"}
+    # the concurrent writer's state won; no property schema declared
+    # by the unadopted upsert? the manifest column schema IS declared
+    # only on adoption — nothing published means nothing declared
+    assert "props" not in (eng.manifests.load() or {})

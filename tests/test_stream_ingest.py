@@ -355,3 +355,25 @@ def test_compact_heals_conflicting_meta_rows(spark, tmp_path):
     # data healed too: both appends' edges survive the rewrite
     assert _edge_set(eng.weighted_edges("C")) == {
         ("C", 1, 2, 1), ("C", 5, 6, 1)}
+
+
+def test_stream_ingest_carries_property_columns(engine, spark, tmp_path):
+    """Streaming ingest composes with the property-graph store: a
+    micro-batch carrying a typed edge property column lands it through
+    the same append commit, declaring the store-wide schema."""
+    src = tmp_path / "pin"
+    src.mkdir()
+    schema = "graph string, src int, dst int, w int, kind string"
+    df = spark.createDataFrame([("PS", 1, 2, 3, "follows")], schema)
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "st"))
+    part = [f for f in os.listdir(tmp_path / "st")
+            if f.endswith(".parquet")][0]
+    os.rename(tmp_path / "st" / part, src / "b0.parquet")
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = stream_edges_into_store(stream, engine, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    snap = engine.snapshot()
+    assert snap.props["edges"] == {"kind": "string"}
+    assert {(r["graph"], r["src"], r["dst"], r["w"], r["kind"])
+            for r in snap.weighted_edges("PS", props=True).collect()} == {
+        ("PS", 1, 2, 3, "follows")}
