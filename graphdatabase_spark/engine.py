@@ -1051,7 +1051,8 @@ class GraphEngine:
         return snap
 
     def find(self, pattern: str, name: str | None = None,
-             weighted: bool = False) -> DataFrame:
+             weighted: bool = False,
+             vertex_structs: bool = False) -> DataFrame:
         """GraphFrames-style motif matching over the stored edge sets
         (``operators/motif.py``; public ``find()`` API shape):
         ``"(a)-[e]->(b); (b)-[]->(c); !(a)-[]->(c)"`` → one row per
@@ -1062,15 +1063,36 @@ class GraphEngine:
         set: named-edge structs gain the stored ``w`` AND any declared
         edge property columns, so bindings post-filter
         GraphFrames-style (``.filter("e.w > 2")``,
-        ``.filter("e.kind = 'follows'")``). Disconnected patterns are
-        rejected up front (they would be cartesian products at graph
-        scale)."""
+        ``.filter("e.kind = 'follows'")``). ``vertex_structs=True``
+        returns each NAMED VERTEX as a struct of its vertex row
+        (``vid`` plus declared vertex properties) — GraphFrames'
+        exact output shape (``.filter("a.tag = 'hub'")``) — via one
+        (graph, vid)-keyed join per named vertex; the default bare-vid
+        shape stays join-free. Disconnected patterns are rejected up
+        front (they would be cartesian products at graph scale)."""
         from graphdatabase_spark.operators import motif
 
         snap = self.snapshot()
         e = (snap.weighted_edges(name, props=True) if weighted
              else snap.edges(name).select("graph", "src", "dst"))
-        return motif.find(e, pattern)
+        out = motif.find(e, pattern)
+        if vertex_structs:
+            v = snap.vertices(name, props=True)
+            vcols = [c for c in v.columns if c != "graph"]
+            for col, dtype in out.dtypes:
+                if col == "graph" or dtype != "bigint":
+                    continue  # edge structs and graph pass through
+                vv = v.select(
+                    "graph", F.col("vid").cast("long").alias(col),
+                    F.struct(*[F.col(c) for c in vcols])
+                    .alias(f"__{col}_s"))
+                # left join: a vid absent from the vertices table (an
+                # inconsistent store) surfaces as a NULL struct rather
+                # than silently dropping the binding
+                out = (out.join(vv, ["graph", col], "left")
+                       .withColumn(col, F.col(f"__{col}_s"))
+                       .drop(f"__{col}_s"))
+        return out
 
     def sql(self, text: str, prefix: str = "gdb") -> DataFrame | None:
         """The store drivable from SQL text alone: ``SELECT``/``WITH``

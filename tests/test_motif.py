@@ -141,3 +141,28 @@ def test_name_collision_contract(spark):
     ]:
         with pytest.raises(ValueError, match=why):
             find(e, bad).collect()
+
+
+def test_find_vertex_structs(spark, tmp_path):
+    """GraphFrames output-shape parity: vertex_structs=True returns
+    each named vertex as a struct of its vertex row (vid + declared
+    properties), filterable like GraphFrames bindings."""
+    eng = GraphEngine(spark, str(tmp_path / "vs"))
+    eng.append_edges(spark.createDataFrame(
+        [("g", 1, 2, 3), ("g", 2, 3, 1)],
+        "graph string, src int, dst int, w int"))
+    eng.set_vertex_props(spark.createDataFrame(
+        [("g", 1, "hub"), ("g", 2, "mid")],
+        "graph string, vid int, tag string"))
+    out = eng.find("(a)-[e]->(b)", weighted=True, vertex_structs=True)
+    rows = {(r["a"]["vid"], r["b"]["vid"]): r for r in out.collect()}
+    assert set(rows) == {(1, 2), (2, 3)}
+    assert rows[(1, 2)]["a"]["tag"] == "hub"
+    assert rows[(1, 2)]["b"]["tag"] == "mid"
+    assert rows[(2, 3)]["b"]["tag"] is None   # vid 3 has no props row value
+    assert rows[(1, 2)]["e"]["w"] == 3
+    # filter on a vertex-struct field, GraphFrames-style
+    assert out.filter("a.tag = 'hub'").count() == 1
+    # default shape unchanged: bare long vids
+    bare = eng.find("(a)-[]->(b)")
+    assert dict(bare.dtypes)["a"] == "bigint"
