@@ -275,6 +275,63 @@ def main_dirs(n_graphs: int, buckets: int) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def main_props(n_graphs: int, buckets: int) -> None:
+    """Round-10: the vertex-property COW upsert's catalog-size
+    independence, measured. One bucketed store with N graphs; a
+    ``set_vertex_props`` touching k graphs rewrites those k graphs
+    only (copy-on-write + CAS pointer flips, ≤B partition dirs per
+    table per commit), so its cost must track k, not N. Writes
+    ``BENCH_STORE_PROPS.json``."""
+    from pyspark.sql import functions as F
+
+    from graphdatabase_spark import get_spark
+    from graphdatabase_spark.engine import GraphEngine
+
+    spark = get_spark("bench-store-props",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix=f"bench_store_props_{n_graphs}_")
+    try:
+        rng = random.Random(SEED)
+        gdir = os.path.join(tmp, "graphs")
+        os.makedirs(gdir)
+        for i in range(n_graphs):
+            n = rng.randint(20, 100)
+            with open(os.path.join(gdir, f"S{i:05d}.txt"), "w") as f:
+                f.write(make_matrix(rng, n))
+        eng = GraphEngine(spark, os.path.join(tmp, "store"),
+                          buckets=buckets)
+        t0 = time.perf_counter()
+        eng.ingest_dir(gdir)
+        ingest_sec = round(time.perf_counter() - t0, 3)
+        upserts = {}
+        for k in (1, 10, 100):
+            rows = [(f"S{i:05d}", v, f"label{v}")
+                    for i in range(k) for v in (1, 2, 3)]
+            df = spark.createDataFrame(
+                rows, "graph string, vid int, tag string")
+            t0 = time.perf_counter()
+            adopted, skipped = eng.set_vertex_props(df)
+            sec = round(time.perf_counter() - t0, 3)
+            assert len(adopted) == k and not skipped
+            upserts[f"touch_{k}"] = sec
+        t0 = time.perf_counter()
+        got = {r["vid"]: r["tag"]
+               for r in eng.snapshot().vertices("S00000", props=True)
+               .filter(F.col("tag").isNotNull()).collect()}
+        read_sec = round(time.perf_counter() - t0, 3)
+        assert got == {1: "label1", 2: "label2", 3: "label3"}
+        doc = {"metric": "vertex_prop_cow_upsert_vs_catalog_size",
+               "n_graphs": n_graphs, "buckets": buckets, "seed": SEED,
+               "ingest_sec": ingest_sec, "upsert_sec": upserts,
+               "single_graph_props_read_sec": read_sec}
+        with open(os.path.join(REPO, "BENCH_STORE_PROPS.json"), "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        print(json.dumps(doc, sort_keys=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "--scale":
         arg = sys.argv[2] if len(sys.argv) >= 3 else "100,1000,5000"
@@ -283,5 +340,9 @@ if __name__ == "__main__":
         n = int(sys.argv[2]) if len(sys.argv) >= 3 else 5000
         b = int(sys.argv[3]) if len(sys.argv) >= 4 else 64
         main_dirs(n, b)
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--props":
+        n = int(sys.argv[2]) if len(sys.argv) >= 3 else 5000
+        b = int(sys.argv[3]) if len(sys.argv) >= 4 else 64
+        main_props(n, b)
     else:
         main()
