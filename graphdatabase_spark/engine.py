@@ -131,8 +131,32 @@ def _prop_schema(df: DataFrame, core: tuple[str, ...],
                 f"{op}: property column {f.name!r} collides with a "
                 f"reserved store column {sorted(_RESERVED_COLS)} or is "
                 f"not a plain identifier")
+        dup = [n for n in props if n.lower() == f.name.lower()]
+        if dup:
+            raise ValueError(
+                f"{op}: batch carries property columns {dup[0]!r} and "
+                f"{f.name!r} that differ only by case — Spark resolves "
+                f"columns case-insensitively")
         props[f.name] = f.dataType.simpleString()
     return props
+
+
+def _canon_props(df: DataFrame, props: dict[str, str], declared: dict,
+                 op: str) -> tuple[DataFrame, dict[str, str]]:
+    """Rename a batch's property columns to the STORE's declared
+    spelling when they differ only by case (Spark resolves columns
+    case-insensitively, so 'Kind' and 'kind' are the same column —
+    declaring both in the manifest would make every later props-aware
+    read die on COLUMN_ALREADY_EXISTS). Returns the renamed frame and
+    the canonical-name property schema."""
+    low = {n.lower(): n for n in declared}
+    out: dict[str, str] = {}
+    for name, typ in props.items():
+        canon = low.get(name.lower(), name)
+        if canon != name:
+            df = df.withColumnRenamed(name, canon)
+        out[canon] = typ
+    return df, out
 
 
 def _merge_props(declared: dict, batch: dict, op: str) -> dict:
@@ -144,14 +168,21 @@ def _merge_props(declared: dict, batch: dict, op: str) -> dict:
     commits, so a per-write type flip would corrupt older commits'
     values instead of failing)."""
     out = dict(declared)
+    low = {n.lower(): n for n in out}
     for name, typ in batch.items():
-        old = out.get(name)
+        # case-INSENSITIVE key match, declared spelling wins: Spark
+        # resolves columns case-insensitively, so 'Kind' and 'kind'
+        # are one column — declaring both would brick every
+        # props-aware read with COLUMN_ALREADY_EXISTS
+        canon = low.get(name.lower(), name)
+        old = out.get(canon)
         if old is not None and old != typ:
             raise ValueError(
-                f"{op}: property column {name!r} is declared {old} in "
+                f"{op}: property column {canon!r} is declared {old} in "
                 f"the store but this batch carries {typ}; property "
                 f"types are store-wide — cast the batch")
-        out[name] = typ
+        out[canon] = typ
+        low[canon.lower()] = canon
     return out
 
 
@@ -414,7 +445,10 @@ class GraphEngine:
         plain batch). One metadata-cheap job over the
         (micro-batch-sized) input."""
         props = _prop_schema(df, ("graph", "src", "dst", "w"), op)
-        if "w" not in df.columns:
+        # case-insensitive presence check: withColumn resolves names
+        # case-insensitively, so a batch carrying 'W' must not have its
+        # weights silently replaced with the default
+        if not any(c.lower() == "w" for c in df.columns):
             df = df.withColumn("w", F.lit(1))
         df = df.select(F.col("src").cast("int"),
                        F.col("dst").cast("int"),
@@ -481,6 +515,9 @@ class GraphEngine:
             if cid in referenced:
                 return False  # replayed batch — already published
         edges, batch_props = self._validated_weights(edges, "append_edges")
+        edges, batch_props = _canon_props(
+            edges, batch_props, prev0.get("props", {}).get("edges", {}),
+            "append_edges")
         # loud type-conflict check BEFORE any files land (re-checked
         # inside the CAS closure against the then-current manifest)
         _merge_props(prev0.get("props", {}).get("edges", {}),
@@ -541,8 +578,9 @@ class GraphEngine:
 
         return self.manifests.commit(update) is not None
 
-    def merge_edges(self, updates: DataFrame,
-                    delete: bool = False) -> tuple[frozenset, frozenset]:
+    def merge_edges(self, updates: DataFrame, delete: bool = False, *,
+                    pinned_snapshot: GraphSnapshot | None = None
+                    ) -> tuple[frozenset, frozenset]:
         """MERGE INTO over the stored edge sets: upsert (default) or
         delete by edge key. ``updates`` carries ``(graph, src, dst[,
         w])``; matched (graph, src, dst) keys take the update's weight
@@ -571,8 +609,15 @@ class GraphEngine:
         flipped to this merge's rewrite, ``skipped`` the touched graphs
         whose pointer moved mid-merge (their changes were dropped —
         retry the merge for those). The SQL-DML surface
-        (operators/dml.py) raises on a non-empty ``skipped``."""
-        snap = self.snapshot()
+        (operators/dml.py) raises on a non-empty ``skipped``.
+
+        ``pinned_snapshot``: a caller that COMPUTED ``updates`` from a
+        snapshot it already pinned passes it here so the CAS check
+        covers the whole read-modify-write — otherwise a write landing
+        between the caller's read and this method's own pin would be
+        silently overwritten by stale rows while every graph counts as
+        adopted (the SQL UPDATE/DELETE paths pass the view snapshot)."""
+        snap = pinned_snapshot or self.snapshot()
         batch_props: dict[str, str] = {}
         if delete:
             # a delete matches on keys only — w is never stored
@@ -585,6 +630,9 @@ class GraphEngine:
         else:
             updates, batch_props = self._validated_weights(
                 updates, "merge_edges")
+            updates, batch_props = _canon_props(
+                updates, batch_props, snap.props.get("edges", {}),
+                "merge_edges")
             _merge_props(snap.props.get("edges", {}), batch_props,
                          "merge_edges")
         touched = [r["graph"]
@@ -666,8 +714,9 @@ class GraphEngine:
         adopted = frozenset(outcome[0])
         return adopted, frozenset(touched) - adopted
 
-    def set_vertex_props(self, verts: DataFrame) -> tuple[frozenset,
-                                                          frozenset]:
+    def set_vertex_props(self, verts: DataFrame, *,
+                         pinned_snapshot: GraphSnapshot | None = None
+                         ) -> tuple[frozenset, frozenset]:
         """Upsert typed VERTEX property rows by ``(graph, vid)``:
         ``verts`` carries the key plus one or more property columns
         (any Spark SQL type; names validated against the reserved
@@ -685,16 +734,21 @@ class GraphEngine:
         The reference's store has no vertex state at all beyond
         membership (``secondary_server.c:544-559`` — matrix cells
         only); this is the property-graph extension. Economics and
-        concurrency are exactly :meth:`merge_edges`: copy-on-write
+        concurrency are exactly :meth:`merge_edges` — including
+        ``pinned_snapshot`` for callers whose batch was computed from
+        an already-pinned snapshot (the SQL UPDATE path): copy-on-write
         rewrite of the touched graphs (edges copied through
         unchanged, props intact) + CAS pointer flip; returns
         ``(adopted, skipped)``."""
-        snap = self.snapshot()
+        snap = pinned_snapshot or self.snapshot()
         if not {"graph", "vid"} <= set(verts.columns):
             raise ValueError("set_vertex_props needs (graph, vid, "
                              f"*props) columns; got {verts.columns}")
         batch_props = _prop_schema(verts, ("graph", "vid"),
                                    "set_vertex_props")
+        verts, batch_props = _canon_props(
+            verts, batch_props, snap.props.get("vertices", {}),
+            "set_vertex_props")
         _merge_props(snap.props.get("vertices", {}), batch_props,
                      "set_vertex_props")
         verts = verts.select(F.col("vid").cast("int"),
@@ -1077,7 +1131,7 @@ class GraphEngine:
              else snap.edges(name).select("graph", "src", "dst"))
         out = motif.find(e, pattern)
         if vertex_structs:
-            v = snap.vertices(name, props=True)
+            v = snap.vertices(name, props=True).distinct()
             vcols = [c for c in v.columns if c != "graph"]
             for col, dtype in out.dtypes:
                 if col == "graph" or dtype != "bigint":
@@ -1177,7 +1231,9 @@ class GraphEngine:
         kernel's level. The per-graph minimum is one map-side-combined
         agg + a self-join back — no window over the full level set."""
         snap = self.snapshot()
-        verts = snap.vertices(name, props=True)
+        # distinct: duplicated vertex rows (concurrent appends) must
+        # not duplicate seeds or target rows
+        verts = snap.vertices(name, props=True).distinct()
         starts = verts.filter(from_expr) \
             .select("graph", F.col("vid").cast("long"))
         edges = (snap.edges(name).select("graph", "src", "dst")
@@ -1212,33 +1268,33 @@ class GraphEngine:
         API's own contract — GraphX's shortestPaths ships a k-entry
         map per vertex, the same factor) via a broadcast join against
         the (graph, landmark) pairs actually present; graphs lacking a
-        landmark vid never enter that landmark's traversal."""
+        landmark vid never enter that landmark's traversal. The
+        landmark is a second GROUPING KEY of the superstep loop
+        (``_bfs_loop`` key_cols) — never packed into the graph-name
+        string, so arbitrary graph names stay safe."""
         if not landmarks:
             raise ValueError("shortest_paths needs at least one landmark")
         spark = self.spark
-        sep = "\x1f"
         snap = self.snapshot()
-        lms = spark.createDataFrame([(int(v),) for v in landmarks],
-                                    "lm long")
+        lms = spark.createDataFrame(
+            sorted({(int(v),) for v in landmarks}), "lm long")
         verts = snap.vertices(name).select("graph",
                                            F.col("vid").cast("long"))
         starts = (verts.join(F.broadcast(lms),
                              verts["vid"] == lms["lm"])
-                  .select("graph", "lm", "vid"))
+                  .select("graph", "lm", "vid").distinct())
         rev = snap.edges(name).select(
             "graph", F.col("dst").cast("long").alias("src"),
             F.col("src").cast("long").alias("dst"))
         lmg = starts.select("graph", "lm").distinct()
-        gk = F.concat_ws(sep, F.col("graph"), F.col("lm"))
         e2 = (rev.join(F.broadcast(lmg), "graph")
-              .select(gk.alias("graph"), "src", "dst"))
-        seeds = starts.select(gk.alias("graph"), "vid")
-        levels = pregel.bfs_levels_grouped(e2, seeds, max_hops)
+              .select("graph", "lm", "src", "dst")
+              .repartition("graph", "src").persist())
+        levels = pregel._bfs_loop(e2, starts, ["graph", "lm"], max_hops)
+        e2.unpersist()
         return levels.select(
-            F.substring_index("graph", sep, 1).alias("graph"),
-            F.col("vid").cast("int").alias("vid"),
-            F.substring_index("graph", sep, -1).cast("int")
-            .alias("landmark"),
+            "graph", F.col("vid").cast("int").alias("vid"),
+            F.col("lm").cast("int").alias("landmark"),
             F.col("level").alias("hops"))
 
     def triplets(self, name: str | None = None) -> DataFrame:
@@ -1252,7 +1308,12 @@ class GraphEngine:
         :meth:`aggregate_messages` sends over."""
         snap = self.snapshot()
         e = snap.weighted_edges(name, props=True)
-        v = snap.vertices(name, props=True)
+        # distinct: concurrent same-graph appends can duplicate a
+        # (graph, vid) vertex row (each anti-joined against the same
+        # pre-append snapshot; compaction is the heal point) — an
+        # undeduped endpoint join would multiply triplets and corrupt
+        # every aggregate built on them
+        v = snap.vertices(name, props=True).distinct()
         vcols = [c for c in v.columns if c != "graph"]
         ecols = [c for c in e.columns if c != "graph"]
 
@@ -1688,51 +1749,64 @@ class GraphEngine:
         if send_to_src is None and send_to_dst is None:
             raise ValueError("pregel: provide send_to_src and/or "
                              "send_to_dst")
-        if vertex_col.lower() in _RESERVED_COLS or vertex_col == "msg":
+        if vertex_col.lower() in _RESERVED_COLS | {"msg"}:
             raise ValueError(f"pregel: vertex_col {vertex_col!r} collides "
                              f"with a reserved column")
         snap = self.snapshot()
+        declared = {c.lower() for c in snap.props.get("vertices", {})}
+        if vertex_col.lower() in declared:
+            raise ValueError(
+                f"pregel: vertex_col {vertex_col!r} collides with a "
+                f"declared vertex property — pick a fresh state name")
+        if "msg" in declared:
+            raise ValueError(
+                "pregel: the store declares a vertex property named "
+                "'msg', which collides with the aggregated-message "
+                "column this loop joins in — rename the property")
         e = snap.weighted_edges(name, props=True)
         ecols = [c for c in e.columns if c != "graph"]
         e = (e.withColumn("edge",
                           F.struct(*[F.col(c) for c in ecols]))
              .select("graph", "src", "dst", "edge")
              .repartition("graph", "src").persist())
-        v = (snap.vertices(name, props=True)
+        v = (snap.vertices(name, props=True).distinct()
              .withColumn(vertex_col, F.expr(initial_expr))
              .localCheckpoint(eager=True))
         vcols = [c for c in v.columns if c != "graph"]
-        for _ in range(max_iter):
-            def _endpoint(key: str):
-                return v.select(
-                    "graph", F.col("vid").alias(key),
-                    F.struct(*[F.col(c) for c in vcols])
-                    .alias(f"__{key}_s"))
+        try:
+            for _ in range(max_iter):
+                def _endpoint(key: str):
+                    return v.select(
+                        "graph", F.col("vid").alias(key),
+                        F.struct(*[F.col(c) for c in vcols])
+                        .alias(f"__{key}_s"))
 
-            trip = (e.join(_endpoint("src"), ["graph", "src"])
-                    .join(_endpoint("dst"), ["graph", "dst"])
-                    .select("graph", "edge",
-                            F.col("__src_s").alias("src"),
-                            F.col("__dst_s").alias("dst")))
-            legs = []
-            if send_to_src is not None:
-                legs.append(trip.select(
-                    "graph", F.col("src.vid").alias("vid"),
-                    F.expr(send_to_src).alias("msg")))
-            if send_to_dst is not None:
-                legs.append(trip.select(
-                    "graph", F.col("dst.vid").alias("vid"),
-                    F.expr(send_to_dst).alias("msg")))
-            msgs = (legs[0] if len(legs) == 1
-                    else legs[0].unionByName(legs[1]))
-            msgs = (msgs.groupBy("graph", "vid")
-                    .agg(F.expr(agg_expr).alias("msg")))
-            v = (v.join(msgs, ["graph", "vid"], "left")
-                 .withColumn(vertex_col, F.expr(update_expr))
-                 .drop("msg")
-                 .select("graph", *vcols)
-                 .localCheckpoint(eager=True))
-        e.unpersist()
+                trip = (e.join(_endpoint("src"), ["graph", "src"])
+                        .join(_endpoint("dst"), ["graph", "dst"])
+                        .select("graph", "edge",
+                                F.col("__src_s").alias("src"),
+                                F.col("__dst_s").alias("dst")))
+                legs = []
+                if send_to_src is not None:
+                    legs.append(trip.select(
+                        "graph", F.col("src.vid").alias("vid"),
+                        F.expr(send_to_src).alias("msg")))
+                if send_to_dst is not None:
+                    legs.append(trip.select(
+                        "graph", F.col("dst.vid").alias("vid"),
+                        F.expr(send_to_dst).alias("msg")))
+                msgs = (legs[0] if len(legs) == 1
+                        else legs[0].unionByName(legs[1]))
+                msgs = (msgs.groupBy("graph", "vid")
+                        .agg(F.expr(agg_expr).alias("msg")))
+                v = (v.join(msgs, ["graph", "vid"], "left")
+                     .withColumn(vertex_col, F.expr(update_expr))
+                     .drop("msg")
+                     .select("graph", *vcols)
+                     .localCheckpoint(eager=True))
+        finally:
+            # unpersist even when a user expression fails mid-loop —
+            # otherwise the repartitioned edge frame stays cached for
+            # the rest of the session
+            e.unpersist()
         return v
-
-    # -- op 3: DFS-forest leaves ------------------------------------------

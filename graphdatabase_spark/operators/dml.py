@@ -216,16 +216,24 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
         col = m.group(1)
         snap = engine.create_views(prefix)
         vprops = snap.props.get("vertices", {})
-        if col not in vprops:
+        # SQL identifiers are case-insensitive: resolve against the
+        # declared spelling
+        hit = [n for n in vprops if n.lower() == col.lower()]
+        if not hit:
             raise ValueError(
                 f"UPDATE {verts_t}: only a declared vertex property "
                 f"column is assignable (graph/vid are the key); got SET "
                 f"{col}, declared properties {sorted(vprops)}")
+        col = hit[0]
         rows = spark.table(verts_t)
         if m.group(3):
             rows = rows.filter(F.expr(m.group(3)))
         updates = rows.withColumn(col, F.expr(m.group(2)).cast(vprops[col]))
-        _check_adopted(engine.set_vertex_props(updates),
+        # the batch was computed FROM snap: pin the same snapshot for
+        # the CAS so a write landing in between is skipped loudly,
+        # never silently overwritten with stale rows
+        _check_adopted(engine.set_vertex_props(updates,
+                                               pinned_snapshot=snap),
                        f"UPDATE {verts_t}")
         return None
 
@@ -235,10 +243,11 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
         col = m.group(1)
         snap = engine.create_views(prefix)
         eprops = snap.props.get("edges", {})
+        hit = [n for n in eprops if n.lower() == col.lower()]
         if col.lower() == "w":
             col, cast_t = "w", "int"
-        elif col in eprops:
-            cast_t = eprops[col]  # keep the store-wide declared type
+        elif hit:  # SQL identifiers are case-insensitive
+            col, cast_t = hit[0], eprops[hit[0]]
         else:
             raise ValueError(
                 f"UPDATE {edges_t}: only w or a declared edge property "
@@ -252,19 +261,20 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
         # an UPDATE over a property-carrying store rewrites rows with
         # their other property values intact
         updates = rows.withColumn(col, F.expr(m.group(2)).cast(cast_t))
-        _check_adopted(engine.merge_edges(updates), f"UPDATE {edges_t}")
+        _check_adopted(engine.merge_edges(updates, pinned_snapshot=snap),
+                       f"UPDATE {edges_t}")
         return None
 
     m = re.match(rf"(?is)^DELETE\s+FROM\s+{edges_t}"
                  rf"(?:\s+WHERE\s+(.*))?$", stmt)
     if m:
-        engine.create_views(prefix)
+        snap = engine.create_views(prefix)
         keys = spark.table(edges_t)
         if m.group(1):
             keys = keys.filter(F.expr(m.group(1)))
         _check_adopted(
             engine.merge_edges(keys.select("graph", "src", "dst"),
-                               delete=True),
+                               delete=True, pinned_snapshot=snap),
             f"DELETE FROM {edges_t}")
         return None
 

@@ -174,3 +174,66 @@ def test_triplets_view(engine, spark):
     assert rows[(1, 2)]["edge"]["w"] == 2
     assert rows[(1, 2)]["src"]["role"] == "root"
     assert rows[(3, 4)]["src"]["role"] is None
+
+
+def test_pregel_rejects_declared_prop_collisions(engine, spark):
+    engine.set_vertex_props(spark.createDataFrame(
+        [("P", 1, "a")], "graph string, vid int, tag string"))
+    with pytest.raises(ValueError, match="declared vertex property"):
+        engine.pregel("TAG", "0", "max(msg)", "msg", send_to_dst="1",
+                      max_iter=1)
+    eng2 = GraphEngine(spark, engine.store + "2")
+    eng2.append_edges(spark.createDataFrame(
+        [("Z", 1, 2, 1)], "graph string, src int, dst int, w int"))
+    eng2.set_vertex_props(spark.createDataFrame(
+        [("Z", 1, "m")], "graph string, vid int, msg string"))
+    with pytest.raises(ValueError, match="property named 'msg'"):
+        eng2.pregel("x", "0", "max(msg)", "msg", send_to_dst="1",
+                    max_iter=1)
+
+
+def test_shortest_paths_graph_names_with_separator_bytes(spark, tmp_path):
+    """Review r10: the landmark is a grouping KEY, never packed into
+    the graph-name string — names with control bytes stay intact."""
+    eng = GraphEngine(spark, str(tmp_path / "sep"))
+    weird = "a\x1fb"
+    eng.append_edges(spark.createDataFrame(
+        [(weird, 1, 2, 1), (weird, 2, 3, 1)],
+        "graph string, src int, dst int, w int"))
+    got = sorted(tuple(r) for r in eng.shortest_paths([3]).collect())
+    assert got == [(weird, 1, 3, 2), (weird, 2, 3, 1), (weird, 3, 3, 0)]
+
+
+def test_duplicate_vertex_rows_do_not_multiply_triplets(spark, tmp_path):
+    """Review r10: concurrent same-graph appends can duplicate a
+    (graph, vid) vertex row (compaction is the heal point); the
+    triplet/message surfaces must dedupe before joining."""
+    from graphdatabase_spark import metastore
+
+    store = metastore.InMemoryManifestStore()
+    eng = GraphEngine(spark, str(tmp_path / "d"), manifest_store=store)
+    eng.append_edges(spark.createDataFrame(
+        [("D", 1, 2, 1)], "graph string, src int, dst int, w int"))
+    fired = {}
+
+    def interleave(name):
+        if not fired:
+            fired["x"] = True
+            store.before_put = None
+            GraphEngine(spark, eng.store, manifest_store=store) \
+                .append_edges(spark.createDataFrame(
+                    [("D", 5, 3, 1)],
+                    "graph string, src int, dst int, w int"))
+
+    store.before_put = interleave
+    # vid 5 is NEW to both concurrent batches: each anti-joins against
+    # the same pre-append snapshot, so both write a vertex row for it
+    eng.append_edges(spark.createDataFrame(
+        [("D", 5, 4, 1)], "graph string, src int, dst int, w int"))
+    vids = [r["vid"] for r in eng.vertices("D").collect()]
+    assert vids.count(5) == 2   # the race really duplicated the row
+    n_edges = eng.weighted_edges("D").count()
+    assert eng.triplets("D").count() == n_edges
+    got = {r["vid"]: r["agg_value"] for r in eng.aggregate_messages(
+        "count(msg)", send_to_dst="1", name="D").collect()}
+    assert got == {2: 1, 3: 1, 4: 1}

@@ -239,3 +239,67 @@ def test_vertex_upsert_reports_non_adoption(spark, tmp_path):
     # by the unadopted upsert? the manifest column schema IS declared
     # only on adoption — nothing published means nothing declared
     assert "props" not in (eng.manifests.load() or {})
+
+
+def test_case_variant_prop_names_are_one_column(engine, spark):
+    """Review r10: Spark resolves columns case-insensitively, so a
+    batch spelling a declared property differently must MERGE into the
+    declared column (manifest never holds case-duplicates — that would
+    brick every props-aware read), and reads keep working."""
+    engine.append_edges(spark.createDataFrame(
+        [("A", 1, 2, 1, "x")],
+        "graph string, src int, dst int, w int, Kind string"))
+    engine.append_edges(spark.createDataFrame(
+        [("A", 2, 3, 1, "y")],
+        "graph string, src int, dst int, w int, kind string"))
+    snap = engine.snapshot()
+    assert list(snap.props["edges"]) == ["Kind"]   # first spelling wins
+    assert _rows(snap.weighted_edges(props=True)) == [
+        (1, 2, 1, "x", "A"), (2, 3, 1, "y", "A")]
+    # type conflict still detected across case variants
+    with pytest.raises(ValueError, match="store-wide"):
+        engine.append_edges(spark.createDataFrame(
+            [("A", 3, 4, 1, 9)],
+            "graph string, src int, dst int, w int, KIND int"))
+    # intra-batch case duplicates fail loudly
+    with pytest.raises(ValueError, match="differ only by case"):
+        engine.append_edges(
+            spark.createDataFrame([("A", 5, 6, 1, "a", "b")],
+                                  "graph string, src int, dst int, "
+                                  "w int, tag string, TAG string"))
+    # SQL UPDATE resolves the declared spelling case-insensitively
+    engine.sql("UPDATE gdb_edges SET kind = upper(Kind) WHERE src = 1")
+    got = {(r["src"], r["Kind"]) for r in engine.sql(
+        "SELECT src, Kind FROM gdb_edges").collect()}
+    assert got == {(1, "X"), (2, "y")}
+
+
+def test_uppercase_weight_column_is_not_defaulted(engine, spark):
+    """Review r10: a batch carrying 'W' must keep its weights — the
+    presence check is case-insensitive like Spark's resolver."""
+    engine.append_edges(spark.createDataFrame(
+        [("A", 1, 2, 5)], "graph string, src int, dst int, W int"))
+    assert _rows(engine.weighted_edges("A")) == [(1, 2, 5, "A")]
+
+
+def test_pinned_snapshot_catches_read_modify_write_race(engine, spark):
+    """Review r10: a caller that computed its updates from an earlier
+    snapshot passes it to merge_edges/set_vertex_props so a write
+    landing in between SKIPS loudly instead of being overwritten by
+    stale rows."""
+    engine.sql("INSERT INTO gdb_edges VALUES ('R', 1, 2, 1)")
+    old = engine.snapshot()
+    stale = old.weighted_edges("R").withColumn("w", F.col("w") + 10)
+    engine.add_graph("R", "2\n0 0\n1 0\n")  # concurrent overwrite
+    adopted, skipped = engine.merge_edges(stale, pinned_snapshot=old)
+    assert adopted == frozenset() and skipped == {"R"}
+    # the concurrent writer's state survived
+    assert _rows(engine.weighted_edges("R")) == [(2, 1, 1, "R")]
+    # same contract for vertex upserts
+    old = engine.snapshot()
+    engine.add_graph("R", "2\n0 1\n0 0\n")
+    a, s = engine.set_vertex_props(
+        spark.createDataFrame([("R", 1, "x")],
+                              "graph string, vid int, tag string"),
+        pinned_snapshot=old)
+    assert a == frozenset() and s == {"R"}
