@@ -83,7 +83,8 @@ _FIXTURE_STORE_IDS = frozenset({
     "motif_find"})
 _MERGE_STORE_IDS = frozenset({"store_merge_edges", "store_snapshot_diff"})
 _PROPS_STORE_IDS = frozenset({"motif_weighted", "bfs_expr",
-                              "shortest_paths_landmarks"})
+                              "shortest_paths_landmarks",
+                              "pregel_max_prop"})
 _DERIVED_EDGE_IDS = frozenset({
     "bfs_levels", "reachability", "shortest_path_hops", "kcore",
     "graph_degree", "sssp_weighted", "dfs_leaves_tree", "graph_stats"})

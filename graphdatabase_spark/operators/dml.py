@@ -28,9 +28,11 @@ anchored grammar, not a SQL parser — and every embedded QUERY
   upsert by (graph, vid); a bare-key batch adds isolated vertices
   without touching existing property values) and
   ``UPDATE <prefix>_vertices SET <declared prop> = <expr> [WHERE …]``
-  (graph/vid are the key — no vertex DELETE: removing a vertex that
-  edges may reference is a graph surgery, spell it via the edge DML
-  plus an overwrite).
+  (graph/vid are the key) and
+  ``DELETE FROM <prefix>_vertices [WHERE …]`` — the SAFE spelling of
+  vertex removal: a CASCADE that drops each matched vertex AND every
+  incident edge in ONE commit (``engine.delete_vertices``), so the
+  store never holds edges referencing a vertex it no longer lists.
 
 Anything else raises ValueError naming the unsupported clause —
 failing loudly beats silently writing the wrong rows. ``SELECT`` /
@@ -131,12 +133,16 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
     spark = engine.spark
     stmt = text.strip().rstrip(";").strip()
     edges_t = f"{prefix}_edges"
+    # regex-escaped table tokens for the anchored statement-head
+    # patterns: a prefix carrying regex metacharacters must not
+    # silently change matching semantics (round-10 advice)
+    edges_p = re.escape(edges_t)
 
     if re.match(r"(?is)^(SELECT|WITH)\b", stmt):
         engine.create_views(prefix)
         return spark.sql(stmt)
 
-    m = re.match(rf"(?is)^INSERT\s+INTO\s+{edges_t}\s+(.*)$", stmt)
+    m = re.match(rf"(?is)^INSERT\s+INTO\s+{edges_p}\s+(.*)$", stmt)
     if m:
         tail = m.group(1).strip()
         cols = None
@@ -172,7 +178,8 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
         return None
 
     verts_t = f"{prefix}_vertices"
-    m = re.match(rf"(?is)^INSERT\s+INTO\s+{verts_t}\s+(.*)$", stmt)
+    verts_p = re.escape(verts_t)
+    m = re.match(rf"(?is)^INSERT\s+INTO\s+{verts_p}\s+(.*)$", stmt)
     if m:
         tail = m.group(1).strip()
         cols = None
@@ -210,7 +217,7 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
             *[c.lower() for c in df.columns])), f"INSERT INTO {verts_t}")
         return None
 
-    m = re.match(rf"(?is)^UPDATE\s+{verts_t}\s+SET\s+(\w+)\s*=\s*(.*?)"
+    m = re.match(rf"(?is)^UPDATE\s+{verts_p}\s+SET\s+(\w+)\s*=\s*(.*?)"
                  rf"(?:\s+WHERE\s+(.*))?$", stmt)
     if m:
         col = m.group(1)
@@ -237,7 +244,7 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
                        f"UPDATE {verts_t}")
         return None
 
-    m = re.match(rf"(?is)^UPDATE\s+{edges_t}\s+SET\s+(\w+)\s*=\s*(.*?)"
+    m = re.match(rf"(?is)^UPDATE\s+{edges_p}\s+SET\s+(\w+)\s*=\s*(.*?)"
                  rf"(?:\s+WHERE\s+(.*))?$", stmt)
     if m:
         col = m.group(1)
@@ -265,7 +272,23 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
                        f"UPDATE {edges_t}")
         return None
 
-    m = re.match(rf"(?is)^DELETE\s+FROM\s+{edges_t}"
+    m = re.match(rf"(?is)^DELETE\s+FROM\s+{verts_p}"
+                 rf"(?:\s+WHERE\s+(.*))?$", stmt)
+    if m:
+        # vertex removal is a CASCADE: the matched vertices AND every
+        # incident edge go in one commit (engine.delete_vertices) —
+        # the safe spelling of the graph surgery a bare vertex DELETE
+        # would leave half-done
+        snap = engine.create_views(prefix)
+        keys = spark.table(verts_t)
+        if m.group(1):
+            keys = keys.filter(F.expr(m.group(1)))
+        _check_adopted(engine.delete_vertices(keys.select("graph", "vid"),
+                                              pinned_snapshot=snap),
+                       f"DELETE FROM {verts_t}")
+        return None
+
+    m = re.match(rf"(?is)^DELETE\s+FROM\s+{edges_p}"
                  rf"(?:\s+WHERE\s+(.*))?$", stmt)
     if m:
         snap = engine.create_views(prefix)
@@ -278,7 +301,7 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
             f"DELETE FROM {edges_t}")
         return None
 
-    m = re.match(rf"(?is)^MERGE\s+INTO\s+{edges_t}\s+(.*)$", stmt)
+    m = re.match(rf"(?is)^MERGE\s+INTO\s+{edges_p}\s+(.*)$", stmt)
     if m:
         target, rest = _strip_alias(m.group(1))
         target = target or edges_t
@@ -300,8 +323,29 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
             rf"(?:{target}\.)?w\s*=\s*{source}\.w\s+"
             rf"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$", actions)
         if upsert:
+            src_edges = _edge_frame(src_df, "MERGE INTO")
+            snap = engine.snapshot()
+            eprops = snap.props.get("edges", {})
+            have = {c.lower() for c in src_edges.columns}
+            missing = [p for p in eprops if p.lower() not in have]
+            if missing:
+                # SQL MERGE's UPDATE SET w = s.w touches ONLY w: matched
+                # keys must keep their other declared edge property
+                # values (the UPDATE path's rule), but merge_edges
+                # upserts the source row wholesale — so carry the
+                # missing properties from the pinned snapshot via a
+                # key join. Unmatched (insert) keys read NULL props,
+                # exactly INSERT *'s semantics. dropDuplicates guards
+                # the join against append chains holding a key twice
+                # (which row's props win is already undefined there,
+                # like every MERGE dialect's duplicate-source rule).
+                carried = (snap.weighted_edges(props=True)
+                           .select("graph", "src", "dst", *missing)
+                           .dropDuplicates(["graph", "src", "dst"]))
+                src_edges = src_edges.join(carried,
+                                           ["graph", "src", "dst"], "left")
             _check_adopted(engine.merge_edges(
-                _edge_frame(src_df, "MERGE INTO")), "MERGE INTO")
+                src_edges, pinned_snapshot=snap), "MERGE INTO")
             return None
         if re.match(r"(?is)^WHEN\s+MATCHED\s+THEN\s+DELETE$", actions):
             _check_adopted(engine.merge_edges(

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphdatabase_spark.cache import shared_persist, track_persist
+from graphdatabase_spark.operators.pregel import _ckpt
 
 # Peeling-round ceiling for k_core (and the unrolled oracle): the
 # observed fixpoint is ≤ 8 rounds on the derived graph at sf 0.001-0.1;
@@ -237,11 +238,11 @@ def k_core(edges: DataFrame, k: int,
     ``max_rounds`` — the SQL oracle unrolls the same bound, so a silent
     truncation is impossible."""
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(_ckpt)
     deg = (
         e.select(F.col("src").alias("vid")).unionAll(e.select(F.col("dst").alias("vid")))
         .groupBy("vid").agg(F.count(F.lit(1)).alias("d"))
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt)
     for _ in range(max_rounds):
         removed = deg.filter(F.col("d") < k).select("vid")
         n_removed = removed.count()
@@ -264,7 +265,7 @@ def k_core(edges: DataFrame, k: int,
             deg.join(removed, "vid", "left_anti")
             .join(loss, "vid", "left")
             .select("vid", (F.col("d") - F.coalesce("loss", F.lit(0))).alias("d"))
-        ).localCheckpoint(eager=True)
+        ).transform(_ckpt)
     else:
         raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
     return deg.select("vid", F.col("d").alias("core_deg"))

@@ -95,6 +95,17 @@ def _parse(pattern: str) -> list[tuple[bool, str, str, str]]:
     return terms
 
 
+def named_vertices(pattern: str) -> list[str]:
+    """The NAMED-vertex output columns ``find`` returns for
+    ``pattern``, in output order (sorted). This IS the contract
+    ``engine.find(vertex_structs=True)`` keys its per-vertex struct
+    joins on — by name, never by inferring from column dtypes (a
+    future non-vid long column must not silently join as a vertex)."""
+    terms = _parse(pattern)
+    return sorted({v for neg, a, _, b in terms if not neg
+                   for v in (a, b) if not v.startswith("__anon")})
+
+
 def find(edges: DataFrame, pattern: str) -> DataFrame:
     """Match ``pattern`` against ``edges`` (``graph``, ``src``,
     ``dst`` — one row per directed edge, every stored graph at once).

@@ -29,11 +29,56 @@ Scale design (the parts that matter at 100 TB / 1000 executors):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 DEFAULT_MAX_ITERATIONS = 100
+
+# Checkpoint policy for every superstep kernel in this package. The
+# default is ``localCheckpoint(eager=True)`` everywhere: blocks live on
+# executors — the cheapest lineage truncation, and exactly right on
+# local[n] and for short loops. Its failure mode only exists on a real
+# cluster: localCheckpoint both STORES the data on executors AND
+# truncates the lineage, so one lost executor mid-iteration makes the
+# job unrecoverable (the blocks are gone and there is no lineage left
+# to recompute them). GraphX's own Pregel checkpoints to RELIABLE
+# storage every ~N rounds for exactly this reason; the context manager
+# below is that knob.
+_CKPT = {"every": 0, "n": 0}
+
+
+@contextmanager
+def reliable_checkpoints(spark, directory: str, every: int = 10):
+    """Run kernels with GraphX-style RELIABLE checkpointing: inside
+    this context every ``every``-th kernel checkpoint becomes a
+    ``df.checkpoint(eager=True)`` into ``directory`` (HDFS/S3 on a
+    cluster — survives executor loss), with ``localCheckpoint``
+    between. Results are bit-identical to the default policy
+    (tests/test_graph.py pins it); only failure recovery changes —
+    after an executor loss the loop recomputes at most ``every``
+    supersteps from the last reliable checkpoint instead of dying.
+    The knob lives here (one policy for all 30+ kernel checkpoint
+    sites) rather than as a per-kernel parameter."""
+    spark.sparkContext.setCheckpointDir(directory)
+    _CKPT["every"], _CKPT["n"] = max(1, int(every)), 0
+    try:
+        yield
+    finally:
+        _CKPT["every"], _CKPT["n"] = 0, 0
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """The kernels' one checkpoint call (used postfix via
+    ``.transform(_ckpt)``): localCheckpoint by default, every K-th
+    call reliable under :func:`reliable_checkpoints`."""
+    if _CKPT["every"]:
+        _CKPT["n"] += 1
+        if _CKPT["n"] % _CKPT["every"] == 0:
+            return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def _prepare_edges(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -82,7 +127,7 @@ def _bfs_loop(e: DataFrame, frontier: DataFrame, key_cols: list[str],
     anti-join: a vertex reachable from two same-level parents must be
     visited once (the reference's racy double-visit here is a bug not
     carried forward, SURVEY §2.2)."""
-    frontier = frontier.localCheckpoint(eager=True)
+    frontier = frontier.transform(_ckpt)
     frontiers: list[DataFrame] = [frontier.withColumn("level", F.lit(0))]
     visited = frontier
     join_keys = list(key_cols) + ["vid"]
@@ -101,7 +146,7 @@ def _bfs_loop(e: DataFrame, frontier: DataFrame, key_cols: list[str],
             .distinct()
             .join(visited, join_keys, "left_anti")
         )
-        nxt = nxt.localCheckpoint(eager=True)  # also truncates lineage
+        nxt = nxt.transform(_ckpt)  # also truncates lineage
         if nxt.isEmpty():
             break
         frontiers.append(nxt.withColumn("level", F.lit(level)))
@@ -181,7 +226,7 @@ def sssp_weighted(edges: DataFrame, start_vids: list[int],
         e = e.repartition("src").persist()
     dist = spark.createDataFrame(
         [(v, 0.0) for v in sorted({int(v) for v in start_vids})], "vid long, dist double")
-    dist = dist.localCheckpoint(eager=True)
+    dist = dist.transform(_ckpt)
     active = dist
 
     for _ in range(max_iterations):
@@ -196,7 +241,7 @@ def sssp_weighted(edges: DataFrame, start_vids: list[int],
             .filter(F.col("cur").isNull() | (F.col("d") < F.col("cur")))
             .select("vid", F.col("d").alias("dist"))
         )
-        improved = improved.localCheckpoint(eager=True)
+        improved = improved.transform(_ckpt)
         if improved.isEmpty():
             break
         dist = (
@@ -204,7 +249,7 @@ def sssp_weighted(edges: DataFrame, start_vids: list[int],
             .select("vid", F.coalesce("nd", "dist").alias("dist"))
             .unionByName(improved.join(dist, "vid", "left_anti"))
         )
-        dist = dist.localCheckpoint(eager=True)
+        dist = dist.transform(_ckpt)
         active = improved
     if not prepared:
         e.unpersist()
@@ -236,7 +281,7 @@ def pagerank(edges: DataFrame, vertices: DataFrame, damping: float = 0.85,
         .select("vid").persist()
     dang.count()
     ranks = verts.withColumn("rank", F.lit(1.0))
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.transform(_ckpt)
 
     for _ in range(iterations):
         contribs = (
@@ -258,7 +303,7 @@ def pagerank(edges: DataFrame, vertices: DataFrame, damping: float = 0.85,
             .crossJoin(F.broadcast(dangling))
             .select("vid", (base + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))).alias("rank"))
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.transform(_ckpt)
     ev.unpersist()
     verts.unpersist()
     dang.unpersist()
@@ -301,7 +346,7 @@ def pagerank_grouped(edges: DataFrame, vertices: DataFrame,
             .select("g", "vid").persist())
     dang.count()
     ranks = verts.withColumn("rank", F.lit(1.0))
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.transform(_ckpt)
 
     for _ in range(iterations):
         contribs = (
@@ -327,7 +372,7 @@ def pagerank_grouped(edges: DataFrame, vertices: DataFrame,
                     (base + F.lit(damping)
                      * F.coalesce(F.col("recv"), F.lit(0.0))).alias("rank"))
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.transform(_ckpt)
     ev.unpersist()
     verts.unpersist()
     ng.unpersist()
@@ -372,7 +417,7 @@ def pagerank_grouped_quantized(edges: DataFrame, vertices: DataFrame,
     dang.count()
     base_const = (15 * scale) // 100
     ranks = verts.withColumn("rank_q", F.lit(scale).cast("long"))
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.transform(_ckpt)
 
     for _ in range(iterations):
         contribs = (
@@ -397,7 +442,7 @@ def pagerank_grouped_quantized(edges: DataFrame, vertices: DataFrame,
                      + F.expr("(85 * coalesce(recv, 0L)) div 100")
                      ).cast("long").alias("rank_q"))
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.transform(_ckpt)
     ev.unpersist()
     verts.unpersist()
     ng.unpersist()
@@ -442,7 +487,7 @@ def pagerank_quantized(edges: DataFrame, vertices: DataFrame,
     dang.count()
     base_const = (15 * scale) // 100
     ranks = verts.withColumn("rank_q", F.lit(scale).cast("long"))
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.transform(_ckpt)
 
     for _ in range(iterations):
         contribs = (
@@ -464,7 +509,7 @@ def pagerank_quantized(edges: DataFrame, vertices: DataFrame,
                  + F.expr("(85 * coalesce(recv, 0L)) div 100")
                  ).cast("long").alias("rank_q"))
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.transform(_ckpt)
     ev.unpersist()
     verts.unpersist()
     dang.unpersist()
@@ -513,7 +558,7 @@ def personalized_pagerank_quantized(edges: DataFrame, vertices: DataFrame,
     base_const = (15 * scale) // 100
     ranks = verts.select(
         "vid", (F.col("is_src") * scale).cast("long").alias("rank_q"))
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.transform(_ckpt)
 
     for _ in range(iterations):
         contribs = (
@@ -535,7 +580,7 @@ def personalized_pagerank_quantized(edges: DataFrame, vertices: DataFrame,
                  + F.expr("(85 * coalesce(recv, 0L)) div 100")
                  ).cast("long").alias("rank_q"))
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.transform(_ckpt)
     ev.unpersist()
     verts.unpersist()
     dang.unpersist()
@@ -562,7 +607,7 @@ def label_propagation(edges: DataFrame, vertices: DataFrame,
     und = und.repartition("src").persist()
     labels = vertices.select(F.col("vid").cast("long")).distinct() \
         .withColumn("label", F.col("vid"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.transform(_ckpt)
     w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("label"))
 
     for _ in range(iterations):
@@ -577,7 +622,7 @@ def label_propagation(edges: DataFrame, vertices: DataFrame,
             labels.select("vid", "label").join(winner, "vid", "left")
             .select("vid", F.coalesce("new_label", "label").alias("label"))
         )
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.transform(_ckpt)
     und.unpersist()
     return labels
 
@@ -650,13 +695,13 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
          .filter(F.col("src") != F.col("dst"))
          .select(F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v"))
          .distinct())
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(_ckpt)
 
     rounds = 0
     for _ in range(max_iterations):
         if e.isEmpty():
             break
-        nxt = _cc_small_star(_cc_large_star(e)).localCheckpoint(eager=True)
+        nxt = _cc_small_star(_cc_large_star(e)).transform(_ckpt)
         rounds += 1
         unchanged = (nxt.join(e, ["u", "v"], "left_anti").isEmpty()
                      and e.join(nxt, ["u", "v"], "left_anti").isEmpty())
@@ -727,9 +772,9 @@ def strongly_connected_components(edges: DataFrame, vertices: DataFrame,
     """
     e = (edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
          .filter(F.col("src") != F.col("dst")).distinct()
-         .localCheckpoint(eager=True))
+         .transform(_ckpt))
     remaining = (vertices.select(F.col("vid").cast("long")).distinct()
-                 .localCheckpoint(eager=True))
+                 .transform(_ckpt))
     done: list[DataFrame] = []
     rounds = 0
     color_steps = 0
@@ -740,14 +785,14 @@ def strongly_connected_components(edges: DataFrame, vertices: DataFrame,
             nontrivial = (remaining
                           .join(e.select(F.col("src").alias("vid")), "vid", "left_semi")
                           .join(e.select(F.col("dst").alias("vid")), "vid", "left_semi")
-                          .localCheckpoint(eager=True))
+                          .transform(_ckpt))
             trivial = remaining.join(nontrivial, "vid", "left_anti") \
-                .localCheckpoint(eager=True)
+                .transform(_ckpt)
             remaining = nontrivial
             if trivial.isEmpty():
                 break
             done.append(trivial.select("vid", F.col("vid").alias("scc")))
-            e = _restrict_edges(e, remaining).localCheckpoint(eager=True)
+            e = _restrict_edges(e, remaining).transform(_ckpt)
         if remaining.isEmpty():
             break
         rounds += 1
@@ -759,7 +804,7 @@ def strongly_connected_components(edges: DataFrame, vertices: DataFrame,
         # truncates. Fail loudly instead (BFS-style bounded semantics
         # are not offered here for that reason).
         colors = remaining.select("vid", F.col("vid").alias("color")) \
-            .localCheckpoint(eager=True)
+            .transform(_ckpt)
         active = colors
         converged = False
         for _ in range(max_iterations):
@@ -769,7 +814,7 @@ def strongly_connected_components(edges: DataFrame, vertices: DataFrame,
             improved = (msgs.join(colors, "vid")
                         .filter(F.col("mc") < F.col("color"))
                         .select("vid", F.col("mc").alias("color"))
-                        .localCheckpoint(eager=True))
+                        .transform(_ckpt))
             color_steps += 1
             if improved.isEmpty():
                 converged = True
@@ -777,7 +822,7 @@ def strongly_connected_components(edges: DataFrame, vertices: DataFrame,
             colors = (colors.join(improved.withColumnRenamed("color", "nc"),
                                   "vid", "left")
                       .select("vid", F.coalesce("nc", "color").alias("color"))
-                      .localCheckpoint(eager=True))
+                      .transform(_ckpt))
             active = improved
         if not converged:
             raise RuntimeError(
@@ -792,7 +837,7 @@ def strongly_connected_components(edges: DataFrame, vertices: DataFrame,
         # materialized, lineage depth stays 1 — the _bfs_loop pattern).
         frontier = (colors.filter(F.col("vid") == F.col("color"))
                     .select("vid", F.col("vid").alias("scc"))
-                    .localCheckpoint(eager=True))
+                    .transform(_ckpt))
         extracted = frontier
         while True:
             preds = (frontier.join(e, frontier.vid == e.dst)
@@ -801,7 +846,7 @@ def strongly_connected_components(edges: DataFrame, vertices: DataFrame,
                      .filter(F.col("color") == F.col("scc"))
                      .select("vid", "scc")
                      .join(extracted, "vid", "left_anti")
-                     .localCheckpoint(eager=True))
+                     .transform(_ckpt))
             if preds.isEmpty():
                 break
             extracted = extracted.unionByName(preds)
@@ -810,10 +855,10 @@ def strongly_connected_components(edges: DataFrame, vertices: DataFrame,
 
         # 4. remove and iterate
         remaining = remaining.join(extracted, "vid", "left_anti") \
-            .localCheckpoint(eager=True)
+            .transform(_ckpt)
         if remaining.isEmpty():
             break
-        e = _restrict_edges(e, remaining).localCheckpoint(eager=True)
+        e = _restrict_edges(e, remaining).transform(_ckpt)
 
     if not remaining.isEmpty():
         raise RuntimeError(

@@ -39,62 +39,40 @@ _MODULES = [relational, graph_queries, text, dedup, similarity, streamops, multi
 # i.e. ids whose first driver row is still pending — are fronted in
 # ``_CHECK_FIRST``.  When rotating for round N+1: copy ``_CHECK_FIRST``
 # into ``_PREV_WINDOW`` first.
-# Round-10 window: the round-9 deferral (``_DEFERRED_R09`` — 28 ids
-# whose r07 rows hit the three-round horizon) is fronted FIRST, per
+# Round-11 window: the round-10 deferral (``_DEFERRED_R10`` — 28 ids
+# whose r08 rows hit the three-round horizon) is fronted FIRST, per
 # the rotation invariant.  Next the ids NEW or MODIFIED this round
-# (``store_sql_dml`` gained an ``UPDATE … SET w`` statement in its
-# oracle-checked statement list), then as many round-8-window ids as
-# fit.  With >100 registered ids and a fixed 50-row driver window a
-# two-window cover stays arithmetically impossible (2 × 50 < N): the
-# ids squeezed out (``_DEFERRED_R10`` below — r08 greens) keep their
-# r08 row until round 11, where they MUST be fronted.
+# (``store_sql_dml`` gained the vertex-DELETE cascade statement +
+# vertex-count read-back; ``pregel_max_prop`` gives the generic
+# ``engine.pregel`` vertex-program API its first oracle-checked
+# driver row), then as many round-9-window ids as fit.  With >100
+# registered ids and a fixed 50-row driver window a two-window cover
+# stays arithmetically impossible (2 × 50 < N): the ids squeezed out
+# (``_DEFERRED_R11`` below — r09 greens) keep their r09 row until
+# round 12, where they MUST be fronted.
 # tests/test_registry.py enforces the three-window cover and that
 # deferral beyond two rounds happens only because the registry
 # outgrew two windows — never silently.  Local full-registry parity
 # evidence stays per-round in PARITY_LOCAL.json
 # (tools/harness_replica.py).
-_DEFERRED_R10 = [
-    # r08-window ids squeezed out of the round-10 window (>100 ids >
-    # 2 x 50 driver slots); their latest driver row is r08, inside the
+_DEFERRED_R11 = [
+    # r09-window ids squeezed out of the round-11 window (>100 ids >
+    # 2 x 50 driver slots); their latest driver row is r09, inside the
     # three-window horizon, and tests/test_registry.py keeps this list
-    # explicit. Round 11 MUST front these.
-    "shipping_priority", "customers_without_orders",
-    "order_priority_rollup", "returns_cube", "top_orders_per_customer",
-    "running_revenue", "segment_distinct_customers",
-    "local_supplier_volume", "promo_revenue", "top_supplier",
-    "large_volume_customers", "sales_opportunity",
-    "personalized_pagerank", "label_propagation", "graph_degree",
-    "reachability", "shortest_path_hops", "clustering_coefficient",
-    "dfs_leaves_tree", "dfs_leaves", "dedup_near_guarded",
-    "embedding_cosine_topk", "events_quantiles_approx",
-    "chunk_dedup", "domain_mix",
-    "multimodal_features", "multimodal_frames", "multimodal_resize",
+    # explicit. Round 12 MUST front these.
+    "knn_join", "connected_components", "dedup_clusters",
+    "corpus_funnel", "ivf_recenter",
+    "store_stream_ingest", "store_merge_edges", "store_snapshot_diff",
+    "store_stats", "store_bfs_all", "store_cc_all", "store_scc_all",
+    "store_sssp_all", "store_pagerank_all", "store_sql_degree",
+    "motif_find",
+    "dedup_embedding", "dedup_near", "asof_join_events_salted",
+    "hybrid_search_rrf", "sql_recursive_reachability", "multimodal_meta",
+    "events_stream_dedup", "events_stream_join", "bfs_levels", "pagerank",
+    "kcore", "triangle_count", "similarity_topk",
 ]
 
 _PREV_WINDOW2 = [
-    # round-8 window (CORRECTNESS_r08.json's 50 rows, in order)
-    "graph_ingest_matrix", "pivot_returns", "window_showcase",
-    "sql_grouping_sets", "sample_split", "corpus_histogram",
-    "store_stream_ingest", "store_merge_edges", "store_sql_degree",
-    "customer_distribution", "waiting_suppliers",
-    "volume_shipping", "market_share",
-    "min_cost_supplier", "product_profit", "important_parts",
-    "parts_supplier_counts", "excess_stock_suppliers",
-    "returned_item_revenue", "shipmode_priority",
-    "vertex_jaccard", "store_snapshot_diff",
-    "multimodal_features", "multimodal_frames", "multimodal_resize",
-    "shipping_priority", "customers_without_orders", "order_priority_rollup",
-    "returns_cube", "top_orders_per_customer", "running_revenue",
-    "segment_distinct_customers", "local_supplier_volume", "promo_revenue",
-    "top_supplier", "large_volume_customers", "sales_opportunity",
-    "personalized_pagerank", "label_propagation", "graph_degree",
-    "reachability", "shortest_path_hops", "clustering_coefficient",
-    "dfs_leaves_tree", "dfs_leaves", "dedup_near_guarded",
-    "embedding_cosine_topk", "events_quantiles_approx",
-    "chunk_dedup", "domain_mix",
-]
-
-_PREV_WINDOW = [
     # round-9 window (CORRECTNESS_r09.json's 50 rows, in order)
     "scalar_functions", "set_ops", "summary_stats", "top_expensive_orders",
     "small_qty_revenue", "disjunctive_revenue", "text_stats", "token_count",
@@ -113,9 +91,8 @@ _PREV_WINDOW = [
     "kcore", "triangle_count", "similarity_topk",
 ]
 
-_CHECK_FIRST = [
-    # -- the round-9 deferral (28 ids, r07 rows at the three-round
-    # horizon): MUST front per the rotation invariant --
+_PREV_WINDOW = [
+    # round-10 window (CORRECTNESS_r10.json's 50 rows, in order)
     "asof_join_events", "contamination_check", "corpus_prep",
     "embedding_ann_lsh", "embedding_ivf_topk", "events_anomaly",
     "events_enriched", "events_funnel", "events_quantiles",
@@ -126,18 +103,8 @@ _CHECK_FIRST = [
     "segment_distinct_customers_approx", "sequence_pack",
     "pricing_summary", "sql_forecast_revenue", "sssp_weighted",
     "tfidf_top_terms", "top_ngrams",
-    # -- MODIFIED this round: store_sql_dml's statement list gained
-    # UPDATE … SET w (the round-9 verdict's missing oracle-checked
-    # UPDATE row) --
     "store_sql_dml",
-    # -- NEW this round: typed edge/vertex PROPERTY columns through
-    # the store (motif post-filtered on edge props + vertex-prop
-    # join), expression-targeted BFS (the GraphFrames
-    # bfs(fromExpr, toExpr) surface over vertex properties), and
-    # landmark shortest paths (GraphFrames shortestPaths — the last
-    # missing GraphFrames API) --
     "motif_weighted", "bfs_expr", "shortest_paths_landmarks",
-    # -- oldest r08-window ids (latest driver row is round 8) --
     "graph_ingest_matrix", "pivot_returns", "window_showcase",
     "sql_grouping_sets", "sample_split", "corpus_histogram",
     "customer_distribution", "waiting_suppliers", "volume_shipping",
@@ -145,8 +112,38 @@ _CHECK_FIRST = [
     "important_parts", "parts_supplier_counts", "excess_stock_suppliers",
     "returned_item_revenue", "shipmode_priority", "vertex_jaccard",
 ]
-# (the remaining r08-window ids are _DEFERRED_R10 above — their r08
-# rows stay within the three-window horizon; round 11 fronts them.)
+
+_CHECK_FIRST = [
+    # -- the round-10 deferral (28 ids, r08 rows at the three-round
+    # horizon): MUST front per the rotation invariant --
+    "shipping_priority", "customers_without_orders",
+    "order_priority_rollup", "returns_cube", "top_orders_per_customer",
+    "running_revenue", "segment_distinct_customers",
+    "local_supplier_volume", "promo_revenue", "top_supplier",
+    "large_volume_customers", "sales_opportunity",
+    "personalized_pagerank", "label_propagation", "graph_degree",
+    "reachability", "shortest_path_hops", "clustering_coefficient",
+    "dfs_leaves_tree", "dfs_leaves", "dedup_near_guarded",
+    "embedding_cosine_topk", "events_quantiles_approx",
+    "chunk_dedup", "domain_mix",
+    "multimodal_features", "multimodal_frames", "multimodal_resize",
+    # -- MODIFIED this round: store_sql_dml's statement list gained
+    # DELETE FROM gdb_vertices (the cascade vertex removal, round-10
+    # verdict item 7) and a vertex-count read-back --
+    "store_sql_dml",
+    # -- NEW this round: the generic pregel() vertex-program API's
+    # first oracle-checked driver row (round-10 verdict item 2) --
+    "pregel_max_prop",
+    # -- oldest r09-window ids (latest driver row is round 9) --
+    "scalar_functions", "set_ops", "summary_stats", "top_expensive_orders",
+    "small_qty_revenue", "disjunctive_revenue", "text_stats", "token_count",
+    "file_search", "wordcount_docs", "lang_id", "quality_score",
+    "doc_fingerprint", "dedup_exact", "dedup_simhash", "pii_scrub",
+    "dedup_minhash_lsh", "running_user_stats", "search_bm25",
+    "semdedup_ivf",
+]
+# (the remaining r09-window ids are _DEFERRED_R11 above — their r09
+# rows stay within the three-window horizon; round 12 fronts them.)
 
 # Query ids registered WITHOUT a DuckDB oracle (the driver records a
 # weaker rows-only check): approximate/sketch outputs whose exact values

@@ -239,3 +239,72 @@ def test_vertex_dml_surface(engine, spark):
         engine.sql("INSERT INTO gdb_vertices (vid, vname) VALUES (1, 'x')")
     with pytest.raises(ValueError, match="explicit column list"):
         engine.sql("INSERT INTO gdb_vertices VALUES ('A', 3, 'x')")
+
+
+def test_sql_merge_preserves_declared_edge_props(engine, spark):
+    """Round-10 advice (medium): MERGE's ``UPDATE SET w = s.w`` on a
+    property-carrying store must touch ONLY w for matched keys — the
+    other declared edge properties carry through (the UPDATE path's
+    rule), never silently NULLed by the wholesale upsert."""
+    engine.sql("INSERT INTO gdb_edges (graph, src, dst, w, kind) VALUES "
+               "('P', 1, 2, 3, 'follows'), ('P', 2, 3, 1, 'likes')")
+    engine.sql("MERGE INTO gdb_edges t USING "
+               "(SELECT 'P' AS graph, 1 AS src, 2 AS dst, 9 AS w "
+               " UNION ALL SELECT 'P', 7, 8, 4) s "
+               "ON t.graph = s.graph AND t.src = s.src AND t.dst = s.dst "
+               "WHEN MATCHED THEN UPDATE SET w = s.w "
+               "WHEN NOT MATCHED THEN INSERT *")
+    got = {(r["src"], r["dst"]): (r["w"], r["kind"])
+           for r in engine.sql(
+               "SELECT src, dst, w, kind FROM gdb_edges").collect()}
+    assert got == {(1, 2): (9, "follows"),   # matched: w new, kind kept
+                   (2, 3): (1, "likes"),     # untouched row intact
+                   (7, 8): (4, None)}        # inserted: props NULL
+    # a source that DOES carry the property wins over the stored value
+    engine.sql("MERGE INTO gdb_edges t USING "
+               "(SELECT 'P' AS graph, 1 AS src, 2 AS dst, 9 AS w, "
+               "'blocks' AS kind) s "
+               "ON t.graph = s.graph AND t.src = s.src AND t.dst = s.dst "
+               "WHEN MATCHED THEN UPDATE SET w = s.w "
+               "WHEN NOT MATCHED THEN INSERT *")
+    got = {r["src"]: r["kind"] for r in engine.sql(
+        "SELECT src, kind FROM gdb_edges WHERE dst = 2").collect()}
+    assert got[1] == "blocks"
+
+
+def test_delete_from_vertices_cascades(engine, spark):
+    """DELETE FROM gdb_vertices is the safe vertex-removal spelling:
+    the vertex row AND every incident edge go in one commit; the graph
+    stays cataloged and time travel sees the pre-delete state."""
+    engine.sql("INSERT INTO gdb_edges VALUES "
+               "('C', 1, 2, 1), ('C', 2, 3, 1), ('C', 3, 1, 1)")
+    engine.sql("INSERT INTO gdb_vertices (graph, vid, vname) "
+               "VALUES ('C', 2, 'victim'), ('C', 1, 'keeper')")
+    seq_before = engine.manifests.load()["seq"]
+    engine.sql("DELETE FROM gdb_vertices WHERE vid = 2")
+    assert _wedges(engine, "C") == {("C", 3, 1, 1)}
+    got = {r["vid"]: r["vname"] for r in engine.sql(
+        "SELECT vid, vname FROM gdb_vertices").collect()}
+    assert got == {1: "keeper", 3: None}
+    assert "C" in engine.graphs()          # catalog entry survives
+    old = engine.snapshot(seq=seq_before)  # time travel: pre-delete
+    assert {r["vid"] for r in old.vertices("C").collect()} == {1, 2, 3}
+    # deleting a vid no graph lists is a no-op, publishes nothing
+    seq = engine.manifests.load()["seq"]
+    engine.sql("DELETE FROM gdb_vertices WHERE vid = 99")
+    assert engine.manifests.load()["seq"] == seq
+
+
+def test_delete_vertices_api_contract(engine, spark):
+    """The DataFrame-API face of the cascade: key validation, unknown
+    graphs skipped, (adopted, skipped) reporting."""
+    engine.sql("INSERT INTO gdb_edges VALUES ('G', 1, 2, 1)")
+    with pytest.raises(ValueError, match="graph, vid"):
+        engine.delete_vertices(spark.createDataFrame(
+            [(1,)], "vid int"))
+    keys = spark.createDataFrame([("G", 2), ("NOPE", 1)],
+                                 "graph string, vid int")
+    adopted, skipped = engine.delete_vertices(keys)
+    assert adopted == {"G"} and skipped == frozenset()
+    assert _wedges(engine, "G") == set()
+    assert {r["vid"] for r in engine.vertices("G").collect()} == {1}

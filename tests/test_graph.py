@@ -502,3 +502,32 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         got = {r["vid"]: r["component"] for r in
                pregel.connected_components(e_df, v_df).collect()}
         assert got == want, f"seed {seed} (n={n}, m={m})"
+
+
+def test_reliable_checkpoint_mode_identical(spark, tmp_path, fixture_edges):
+    """Round-10 verdict item 4: the reliable-checkpoint escape hatch.
+    localCheckpoint stores blocks on executors, so on a real cluster
+    one lost executor mid-iteration kills an iterative job
+    unrecoverably; under ``pregel.reliable_checkpoints`` every K-th
+    kernel checkpoint lands on reliable storage instead (GraphX
+    Pregel's own cadence). Results must be identical — only failure
+    recovery changes — and the policy must reset on exit."""
+    import glob
+
+    g6 = fixture_edges.filter(F.col("graph") == "G6").select("src", "dst")
+    base = {(r["vid"], r["level"])
+            for r in pregel.bfs_levels(g6, [18]).collect()}
+    ckdir = str(tmp_path / "reliable_ck")
+    with pregel.reliable_checkpoints(spark, ckdir, every=2):
+        got = {(r["vid"], r["level"])
+               for r in pregel.bfs_levels(g6, [18]).collect()}
+        # a long loop under the reliable mode: 8-level BFS at every=2
+        # crosses the reliable cadence 4+ times
+        assert got == base
+        # the reliable dir actually received checkpoint data
+        assert glob.glob(os.path.join(ckdir, "*", "*"))
+    assert pregel._CKPT == {"every": 0, "n": 0}
+    # and the default policy still runs after the context
+    again = {(r["vid"], r["level"])
+             for r in pregel.bfs_levels(g6, [18]).collect()}
+    assert again == base

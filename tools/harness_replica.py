@@ -24,6 +24,69 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
+# Tolerance-banded value checks for the registry's two rows-only
+# approximate ids (round-10 verdict item 3): their sketch outputs are
+# engine-specific (not hashable against an oracle), but each comes
+# with a DOCUMENTED accuracy bound, so this harness asserts the values
+# against the exact DuckDB answer within that bound — upgrading the
+# evidence from "rows-only" to "value-within-ε".
+
+def _check_quantiles_approx(got, con) -> bool:
+    """percentile_approx guarantees rank error ≤ n/accuracy (accuracy
+    10⁴, operators/temporal.py): each approx quantile must lie inside
+    the exact [q−ε, q+ε] VALUE band (ε = 0.01 rank ≫ the guarantee at
+    these group sizes — the same band tests/test_temporal.py pins),
+    and the non-sketch count column must match exactly."""
+    want = con.execute("""
+        SELECT event_type,
+               quantile_cont(value, 0.49) AS p50_lo,
+               quantile_cont(value, 0.51) AS p50_hi,
+               quantile_cont(value, 0.89) AS p90_lo,
+               quantile_cont(value, 0.91) AS p90_hi,
+               quantile_cont(value, 0.98) AS p99_lo,
+               quantile_cont(value, 1.00) AS p99_hi,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type""").fetchdf().set_index("event_type")
+    if sorted(got["event_type"]) != sorted(want.index):
+        return False
+    for _, r in got.iterrows():
+        e = want.loc[r["event_type"]]
+        if int(r["n_events"]) != int(e["n_events"]):
+            return False
+        for c in ("p50", "p90", "p99"):
+            if not (e[f"{c}_lo"] <= float(r[c]) <= e[f"{c}_hi"]):
+                return False
+    return True
+
+
+def _check_distinct_approx(got, con) -> bool:
+    """approx_count_distinct at rsd 1%: estimates within a generous
+    5% (min 1) of the exact distinct count (HLL++ is exact/near-exact
+    at these cardinalities — tests/test_relational.py's band), exact
+    plain-count column."""
+    want = con.execute("""
+        SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+               COUNT(*) AS n_customers
+        FROM customer GROUP BY c_mktsegment""").fetchdf() \
+        .set_index("c_mktsegment")
+    if sorted(got["c_mktsegment"]) != sorted(want.index):
+        return False
+    for _, r in got.iterrows():
+        e = want.loc[r["c_mktsegment"]]
+        if int(r["n_customers"]) != int(e["n_customers"]):
+            return False
+        if abs(int(r["n_nations"]) - int(e["n_nations"])) > \
+                max(1, 0.05 * int(e["n_nations"])):
+            return False
+    return True
+
+
+TOLERANCE_CHECKS = {
+    "events_quantiles_approx": _check_quantiles_approx,
+    "segment_distinct_customers_approx": _check_distinct_approx,
+}
+
+
 def _values_match(got, want) -> bool:
     """Order-insensitive, column-name-sorted string equality — the same
     comparison shape the driver hashes."""
@@ -81,6 +144,7 @@ def main() -> None:
         t_spark = time.perf_counter() - t0
 
         t1 = time.perf_counter()
+        check = "hash"
         if name in oracles and err is None:
             try:
                 want = con.execute(oracles[name]).fetchdf()
@@ -88,6 +152,16 @@ def main() -> None:
                 match = _values_match(got, want)
             except Exception as e:  # noqa: BLE001
                 err = f"oracle: {type(e).__name__}: {e}"[:200]
+        elif name in TOLERANCE_CHECKS and err is None:
+            # rows-only registry ids upgraded to value-within-ε: the
+            # sketch values are checked against the exact DuckDB
+            # answer inside the operator's documented accuracy bound
+            check = "value_within_eps"
+            try:
+                orows = nrows
+                match = TOLERANCE_CHECKS[name](got, con)
+            except Exception as e:  # noqa: BLE001
+                err = f"tolerance-oracle: {type(e).__name__}: {e}"[:200]
         t_oracle = time.perf_counter() - t1
 
         results[name] = {
@@ -96,6 +170,7 @@ def main() -> None:
             "rows": nrows,
             "orows": orows,
             "values_match": match,
+            "check": check,
             "err": err,
         }
         print(
@@ -107,19 +182,28 @@ def main() -> None:
         )
 
     total = time.perf_counter() - t_total0
-    n_match = sum(1 for r in results.values() if r["values_match"])
+    n_match = sum(1 for r in results.values()
+                  if r["values_match"] and r["check"] == "hash")
+    n_eps = sum(1 for r in results.values()
+                if r["values_match"] and r["check"] == "value_within_eps")
     n_rows_only = sum(
         1 for k, r in results.items()
-        if k not in oracles and r["err"] is None and r["rows"] >= 0)
+        if k not in oracles and k not in TOLERANCE_CHECKS
+        and r["err"] is None and r["rows"] >= 0)
     print(f"TOTAL: {total:.1f}s for {hi - lo} queries; "
-          f"{n_match} value-match, {n_rows_only} rows-only", flush=True)
+          f"{n_match} value-match, {n_eps} value-within-eps, "
+          f"{n_rows_only} rows-only", flush=True)
     out = {
         "sf_dir": SF_DIR,
         "session": "plain SparkSession (no engine confs) — driver-style",
-        "comparison": "row count + sorted-column schema + order-insensitive values",
+        "comparison": "row count + sorted-column schema + order-insensitive "
+                      "values; approx sketch ids: values within the "
+                      "operator's documented accuracy bound vs the exact "
+                      "DuckDB answer",
         "total_s": round(total, 1),
         "n_checked": hi - lo,
         "n_value_match": n_match,
+        "n_value_within_eps": n_eps,
         "n_rows_only_no_oracle": n_rows_only,
         "results": results,
     }

@@ -101,6 +101,10 @@ AUDIT = [
     ("shortest_paths_landmarks", "landmark distances: k-replicated reversed "
      "edges via broadcast (graph, landmark) join feeding ONE grouped "
      "kernel; final plan is the checkpoint union + key unpack"),
+    ("pregel_max_prop", "generic vertex-program API: per-superstep triplet "
+     "join (edges persisted pre-partitioned on (graph, src)) + "
+     "(graph, vid) message agg + state join, states checkpointed per "
+     "round — the final plan is the last round's checkpointed state"),
 ]
 
 
