@@ -295,6 +295,23 @@ def test_delete_from_vertices_cascades(engine, spark):
     assert engine.manifests.load()["seq"] == seq
 
 
+def test_delete_vertices_cascade_is_diff_classifiable(engine):
+    """The cascade's edge removals surface through the CDC read as
+    'removed' rows (snapshot-diff classifiable, like every other
+    commit), and vertex properties of surviving vertices are intact."""
+    engine.sql("INSERT INTO gdb_edges (graph, src, dst, w, kind) VALUES "
+               "('D', 1, 2, 3, 'x'), ('D', 2, 3, 1, 'y'), "
+               "('D', 3, 1, 2, 'z')")
+    seq = engine.manifests.load()["seq"]
+    engine.sql("DELETE FROM gdb_vertices WHERE vid = 2")
+    rows = {(r["src"], r["dst"]): r["change"]
+            for r in engine.diff(seq).collect()}
+    assert rows == {(1, 2): "removed", (2, 3): "removed"}
+    got = {(r["src"], r["dst"]): r["kind"] for r in engine.sql(
+        "SELECT src, dst, kind FROM gdb_edges").collect()}
+    assert got == {(3, 1): "z"}  # surviving edge keeps its property
+
+
 def test_delete_vertices_api_contract(engine, spark):
     """The DataFrame-API face of the cascade: key validation, unknown
     graphs skipped, (adopted, skipped) reporting."""
