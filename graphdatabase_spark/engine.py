@@ -1805,7 +1805,8 @@ class GraphEngine:
     def pregel(self, vertex_col: str, initial_expr: str, agg_expr: str,
                update_expr: str, send_to_src: str | None = None,
                send_to_dst: str | None = None, max_iter: int = 10,
-               name: str | None = None) -> DataFrame:
+               name: str | None = None,
+               until_converged: bool = False) -> DataFrame:
         """The GraphFrames ``lib.Pregel`` surface: iterated
         ``aggregateMessages`` with a user-defined vertex state column.
         Each vertex starts with ``vertex_col = initial_expr``
@@ -1826,7 +1827,19 @@ class GraphEngine:
         persisted once, states checkpointed per round so lineage
         stays flat (the §4.2 iterative-plan discipline; under
         ``pregel.reliable_checkpoints`` every K-th round lands on
-        reliable storage, surviving executor loss)."""
+        reliable storage, surviving executor loss).
+
+        ``until_converged=True`` (GraphFrames' early-stopping knob)
+        additionally stops as soon as a superstep changes NO vertex's
+        state — a fixpoint algorithm (components, max/min propagation,
+        frontier-less reachability) then pays only diameter-many
+        rounds instead of always burning ``max_iter``. Costs one
+        metadata-cheap comparison job per superstep (the two state
+        frames are both checkpointed, so the anti-join reads
+        materialized blocks); leave it off for fixed-iteration
+        algorithms like PageRank where every round matters. Only the
+        STATE column is compared (property columns can hold
+        non-comparable types like maps and never change mid-loop)."""
         if send_to_src is None and send_to_dst is None:
             raise ValueError("pregel: provide send_to_src and/or "
                              "send_to_dst")
@@ -1880,11 +1893,18 @@ class GraphEngine:
                         else legs[0].unionByName(legs[1]))
                 msgs = (msgs.groupBy("graph", "vid")
                         .agg(F.expr(agg_expr).alias("msg")))
-                v = (v.join(msgs, ["graph", "vid"], "left")
-                     .withColumn(vertex_col, F.expr(update_expr))
-                     .drop("msg")
-                     .select("graph", *vcols)
-                     .transform(pregel._ckpt))
+                nxt = (v.join(msgs, ["graph", "vid"], "left")
+                       .withColumn(vertex_col, F.expr(update_expr))
+                       .drop("msg")
+                       .select("graph", *vcols)
+                       .transform(pregel._ckpt))
+                if until_converged:
+                    state = ["graph", "vid", vertex_col]
+                    if (nxt.select(*state).exceptAll(v.select(*state))
+                            .isEmpty()):
+                        v = nxt
+                        break
+                v = nxt
         finally:
             # unpersist even when a user expression fails mid-loop —
             # otherwise the repartitioned edge frame stays cached for

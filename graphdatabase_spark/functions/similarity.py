@@ -578,6 +578,169 @@ WHERE rk <= {KNN_K}
 """
 
 
+# --- embedding_pq_topk (product quantization: the memory-bound scale path) ---
+
+# 64 dims → PQ_M subspaces of PQ_SUBDIM dims, PQ_CODES centroids per
+# subspace: each vector compresses to PQ_M small codes (one byte each
+# in a production layout — a 256x compression of a float64[64] row).
+# Codebooks are the subvectors of the PQ_CODES lowest vec_ids (the
+# same deterministic k-means-free seeding as the IVF cells, so the
+# whole pipeline is exact integer math and SQL-oracle-checkable).
+PQ_M = 8
+PQ_SUBDIM = EMB_DIM // PQ_M
+PQ_CODES = 16
+PQ_RERANK = 50   # exact re-rank depth over the ADC candidate list
+
+_SUBSLICES_EXPR = (f"transform(sequence(0, {PQ_M - 1}), "
+                   f"m -> slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}))")
+
+
+def _pq_sub_frames(spark: SparkSession, sf_dir: str):
+    """(vec_id, m, sub) subvector rows + the (m, code, csub) codebook."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"),
+                       _norm_sq(quantized(F.col("embedding"))).alias("nsq"))
+    subs = quant.select(
+        "vec_id",
+        F.posexplode(F.expr(_SUBSLICES_EXPR)).alias("m", "sub"))
+    cb = (subs.filter(F.col("vec_id") < PQ_CODES)
+          .select("m", F.col("vec_id").alias("code"),
+                  F.col("sub").alias("csub")))
+    return quant, subs, cb
+
+
+def cached_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-shared PQ INDEX: ``(vec_id, v, nsq, codes)`` where
+    ``codes[m]`` is the id of the nearest subspace-``m`` centroid by
+    exact integer squared-L2 (argmin of |c|² − 2c·v per subspace; ties
+    break by code id, total-ordered and engine-portable). This is the
+    table a 100 TB deployment keeps hot: PQ_M bytes per vector instead
+    of the raw embedding — the raw ``v``/``nsq`` ride along here only
+    because the registry query re-ranks exactly, which a production
+    probe does against a cold store for the top candidates alone.
+    Built once per sf_dir; the encode is one broadcast join of the
+    (PQ_M × PQ_CODES)-row codebook against the subvector rows plus two
+    map-side-combinable aggregations — the corpus never self-joins."""
+    def build():
+        quant, subs, cb = _pq_sub_frames(spark, sf_dir)
+        d2 = (_norm_sq(F.col("csub"))
+              - F.lit(2) * _dot(F.col("csub"), F.col("sub")))
+        best = (subs.join(F.broadcast(cb), "m")
+                .select("vec_id", "m",
+                        F.struct(d2.alias("d2"), F.col("code").alias("code"))
+                        .alias("s"))
+                .groupBy("vec_id", "m").agg(F.min("s").alias("s")))
+        codes = (best.groupBy("vec_id")
+                 .agg(F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct(F.col("m"), F.col("s.code").alias("code")))),
+                     lambda x: x["code"]).alias("codes")))
+        return quant.join(codes, "vec_id")
+
+    return shared_persist(spark, ("pq_codes", sf_dir), build)
+
+
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str,
+                        rerank: int = PQ_RERANK) -> DataFrame:
+    """Product-quantization ANN top-k with exact re-rank — the third
+    scale path next to hyperplane LSH (data-oblivious buckets) and IVF
+    (data-adaptive cells): PQ bounds MEMORY, not just compute. Every
+    vector is PQ_M codes; the query builds a (PQ_M × PQ_CODES)-entry
+    lookup table of subspace dot products, scores every vector by
+    asymmetric distance computation (ADC: approx_dot = Σ_m
+    lut[m][codes[m]], one array fold per row over the broadcast LUT —
+    map-side only, no shuffle of the corpus), keeps the top
+    ``rerank`` candidates, and re-ranks those exactly. Norms are
+    stored exact, so only the dot product is approximated — and the
+    returned cos_sim values are EXACT (the approximation picks the
+    candidate set, never the reported scores). Deterministic integer
+    math throughout ⇒ the full pipeline (codebooks, encode, LUT, ADC
+    cut, re-rank) unrolls into the SQL oracle. ``rerank >= N``
+    degenerates to brute force exactly (unit-pinned)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq = cached_pq_codes(spark, sf_dir)
+    _, subs, cb = _pq_sub_frames(spark, sf_dir)
+    qsubs = (subs.filter(F.col("vec_id") == QUERY_VEC_ID)
+             .select("m", F.col("sub").alias("qsub")))
+    # LUT packed (m, code)-ordered into one broadcast array row:
+    # entry index = m * PQ_CODES + code
+    lut_row = (cb.join(F.broadcast(qsubs), "m")
+               .select(F.struct("m", "code",
+                                _dot(F.col("csub"), F.col("qsub"))
+                                .alias("ldot")).alias("e"))
+               .groupBy()
+               .agg(F.transform(F.sort_array(F.collect_list("e")),
+                                lambda x: x["ldot"]).alias("lut")))
+    adc = F.expr(
+        f"aggregate(sequence(0, {PQ_M - 1}), CAST(0 AS BIGINT), "
+        f"(acc, m) -> acc + element_at(lut, CAST("
+        f"m * {PQ_CODES} + element_at(codes, m + 1) + 1 AS INT)))")
+    qrow = pq.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("nsq").alias("qnsq"))
+    cands = (pq.filter(F.col("vec_id") != QUERY_VEC_ID)
+             .crossJoin(F.broadcast(lut_row))
+             .select("vec_id", "v", "nsq", adc.alias("adot"))
+             .orderBy(F.desc("adot"), F.asc("vec_id")).limit(rerank))
+    scored = (cands.crossJoin(F.broadcast(qrow))
+              .join(emb.select("vec_id", "label"), "vec_id")
+              .select("vec_id", "label",
+                      (_dot(F.col("qv"), F.col("v")).cast("double")
+                       / (F.sqrt(F.col("qnsq").cast("double"))
+                          * F.sqrt(F.col("nsq").cast("double"))))
+                      .alias("cos_sim")))
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOPK)
+
+
+ORACLE_EMBEDDING_PQ_TOPK = f"""
+WITH quant AS (
+  SELECT vec_id, label, {QUANTIZED_SQL} AS v FROM embeddings
+),
+subs AS (
+  SELECT vec_id, m, array_slice(v, m * {PQ_SUBDIM} + 1,
+                                m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sub
+  FROM quant CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+),
+cb AS (
+  SELECT m, vec_id AS code, sub AS csub FROM subs WHERE vec_id < {PQ_CODES}
+),
+encoded AS (
+  SELECT vec_id, m, code,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY
+           (list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+              i -> csub[i] * csub[i] - 2 * csub[i] * sub[i]))) ASC,
+           code ASC) AS rk
+  FROM subs JOIN cb USING (m)
+),
+codes AS (SELECT vec_id, m, code FROM encoded WHERE rk = 1),
+lut AS (
+  SELECT m, code,
+         list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+            i -> csub[i] * q.sub[i])) AS ldot
+  FROM cb JOIN (SELECT m, sub FROM subs
+                WHERE vec_id = {QUERY_VEC_ID}) q USING (m)
+),
+adc AS (
+  SELECT c.vec_id, SUM(l.ldot) AS adot
+  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+  WHERE c.vec_id <> {QUERY_VEC_ID}
+  GROUP BY c.vec_id
+),
+cands AS (
+  SELECT vec_id FROM adc ORDER BY adot DESC, vec_id ASC LIMIT {PQ_RERANK}
+),
+q AS (SELECT v AS qv FROM quant WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id, e.label,
+       CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+              i -> qv[i] * v[i])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)))
+         AS cos_sim
+FROM quant e JOIN cands USING (vec_id) CROSS JOIN q
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT {TOPK}
+"""
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "embedding_cosine_topk": q_embedding_cosine_topk,
@@ -586,6 +749,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "semdedup_ivf": q_semdedup_ivf,
     "knn_join": q_knn_join,
+    "embedding_pq_topk": q_embedding_pq_topk,
 }
 
 ORACLES = {
@@ -596,4 +760,5 @@ ORACLES = {
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "semdedup_ivf": ORACLE_SEMDEDUP_IVF,
     "knn_join": ORACLE_KNN_JOIN,
+    "embedding_pq_topk": ORACLE_EMBEDDING_PQ_TOPK,
 }

@@ -339,7 +339,14 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
                 # the join against append chains holding a key twice
                 # (which row's props win is already undefined there,
                 # like every MERGE dialect's duplicate-source rule).
-                carried = (snap.weighted_edges(props=True)
+                # The read is restricted to the SOURCE's graphs (one
+                # metadata-sized collect, same as merge_edges' own
+                # touched-graph resolution) so the carry join prunes
+                # to those graphs' bucket dirs, never the catalog.
+                src_graphs = [r["graph"] for r in
+                              src_edges.select("graph").distinct()
+                              .collect()]
+                carried = (snap.weighted_edges(src_graphs, props=True)
                            .select("graph", "src", "dst", *missing)
                            .dropDuplicates(["graph", "src", "dst"]))
                 src_edges = src_edges.join(carried,

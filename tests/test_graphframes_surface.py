@@ -133,6 +133,37 @@ def test_pregel_max_propagation_components(engine):
     assert all(v == 4 for (g, _), v in got.items() if g == "Q")
 
 
+def test_pregel_until_converged_stops_at_fixpoint(engine, monkeypatch):
+    """until_converged (GraphFrames' early-stopping knob): a fixpoint
+    algorithm stops when a superstep changes no state — same answer as
+    the fixed-iteration run even with max_iter far beyond the
+    diameter, and the loop demonstrably runs FEWER supersteps (counted
+    through the kernels' one checkpoint call: 1 initial + 1 per
+    superstep). P is a 5-path, so max propagation converges in 4
+    effective rounds + 1 no-change round — far under the 50 budget."""
+    from graphdatabase_spark import engine as engine_mod
+
+    kwargs = dict(initial_expr="vid",
+                  send_to_src="dst.cc", send_to_dst="src.cc",
+                  agg_expr="max(msg)",
+                  update_expr="greatest(cc, coalesce(msg, cc))")
+    fixed = {(r["graph"], r["vid"]): r["cc"]
+             for r in engine.pregel("cc", max_iter=8, **kwargs).collect()}
+
+    calls = []
+    real = engine_mod.pregel._ckpt
+    monkeypatch.setattr(engine_mod.pregel, "_ckpt",
+                        lambda df: calls.append(1) or real(df))
+    early = {(r["graph"], r["vid"]): r["cc"]
+             for r in engine.pregel("cc", max_iter=50,
+                                    until_converged=True,
+                                    **kwargs).collect()}
+    assert early == fixed
+    # 1 initial + <=6 supersteps (diameter 4 + one all-quiet round +
+    # slack), NOT the 51 a non-stopping loop would make
+    assert 2 <= len(calls) <= 7, len(calls)
+
+
 def test_pregel_one_round_equals_aggregate_messages(engine):
     """One superstep with a count aggregate reproduces in-degree
     (aggregateMessages parity), isolated vertices keeping NULL-msg

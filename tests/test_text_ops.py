@@ -187,3 +187,36 @@ def test_tokens_convention(spark):
     df1 = spark.createDataFrame([("one",)], "text string")
     sh1 = df1.select(text.shingles_col(text.tokens_col("text"), 3).alias("s")).collect()[0]["s"]
     assert sh1 == []
+
+
+def test_pq_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+    assert_parity(similarity.q_embedding_pq_topk(spark, sf_dir),
+                  similarity.ORACLE_EMBEDDING_PQ_TOPK, sf_dir)
+
+
+def test_pq_full_rerank_equals_brute_force(spark, sf_dir):
+    """With rerank >= N the ADC cut keeps everything, so PQ top-k must
+    equal the brute-force cosine top-k exactly — pinning the candidate
+    plumbing as lossless and the re-rank scores as exact (the
+    approximation lives ONLY in the candidate cut)."""
+    pq = similarity.q_embedding_pq_topk(spark, sf_dir, rerank=10**9)
+    got = [(r["vec_id"], r["cos_sim"]) for r in pq.collect()]
+    want = [(r["vec_id"], r["cos_sim"]) for r in
+            similarity.q_embedding_cosine_topk(spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_pq_codes_shape(spark, sf_dir):
+    """Every vector gets exactly PQ_M codes in [0, PQ_CODES); codebook
+    members encode to themselves (their own subvector is distance 0)."""
+    pq = similarity.cached_pq_codes(spark, sf_dir)
+    from pyspark.sql import functions as F
+    bad = pq.filter(
+        (F.size("codes") != similarity.PQ_M)
+        | F.exists("codes", lambda c: (c < 0) | (c >= similarity.PQ_CODES)))
+    assert bad.isEmpty()
+    own = {r["vec_id"]: r["codes"]
+           for r in pq.filter(F.col("vec_id") < similarity.PQ_CODES).collect()}
+    for vid, codes in own.items():
+        assert all(c == vid for c in codes), (vid, codes)
