@@ -429,6 +429,79 @@ WHERE t_view IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
 """
 
 
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style GAP FILLING (TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf``): a DENSE hourly grid per event
+    type over the corpus's global [min, max] hour span — buckets with
+    no events appear as rows (n_events = 0, is_gap = true) instead of
+    silently vanishing, and the per-hour value sum is carried forward
+    from the last observed hour (LOCF; 0 before a type's first
+    observation). Dashboards and downstream diff/alerting need the
+    dense shape: a missing row is indistinguishable from a lost
+    partition, an explicit zero row is a measurement.
+
+    Scale shape: one map-side-combined groupBy over the events (the
+    only O(N) stage), then everything runs on the GRID — types ×
+    hours, independent of event count: the bounds are a 1-row
+    broadcast, ``sequence()`` explodes the grid, the LOCF window
+    partitions by type over grid-sized data. Value sums are quantized
+    int64 (round(value·10⁶)) so both engines agree bit-exactly."""
+    ev = events_batch(spark, sf_dir)
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+                   .alias("hour_sum")))
+    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                    F.date_trunc("hour", F.max("ts")).alias("h1"))
+    grid = (ev.select("event_type").distinct()
+            .crossJoin(F.broadcast(bounds))
+            .select("event_type",
+                    F.explode(F.expr(
+                        "sequence(h0, h1, interval 1 hour)"))
+                    .alias("bucket")))
+    w = (Window.partitionBy("event_type").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(hourly, ["event_type", "bucket"], "left")
+            .select("event_type", "bucket",
+                    F.coalesce("n_events", F.lit(0)).cast("bigint")
+                    .alias("n_events"),
+                    F.coalesce(F.last("hour_sum", ignorenulls=True).over(w),
+                               F.lit(0)).cast("bigint")
+                    .alias("filled_value_sum"),
+                    (F.coalesce("n_events", F.lit(0)) == 0)
+                    .alias("is_gap")))
+
+
+ORACLE_EVENTS_GAP_FILL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS hour_sum
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM events),
+grid AS (
+  SELECT t.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+              AS bucket FROM bounds) g)
+SELECT g.event_type, g.bucket,
+       CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(
+         last_value(h.hour_sum IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+         AS BIGINT) AS filled_value_sum,
+       COALESCE(h.n_events, 0) = 0 AS is_gap
+FROM grid g
+LEFT JOIN hourly h ON h.event_type = g.event_type AND h.bucket = g.bucket
+"""
+
+
 QUERIES = {
     "asof_join_events": q_asof_join_events,
     "asof_join_events_salted": q_asof_join_events_salted,
@@ -441,6 +514,7 @@ QUERIES = {
     "events_quantiles_approx": q_events_quantiles_approx,
     "events_retention": q_events_retention,
     "events_funnel": q_events_funnel,
+    "events_gap_fill": q_events_gap_fill,
 }
 
 ORACLES = {
@@ -452,4 +526,5 @@ ORACLES = {
     "events_quantiles": ORACLE_EVENTS_QUANTILES,
     "events_retention": ORACLE_EVENTS_RETENTION,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
+    "events_gap_fill": ORACLE_EVENTS_GAP_FILL,
 }
