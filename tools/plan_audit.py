@@ -105,6 +105,12 @@ AUDIT = [
      "join (edges persisted pre-partitioned on (graph, src)) + "
      "(graph, vid) message agg + state join, states checkpointed per "
      "round — the final plan is the last round's checkpointed state"),
+    ("embedding_pq_topk", "PQ ANN: cached codes table scanned once with a "
+     "broadcast 128-entry ADC LUT folded per row (no corpus shuffle), "
+     "TakeOrdered candidate cut, exact re-rank joins only the top-50"),
+    ("events_gap_fill", "gapfill: one map-side-combined hourly agg over "
+     "events, then grid-sized work — 1-row bounds broadcast, sequence() "
+     "explode, LOCF window partitioned by type over types x hours rows"),
 ]
 
 
