@@ -80,7 +80,7 @@ def _warm_engine(spark) -> None:
 _FIXTURE_STORE_IDS = frozenset({
     "store_stats", "store_bfs_all", "store_cc_all", "store_scc_all",
     "store_sssp_all", "store_pagerank_all", "store_sql_degree",
-    "motif_find"})
+    "motif_find", "store_triangle_all"})
 _MERGE_STORE_IDS = frozenset({"store_merge_edges", "store_snapshot_diff"})
 _PROPS_STORE_IDS = frozenset({"motif_weighted", "bfs_expr",
                               "shortest_paths_landmarks",

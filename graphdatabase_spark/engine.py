@@ -1757,6 +1757,47 @@ class GraphEngine:
         """Triangle count of the stored graph viewed as undirected."""
         return graph_algos.triangle_count(self._canonical_undirected(name))
 
+    def triangle_count_all(self) -> DataFrame:
+        """Batched triangle counting: ``(graph, n_triangles)`` for
+        EVERY stored graph in ONE compact-forward kernel run — the
+        set-oriented form, completing the batched analytics family
+        (bfs/cc/scc/sssp/pagerank _all). No inter-graph edges exist,
+        so packing each graph's vids into a disjoint long range
+        (:meth:`_packed_union`) lets the single-graph orientation +
+        per-edge adjacency-intersection kernel count the whole store
+        at once: a triangle's three corners always share a graph, and
+        the per-edge counts roll up by ``u div stride``. Graphs with
+        no triangles (including the empty graph) report 0, like
+        :meth:`stats` — a missing row is indistinguishable from a lost
+        graph. Degree-ordering ties break by PACKED id, which within a
+        graph is its vid order — the same tie rule as the per-graph
+        kernel, so per-graph equivalence holds exactly."""
+        snap = self.snapshot()
+        graphs = snap.graphs()
+        if not graphs:
+            return self.spark.createDataFrame(
+                [], "graph string, n_triangles long")
+        gidx, stride, edges, _ = self._packed_union(snap, graphs)
+        und = (edges.filter(F.col("src") != F.col("dst"))
+               .select(F.least("src", "dst").alias("src"),
+                       F.greatest("src", "dst").alias("dst"))
+               .distinct())
+        _, oriented, adj = graph_algos._forward_adjacency(und)
+        per_edge = (
+            oriented
+            .join(adj.select(F.col("vid").alias("u"),
+                             F.col("nbrs").alias("nu")), "u")
+            .join(adj.select(F.col("vid").alias("v"),
+                             F.col("nbrs").alias("nv")), "v")
+            .select(F.expr(f"u div {stride}").alias("gidx"),
+                    F.size(F.array_intersect("nu", "nv")).alias("c")))
+        counts = (per_edge.groupBy("gidx")
+                  .agg(F.sum("c").cast("long").alias("n_triangles")))
+        return (gidx.join(counts, "gidx", "left")
+                .select("graph",
+                        F.coalesce("n_triangles", F.lit(0)).cast("long")
+                        .alias("n_triangles")))
+
     def clustering_coefficient(self, name: str) -> DataFrame:
         """``(vid, deg, n_tri, coeff)`` local clustering coefficients
         of the stored graph viewed as undirected."""

@@ -758,6 +758,33 @@ FROM bfs GROUP BY graph, lm, vid
 """
 
 
+def q_store_triangle_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-store triangle counting, ONE compact-forward kernel run
+    (engine.triangle_count_all): every stored graph's undirected
+    triangle count, graphs with none (including the empty graph)
+    reporting an explicit 0 — completes the set-oriented batched
+    analytics family (bfs/cc/scc/sssp/pagerank _all). The oracle
+    states the naive a<b<c three-way join per graph over the literal
+    fixture edges; the kernel's degree-ordered orientation is
+    count-invariant to that formulation."""
+    return fixture_engine(spark).triangle_count_all()
+
+
+ORACLE_STORE_TRIANGLE_ALL = f"""
+WITH {_edges_cte()}, {_graphs_cte()},
+und AS (SELECT DISTINCT graph, LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM graph_edges WHERE src <> dst),
+tri AS (
+  SELECT e1.graph, CAST(COUNT(*) AS BIGINT) AS n
+  FROM und e1
+  JOIN und e2 ON e2.graph = e1.graph AND e2.a = e1.b
+  JOIN und e3 ON e3.graph = e1.graph AND e3.a = e1.a AND e3.b = e2.b
+  GROUP BY e1.graph)
+SELECT g.graph, CAST(COALESCE(t.n, 0) AS BIGINT) AS n_triangles
+FROM graph_list g LEFT JOIN tri t ON t.graph = g.graph
+"""
+
+
 def q_pregel_max_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GENERIC vertex-program API (``engine.pregel`` — the
     GraphFrames ``lib.Pregel`` surface: user-supplied initial /
@@ -816,6 +843,7 @@ QUERIES = {
     "bfs_expr": q_bfs_expr,
     "shortest_paths_landmarks": q_shortest_paths_landmarks,
     "pregel_max_prop": q_pregel_max_prop,
+    "store_triangle_all": q_store_triangle_all,
 }
 
 ORACLES = {
@@ -835,4 +863,5 @@ ORACLES = {
     "bfs_expr": ORACLE_BFS_EXPR,
     "shortest_paths_landmarks": ORACLE_SHORTEST_PATHS_LANDMARKS,
     "pregel_max_prop": ORACLE_PREGEL_MAX_PROP,
+    "store_triangle_all": ORACLE_STORE_TRIANGLE_ALL,
 }

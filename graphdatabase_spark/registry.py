@@ -60,7 +60,7 @@ _DEFERRED_R11 = [
     # 2 x 50 driver slots); their latest driver row is r09, inside the
     # three-window horizon, and tests/test_registry.py keeps this list
     # explicit. Round 12 MUST front these.
-    "search_bm25", "semdedup_ivf",
+    "running_user_stats", "search_bm25", "semdedup_ivf",
     "knn_join", "connected_components", "dedup_clusters",
     "corpus_funnel", "ivf_recenter",
     "store_stream_ingest", "store_merge_edges", "store_snapshot_diff",
@@ -136,14 +136,16 @@ _CHECK_FIRST = [
     # first oracle-checked driver row (round-10 verdict item 2), and
     # product-quantization ANN with exact re-rank (the memory-bound
     # third scale path next to LSH and IVF), and hypertable-style gap
-    # filling (dense time grid + LOCF over events) --
+    # filling (dense time grid + LOCF over events), plus whole-store
+    # triangle counting (the last batched-analytics kernel) --
     "pregel_max_prop", "embedding_pq_topk", "events_gap_fill",
+    "store_triangle_all",
     # -- oldest r09-window ids (latest driver row is round 9) --
     "scalar_functions", "set_ops", "summary_stats", "top_expensive_orders",
     "small_qty_revenue", "disjunctive_revenue", "text_stats", "token_count",
     "file_search", "wordcount_docs", "lang_id", "quality_score",
     "doc_fingerprint", "dedup_exact", "dedup_simhash", "pii_scrub",
-    "dedup_minhash_lsh", "running_user_stats",
+    "dedup_minhash_lsh",
 ]
 # (the remaining r09-window ids are _DEFERRED_R11 above — their r09
 # rows stay within the three-window horizon; round 12 fronts them.)

@@ -80,3 +80,21 @@ def test_sssp_all_prefers_cheap_multi_hop_and_direct_paths(spark):
     assert d[("W1", 5)] == 5.0  # via 4 (2+2+1), not via 3 (1+7)
     assert d[("W2", 4)] == 9.0
     assert ("W2", 5) not in d
+
+
+def test_triangle_count_all_equals_per_graph_kernel(spark):
+    """The batched whole-store triangle kernel must equal the
+    per-graph kernel exactly for every fixture graph — pinning the
+    disjoint-range packing as lossless for the triangle family (no
+    cross-graph intersections) and the degree-order tie rule as
+    identical. G2's directed asymmetry still closes one undirected
+    triangle {1,2,4}; W1/W2 each close two; the empty graph reports 0."""
+    eng = sq.fixture_engine(spark)
+    batched = {r["graph"]: r["n_triangles"]
+               for r in eng.triangle_count_all().collect()}
+    assert set(batched) == set(sq.FIXTURE_GRAPHS)
+    assert batched["G2"] == 1 and batched["W1"] == 2 and batched["W2"] == 2
+    assert batched["G12"] == 0
+    for name in sq.FIXTURE_GRAPHS:
+        single = eng.triangle_count(name).collect()[0]["n_triangles"]
+        assert batched[name] == single, (name, batched[name], single)
