@@ -111,6 +111,10 @@ AUDIT = [
     ("events_gap_fill", "gapfill: one map-side-combined hourly agg over "
      "events, then grid-sized work — 1-row bounds broadcast, sequence() "
      "explode, LOCF window partitioned by type over types x hours rows"),
+    ("store_triangle_all", "whole-store triangles: packed disjoint-range "
+     "union feeding the compact-forward kernel once — degree agg + "
+     "adjacency collect (both map-side combined) + two adjacency joins, "
+     "counts rolled up by u div stride; no wedge materialization"),
 ]
 
 
