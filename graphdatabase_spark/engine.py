@@ -115,6 +115,20 @@ def _check_layout(prev: dict | None, eff: int | None) -> None:
 _RESERVED_COLS = frozenset({"graph", "src", "dst", "w", "vid", "n", "gb"})
 
 
+def _contains_map_type(dt) -> bool:
+    """True if ``dt`` is or nests a MapType — the one Spark SQL type
+    family set operations / sort orders reject as non-comparable."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map_type(f.dataType) for f in dt.fields)
+    return False
+
+
 def _prop_schema(df: DataFrame, core: tuple[str, ...],
                  op: str) -> dict[str, str]:
     """Schema of a write batch's PROPERTY columns — every column
@@ -1907,6 +1921,20 @@ class GraphEngine:
         v = (snap.vertices(name, props=True).distinct()
              .withColumn(vertex_col, F.expr(initial_expr))
              .transform(pregel._ckpt))
+        if until_converged:
+            # fail fast, not deep in superstep k: the fixpoint test
+            # set-compares the state column, and Spark set operations
+            # reject non-comparable types (maps) with an opaque
+            # AnalysisException mid-loop
+            state_type = v.schema[vertex_col].dataType
+            if _contains_map_type(state_type):
+                raise ValueError(
+                    f"pregel: until_converged=True requires a "
+                    f"comparable vertex state, but {vertex_col!r} has "
+                    f"type {state_type.simpleString()} (maps are not "
+                    f"comparable in Spark set operations) — use a "
+                    f"sorted array/struct encoding or until_converged="
+                    f"False with a fixed max_iter")
         vcols = [c for c in v.columns if c != "graph"]
         try:
             for _ in range(max_iter):

@@ -325,32 +325,48 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
         if upsert:
             src_edges = _edge_frame(src_df, "MERGE INTO")
             snap = engine.snapshot()
-            eprops = snap.props.get("edges", {})
-            have = {c.lower() for c in src_edges.columns}
-            missing = [p for p in eprops if p.lower() not in have]
-            if missing:
-                # SQL MERGE's UPDATE SET w = s.w touches ONLY w: matched
-                # keys must keep their other declared edge property
-                # values (the UPDATE path's rule), but merge_edges
-                # upserts the source row wholesale — so carry the
-                # missing properties from the pinned snapshot via a
-                # key join. Unmatched (insert) keys read NULL props,
-                # exactly INSERT *'s semantics. dropDuplicates guards
-                # the join against append chains holding a key twice
-                # (which row's props win is already undefined there,
-                # like every MERGE dialect's duplicate-source rule).
-                # The read is restricted to the SOURCE's graphs (one
-                # metadata-sized collect, same as merge_edges' own
-                # touched-graph resolution) so the carry join prunes
-                # to those graphs' bucket dirs, never the catalog.
+            eprops = list(snap.props.get("edges", {}))
+            if eprops:
+                # SQL MERGE's UPDATE SET w = s.w touches ONLY w: for
+                # MATCHED keys every other declared edge property keeps
+                # its STORED value — including when the source happens
+                # to project a column with a property's name (standard
+                # MERGE semantics: only the SET columns change; the
+                # round-11 ADVICE flagged the old source-wins behavior
+                # as a silent-clobber hazard). NOT-MATCHED keys take
+                # the source's columns verbatim (INSERT *), NULL where
+                # the source lacks a property. merge_edges upserts the
+                # source row wholesale, so the stored values are
+                # carried in via a key join against the pinned
+                # snapshot, with a match marker deciding per row which
+                # side wins. dropDuplicates guards the join against
+                # append chains holding a key twice (which row's props
+                # win is already undefined there, like every MERGE
+                # dialect's duplicate-source rule). The read is
+                # restricted to the SOURCE's graphs (one metadata-sized
+                # collect, same as merge_edges' own touched-graph
+                # resolution) so the carry join prunes to those
+                # graphs' bucket dirs, never the catalog.
+                have = {c.lower() for c in src_edges.columns}
                 src_graphs = [r["graph"] for r in
                               src_edges.select("graph").distinct()
                               .collect()]
                 carried = (snap.weighted_edges(src_graphs, props=True)
-                           .select("graph", "src", "dst", *missing)
-                           .dropDuplicates(["graph", "src", "dst"]))
+                           .select("graph", "src", "dst",
+                                   *[F.col(p).alias(f"__stored_{p}")
+                                     for p in eprops])
+                           .dropDuplicates(["graph", "src", "dst"])
+                           .withColumn("__matched", F.lit(True)))
                 src_edges = src_edges.join(carried,
                                            ["graph", "src", "dst"], "left")
+                for p in eprops:
+                    stored = F.col(f"__stored_{p}")
+                    src_edges = src_edges.withColumn(
+                        p, F.when(F.col("__matched").isNotNull(), stored)
+                           .otherwise(F.col(p)) if p.lower() in have
+                        else stored)
+                src_edges = src_edges.drop(
+                    "__matched", *[f"__stored_{p}" for p in eprops])
             _check_adopted(engine.merge_edges(
                 src_edges, pinned_snapshot=snap), "MERGE INTO")
             return None

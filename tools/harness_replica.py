@@ -31,7 +31,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # against the exact DuckDB answer within that bound — upgrading the
 # evidence from "rows-only" to "value-within-ε".
 
-def _check_quantiles_approx(got, con) -> bool:
+def _check_quantiles_approx(got, con) -> tuple[bool, int]:
     """percentile_approx guarantees rank error ≤ n/accuracy (accuracy
     10⁴, operators/temporal.py): each approx quantile must lie inside
     the exact [q−ε, q+ε] VALUE band (ε = 0.01 rank ≫ the guarantee at
@@ -48,18 +48,18 @@ def _check_quantiles_approx(got, con) -> bool:
                COUNT(*) AS n_events
         FROM events GROUP BY event_type""").fetchdf().set_index("event_type")
     if sorted(got["event_type"]) != sorted(want.index):
-        return False
+        return False, len(want)
     for _, r in got.iterrows():
         e = want.loc[r["event_type"]]
         if int(r["n_events"]) != int(e["n_events"]):
-            return False
+            return False, len(want)
         for c in ("p50", "p90", "p99"):
             if not (e[f"{c}_lo"] <= float(r[c]) <= e[f"{c}_hi"]):
-                return False
-    return True
+                return False, len(want)
+    return True, len(want)
 
 
-def _check_distinct_approx(got, con) -> bool:
+def _check_distinct_approx(got, con) -> tuple[bool, int]:
     """approx_count_distinct at rsd 1%: estimates within a generous
     5% (min 1) of the exact distinct count (HLL++ is exact/near-exact
     at these cardinalities — tests/test_relational.py's band), exact
@@ -70,15 +70,15 @@ def _check_distinct_approx(got, con) -> bool:
         FROM customer GROUP BY c_mktsegment""").fetchdf() \
         .set_index("c_mktsegment")
     if sorted(got["c_mktsegment"]) != sorted(want.index):
-        return False
+        return False, len(want)
     for _, r in got.iterrows():
         e = want.loc[r["c_mktsegment"]]
         if int(r["n_customers"]) != int(e["n_customers"]):
-            return False
+            return False, len(want)
         if abs(int(r["n_nations"]) - int(e["n_nations"])) > \
                 max(1, 0.05 * int(e["n_nations"])):
-            return False
-    return True
+            return False, len(want)
+    return True, len(want)
 
 
 TOLERANCE_CHECKS = {
@@ -156,10 +156,12 @@ def main() -> None:
             # rows-only registry ids upgraded to value-within-ε: the
             # sketch values are checked against the exact DuckDB
             # answer inside the operator's documented accuracy bound
+            # orows is the EXACT answer's row count from the
+            # tolerance oracle (round-11 ADVICE: never fabricate it
+            # from the Spark row count)
             check = "value_within_eps"
             try:
-                orows = nrows
-                match = TOLERANCE_CHECKS[name](got, con)
+                match, orows = TOLERANCE_CHECKS[name](got, con)
             except Exception as e:  # noqa: BLE001
                 err = f"tolerance-oracle: {type(e).__name__}: {e}"[:200]
         t_oracle = time.perf_counter() - t1
