@@ -340,6 +340,83 @@ FROM ex GROUP BY cell, d
 """
 
 
+# --- pq_recenter (PQ codebook training: the Lloyd step per subspace) ---------
+
+def q_pq_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of the PQ codebooks — ``ivf_recenter``'s
+    pattern applied per SUBSPACE (round-11 verdict item 4): for every
+    (subspace m, code, dim-within-subspace), the member count and the
+    new centroid component = floor(mean of the members' quantized
+    subvector components). This is the training step that turns the
+    seed codebooks (first-PQ_CODES-vectors-per-subspace,
+    similarity.py) into data-adaptive ones: re-run until churn is low,
+    then rebuild the shared PQ index from the trained codebooks.
+    ``tests/test_similarity.py`` pins that ONE step already reduces
+    total ADC quantization error on the fixture embeddings.
+
+    All arithmetic is exact int64 (sums of quantized components, one
+    floor-division — |sum| ≪ 2^53 so the double rounding is exact),
+    keeping the training step value-checkable in SQL.
+
+    Plan shape at 100 TB: reuses the session-shared PQ index (vector →
+    codes, built once for the whole PQ family), re-slices the already-
+    cached quantized vectors into subvectors (a narrow 1 → PQ_M ×
+    PQ_SUBDIM fan-out, no shuffle), and runs ONE map-side-combined
+    aggregate keyed by (m, code, dim): PQ_M × PQ_CODES × PQ_SUBDIM
+    output rows, independent of N — the k-means-on-MapReduce shape,
+    once per subspace in the same job."""
+    pq = similarity.cached_pq_codes(spark, sf_dir)
+    ex = (pq.select("codes", F.posexplode(
+              F.expr(similarity._SUBSLICES_EXPR)).alias("m", "sub"))
+          .select("m",
+                  F.element_at("codes", F.col("m") + 1).cast("int")
+                  .alias("code"),
+                  F.posexplode("sub").alias("dim", "cq")))
+    return (ex.groupBy("m", "code", "dim")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum("cq").alias("sum_q"))
+            .select(F.col("m").cast("int").alias("m"), "code",
+                    F.col("dim").cast("int").alias("dim"), "n_vecs",
+                    F.floor(F.col("sum_q").cast("double") / F.col("n_vecs"))
+                    .cast("long").alias("c_q")))
+
+
+ORACLE_PQ_RECENTER = f"""
+WITH quant AS (
+  SELECT vec_id, {similarity.QUANTIZED_SQL} AS v FROM embeddings
+),
+subs AS (
+  SELECT vec_id, m,
+         array_slice(v, m * {similarity.PQ_SUBDIM} + 1,
+                     m * {similarity.PQ_SUBDIM} + {similarity.PQ_SUBDIM}) AS sub
+  FROM quant CROSS JOIN
+       (SELECT unnest(generate_series(0, {similarity.PQ_M - 1})) AS m)
+),
+cb AS (
+  SELECT m, vec_id AS code, sub AS csub
+  FROM subs WHERE vec_id < {similarity.PQ_CODES}
+),
+encoded AS (
+  SELECT subs.vec_id, m, code,
+         row_number() OVER (PARTITION BY subs.vec_id, m ORDER BY
+           (list_sum(list_transform(range(1, {similarity.PQ_SUBDIM} + 1),
+              i -> csub[i] * csub[i] - 2 * csub[i] * sub[i]))) ASC,
+           code ASC) AS rk
+  FROM subs JOIN cb USING (m)
+),
+codes AS (SELECT vec_id, m, code FROM encoded WHERE rk = 1),
+ex AS (
+  SELECT c.m, c.code, s.sub,
+         unnest(range(1, {similarity.PQ_SUBDIM} + 1)) AS d
+  FROM codes c JOIN subs s ON s.vec_id = c.vec_id AND s.m = c.m
+)
+SELECT CAST(m AS INT) AS m, CAST(code AS INT) AS code,
+       CAST(d - 1 AS INT) AS dim, COUNT(*) AS n_vecs,
+       CAST(floor(CAST(SUM(sub[d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c_q
+FROM ex GROUP BY m, code, d
+"""
+
+
 # --- hybrid_search_rrf (keyword + vector rank fusion) ------------------------
 
 RRF_K = 60       # the standard reciprocal-rank-fusion damping constant
@@ -399,6 +476,7 @@ QUERIES = {
     "domain_mix": q_domain_mix,
     "corpus_funnel": q_corpus_funnel,
     "ivf_recenter": q_ivf_recenter,
+    "pq_recenter": q_pq_recenter,
     "hybrid_search_rrf": q_hybrid_search_rrf,
 }
 
@@ -408,5 +486,6 @@ ORACLES = {
     "domain_mix": ORACLE_DOMAIN_MIX,
     "corpus_funnel": _oracle_corpus_funnel(),
     "ivf_recenter": ORACLE_IVF_RECENTER,
+    "pq_recenter": ORACLE_PQ_RECENTER,
     "hybrid_search_rrf": _oracle_hybrid_search_rrf(),
 }

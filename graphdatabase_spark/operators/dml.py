@@ -34,6 +34,13 @@ anchored grammar, not a SQL parser — and every embedded QUERY
   incident edge in ONE commit (``engine.delete_vertices``), so the
   store never holds edges referencing a vertex it no longer lists.
 
+- schema evolution from SQL text:
+  ``ALTER TABLE <prefix>_edges|_vertices ADD COLUMN [IF NOT EXISTS]
+  <name> <spark-sql-type>`` — declares a typed property via a
+  metadata-only manifest commit (``engine.declare_prop``); stored rows
+  read it as NULL until a write carries it, and the declared type then
+  binds every later INSERT/UPDATE/MERGE batch.
+
 Anything else raises ValueError naming the unsupported clause —
 failing loudly beats silently writing the wrong rows. ``SELECT`` /
 ``WITH`` statements pass through to a fresh pinned-snapshot view set.
@@ -378,6 +385,21 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
         raise ValueError(
             f"MERGE INTO: unsupported WHEN clauses {actions!r} (supported: "
             f"UPDATE SET w = {source}.w + INSERT *, or DELETE alone)")
+
+    m = re.match(rf"(?is)^ALTER\s+TABLE\s+({edges_p}|{verts_p})\s+"
+                 rf"ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                 rf"(\w+)\s+(.+)$", stmt)
+    if m:
+        # declare a typed edge/vertex property from SQL text alone —
+        # dispatches onto the manifest props schema path
+        # (engine.declare_prop): a metadata-only commit, no data
+        # rewrite; stored rows read the column as NULL until a write
+        # carries it. IF NOT EXISTS is accepted but not required —
+        # re-declaring at the SAME type is an idempotent no-op either
+        # way (a type conflict always raises).
+        table = "edges" if m.group(1).lower() == edges_t else "vertices"
+        engine.declare_prop(table, m.group(2), m.group(3).strip())
+        return None
 
     raise ValueError(f"unsupported statement for the {prefix}_* store "
                      f"surface: {stmt.split(None, 2)[:2]}")

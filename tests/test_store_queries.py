@@ -98,3 +98,40 @@ def test_triangle_count_all_equals_per_graph_kernel(spark):
     for name in sq.FIXTURE_GRAPHS:
         single = eng.triangle_count(name).collect()[0]["n_triangles"]
         assert batched[name] == single, (name, batched[name], single)
+
+
+def test_kcore_all_equals_per_graph_kernel(spark):
+    """The batched whole-store k-core peel must equal the per-graph
+    kernel for every fixture graph at k=2 — removal rounds depend only
+    on in-graph degrees, so the packed union peels each graph exactly
+    as the single-graph run does. Trees/stars (G1, G6) peel away
+    fully; G2/W1/W2 keep proper cores; core_deg is the within-core
+    degree, never modded by the decode."""
+    eng = sq.fixture_engine(spark)
+    batched = {}
+    for r in eng.kcore_all(sq.KCORE_ALL_K).collect():
+        batched.setdefault(r["graph"], {})[r["vid"]] = r["core_deg"]
+    # graphs with empty 2-cores contribute no rows
+    assert "G1" not in batched and "G6" not in batched
+    # W1's whole undirected form IS its 2-core: und edges (1,2),(1,3),
+    # (2,3),(2,4),(3,5),(4,5),(4,6),(5,6) — every degree ≥ 2
+    assert batched["W1"] == {1: 2, 2: 3, 3: 3, 4: 3, 5: 3, 6: 2}
+    for name in sq.FIXTURE_GRAPHS:
+        single = {r["vid"]: r["core_deg"]
+                  for r in eng.k_core(name, sq.KCORE_ALL_K).collect()}
+        assert batched.get(name, {}) == single, name
+
+
+def test_label_propagation_all_equals_per_graph_kernel(spark):
+    """The batched whole-store LPA run must equal the per-graph kernel
+    for every fixture graph — neighbor-frequency votes never cross the
+    disjoint vid ranges and the ties-to-smallest rule is translation-
+    invariant within a graph's packed offset."""
+    eng = sq.fixture_engine(spark)
+    batched = {}
+    for r in eng.label_propagation_all(iterations=4).collect():
+        batched.setdefault(r["graph"], {})[r["vid"]] = r["label"]
+    for name in sq.FIXTURE_GRAPHS:
+        single = {r["vid"]: r["label"]
+                  for r in eng.label_propagation(name, iterations=4).collect()}
+        assert batched.get(name, {}) == single, name

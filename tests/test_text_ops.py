@@ -220,3 +220,50 @@ def test_pq_codes_shape(spark, sf_dir):
            for r in pq.filter(F.col("vec_id") < similarity.PQ_CODES).collect()}
     for vid, codes in own.items():
         assert all(c == vid for c in codes), (vid, codes)
+
+
+def test_pq_recenter_parity(spark, sf_dir):
+    from graphdatabase_spark.functions import pipeline
+    from tests.parity import assert_parity
+    assert_parity(pipeline.q_pq_recenter(spark, sf_dir),
+                  pipeline.ORACLE_PQ_RECENTER, sf_dir)
+
+
+def _pq_total_quant_error(spark, sf_dir, cb) -> int:
+    """Total squared quantization error of encoding every subvector to
+    its nearest centroid in ``cb`` (m, code, csub): Σ min_code
+    |sub − csub|² over all (vec_id, m). Exact int64."""
+    from pyspark.sql import functions as F
+    _, subs, _ = similarity._pq_sub_frames(spark, sf_dir)
+    d2 = (similarity._norm_sq(F.col("sub"))
+          - F.lit(2) * similarity._dot(F.col("csub"), F.col("sub"))
+          + similarity._norm_sq(F.col("csub")))
+    return (subs.join(F.broadcast(cb), "m")
+            .groupBy("vec_id", "m").agg(F.min(d2).alias("d2"))
+            .agg(F.sum("d2")).collect()[0][0])
+
+
+def test_pq_recenter_reduces_adc_error(spark, sf_dir):
+    """Round-11 verdict item 4 (acceptance): ONE Lloyd step over the
+    PQ subvectors must reduce the total squared quantization error vs
+    the seed (first-PQ_CODES-vectors) codebooks on the fixture
+    embeddings — the k-means descent property, surviving the
+    floor-quantized centroid components. Smaller quantization error =
+    tighter ADC distance estimates = better PQ recall at fixed
+    rerank depth."""
+    from pyspark.sql import functions as F
+
+    from graphdatabase_spark.functions import pipeline
+
+    _, _, seed_cb = similarity._pq_sub_frames(spark, sf_dir)
+    trained_cb = (pipeline.q_pq_recenter(spark, sf_dir)
+                  .groupBy("m", "code")
+                  .agg(F.transform(
+                      F.sort_array(F.collect_list(F.struct("dim", "c_q"))),
+                      lambda x: x["c_q"]).alias("csub")))
+    # every (m, code) retained a member (the seed vector encodes to
+    # itself), so the trained codebook is complete
+    assert trained_cb.count() == similarity.PQ_M * similarity.PQ_CODES
+    seed_err = _pq_total_quant_error(spark, sf_dir, seed_cb)
+    trained_err = _pq_total_quant_error(spark, sf_dir, trained_cb)
+    assert trained_err < seed_err, (trained_err, seed_err)
