@@ -200,6 +200,21 @@ def _merge_props(declared: dict, batch: dict, op: str) -> dict:
     return out
 
 
+def _carry_vdeltas(prev: dict | None, body: dict) -> dict:
+    """Carry the manifest's ``vdeltas`` set (commit ids that are
+    vertex-prop DELTA commits — see set_vertex_props(mode="delta"))
+    through a write that doesn't manage it itself. MANDATORY in every
+    manifest update function: dropping the set would downgrade chained
+    delta commits to plain base rows at read time (stale property rows
+    resurface). Stale ids (deltas no longer referenced by any chain
+    after a COW flip or compaction) are harmless — the set only
+    classifies commit ids that DO appear in chains."""
+    vd = (prev or {}).get("vdeltas")
+    if vd and "vdeltas" not in body:
+        body["vdeltas"] = vd
+    return body
+
+
 def _cids(ptr) -> list[str]:
     """A manifest graph pointer normalized to a commit-id list: a plain
     string is the single-commit (overwrite) form every add/modify
@@ -366,9 +381,79 @@ class GraphSnapshot:
                  props: bool = False) -> DataFrame:
         """``(vid[, *props], graph)``; ``props=True`` reads the store's
         declared vertex property columns (NULL-backfilled for commits
-        that predate a column)."""
+        that predate a column).
+
+        Merge-on-read: when a requested graph's chain carries
+        vertex-prop DELTA commits (``set_vertex_props(mode="delta")``
+        — the manifest's ``vdeltas`` set marks them), the read merges
+        them latest-wins per (graph, vid): a delta row replaces the
+        whole property row (absent batch columns read NULL — the same
+        WHOLESALE-row rule as the COW upsert), vids new to the graph
+        join membership. The merge costs one window over the
+        delta rows (delta-sized, not store-sized) + one join; chains
+        with no deltas take the exact pre-MoR single-union plan, so
+        COW-only stores pay nothing. ``compact()`` collapses deltas
+        back into plain rows — the Delta/Iceberg MoR economics."""
         ddl = "vid int" + (self._props_ddl("vertices") if props else "")
-        return self._table("vertices", ddl, name)
+        vdeltas = set((self.manifest or {}).get("vdeltas", []))
+        if not vdeltas:
+            return self._table("vertices", ddl, name)
+        # split each requested chain into base commits and
+        # (position-tagged) delta commits — driver-side, manifest-only
+        names = ([name] if isinstance(name, str)
+                 else list(name) if name is not None else self.graphs())
+        gmap = (self.manifest or {}).get("graphs", {})
+        base_by_cid: dict[str, list[str]] = {}
+        delta_parts: dict[tuple[str, int], list[str]] = {}
+        for g in names:
+            ptr = gmap.get(g)
+            if ptr is None:
+                continue
+            for pos, cid in enumerate(_cids(ptr)):
+                if cid in vdeltas:
+                    delta_parts.setdefault((cid, pos), []).append(g)
+                else:
+                    base_by_cid.setdefault(cid, []).append(g)
+        from pyspark.sql.types import StructType
+        full_schema = ddl + ", graph string"
+        cols = [f.name for f in StructType.fromDDL(full_schema).fields]
+        base_parts = [
+            self._graph_filter(self._commit_df("vertices", cid, ddl), gs)
+            .select(*cols)
+            for cid, gs in sorted(base_by_cid.items())]
+        base = (base_parts[0] if base_parts
+                else self.spark.createDataFrame([], full_schema))
+        for p in base_parts[1:]:
+            base = base.unionByName(p)
+        if not delta_parts:
+            return base
+        dparts = [
+            self._graph_filter(self._commit_df("vertices", cid, ddl), gs)
+            .select(*cols).withColumn("__pos", F.lit(pos))
+            for (cid, pos), gs in sorted(delta_parts.items())]
+        deltas = dparts[0]
+        for p in dparts[1:]:
+            deltas = deltas.unionByName(p)
+        if not props:
+            # membership only: delta-created vids join the vertex set
+            return base.unionByName(deltas.select(*cols))
+        pnames = list(self.props.get("vertices", {}))
+        # latest delta per key by chain position (a window, not a
+        # struct-max: property types may be non-comparable e.g. maps)
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("graph", "vid").orderBy(F.desc("__pos"))
+        latest = (deltas
+                  .withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .select("graph", "vid",
+                          F.lit(True).alias("__hit"),
+                          *[F.col(p).alias(f"__d_{p}") for p in pnames]))
+        merged = base.join(latest, ["graph", "vid"], "full_outer")
+        return merged.select(
+            "vid",
+            *[F.when(F.col("__hit").isNotNull(), F.col(f"__d_{p}"))
+              .otherwise(F.col(p)).alias(p) for p in pnames],
+            "graph")
 
     def meta(self, name: str | list[str] | None = None) -> DataFrame:
         return self._table("meta", "n int", name)
@@ -597,7 +682,7 @@ class GraphEngine:
                     props_doc.get("edges", {}), batch_props, "append_edges")
             if props_doc:
                 body["props"] = props_doc
-            return body
+            return _carry_vdeltas(prev, body)
 
         return self.manifests.commit(update) is not None
 
@@ -728,14 +813,15 @@ class GraphEngine:
                     props_doc.get("edges", {}), batch_props, "merge_edges")
             if props_doc:
                 body["props"] = props_doc
-            return body
+            return _carry_vdeltas(prev, body)
 
         self.manifests.commit(update)
         adopted = frozenset(outcome[0])
         return adopted, frozenset(touched) - adopted
 
     def set_vertex_props(self, verts: DataFrame, *,
-                         pinned_snapshot: GraphSnapshot | None = None
+                         pinned_snapshot: GraphSnapshot | None = None,
+                         mode: str = "cow"
                          ) -> tuple[frozenset, frozenset]:
         """Upsert typed VERTEX property rows by ``(graph, vid)``:
         ``verts`` carries the key plus one or more property columns
@@ -759,7 +845,27 @@ class GraphEngine:
         an already-pinned snapshot (the SQL UPDATE path): copy-on-write
         rewrite of the touched graphs (edges copied through
         unchanged, props intact) + CAS pointer flip; returns
-        ``(adopted, skipped)``."""
+        ``(adopted, skipped)``.
+
+        ``mode="delta"`` is the MERGE-ON-READ alternative (round-11
+        verdict item 6): the batch rows land as ONE O(batch) append
+        commit — no old-state read, no bucket-partition rewrite — and
+        the commit id is marked in the manifest's ``vdeltas`` set so
+        :meth:`GraphSnapshot.vertices` merges it latest-wins at read
+        time (wholesale-row rule, identical results to COW — pinned by
+        tests/test_props.py). Write cost tracks BATCH size instead of
+        touched-graph size; reads pay a delta-sized window + join
+        until :meth:`compact` collapses the chain. Choose delta for
+        high-frequency small prop touches (the touch_100 economics:
+        BENCH_STORE_PROPS.json), COW for read-hot stores. A prop-less
+        delta batch appends plain membership rows (existing rows keep
+        their props — same contract as COW), and deltas never skip:
+        an upsert is order-safe to append even across a concurrent
+        flip, so the result is always ``(touched, ∅)``."""
+        if mode not in ("cow", "delta"):
+            raise ValueError(
+                f"set_vertex_props: mode must be 'cow' or 'delta', "
+                f"got {mode!r}")
         snap = pinned_snapshot or self.snapshot()
         if not {"graph", "vid"} <= set(verts.columns):
             raise ValueError("set_vertex_props needs (graph, vid, "
@@ -777,6 +883,9 @@ class GraphEngine:
                    for r in verts.select("graph").distinct().collect()]
         if not touched:
             return frozenset(), frozenset()
+        if mode == "delta":
+            return self._set_vertex_props_delta(snap, verts, batch_props,
+                                                touched)
         old_verts = snap.vertices(touched, props=True).distinct()
         if batch_props:
             kept = old_verts.join(verts.select("vid", "graph"),
@@ -829,11 +938,58 @@ class GraphEngine:
                     "set_vertex_props")
             if props_doc:
                 body["props"] = props_doc
-            return body
+            return _carry_vdeltas(prev, body)
 
         self.manifests.commit(update)
         adopted = frozenset(outcome[0])
         return adopted, frozenset(touched) - adopted
+
+    def _set_vertex_props_delta(self, snap: GraphSnapshot,
+                                verts: DataFrame, batch_props: dict,
+                                touched: list[str]
+                                ) -> tuple[frozenset, frozenset]:
+        """The merge-on-read write leg of :meth:`set_vertex_props`:
+        land the batch as one O(batch) commit (vertices rows + the
+        per-graph max-vid meta bound — the same ``n >= max vid`` rule
+        every writer keeps), append it to each touched graph's chain,
+        and — when the batch carries properties — mark the commit id
+        in the manifest's ``vdeltas`` set so reads merge it
+        latest-wins. A prop-less batch is a plain membership append
+        (NOT marked: a membership row must never null a matched key's
+        props through the wholesale-row merge rule). Appends are
+        unconditional (an upsert stays correct appended after any
+        concurrent write), so nothing is ever skipped."""
+        cid = uuid.uuid4().hex[:12]
+        eff = self._eff_buckets(snap)
+        meta = verts.groupBy("graph").agg(
+            F.max("vid").cast("int").alias("n")).select("n", "graph")
+        self._store_write(verts, "vertices", cid, eff)
+        self._store_write(meta, "meta", cid, eff)
+
+        def update(prev: dict | None) -> dict | None:
+            _check_layout(prev, eff)
+            graphs_map = dict(prev["graphs"]) if prev else {}
+            for g in touched:
+                chain = _cids(graphs_map[g]) if g in graphs_map else []
+                if cid not in chain:
+                    graphs_map[g] = chain + [cid]
+            body = {"commit": cid, "graphs": graphs_map,
+                    "txns": (prev or {}).get("txns", {})}
+            props_doc = dict((prev or {}).get("props", {}))
+            if batch_props:
+                props_doc["vertices"] = _merge_props(
+                    props_doc.get("vertices", {}), batch_props,
+                    "set_vertex_props")
+                body["vdeltas"] = sorted(
+                    set((prev or {}).get("vdeltas", [])) | {cid})
+            elif (prev or {}).get("vdeltas"):
+                body["vdeltas"] = prev["vdeltas"]
+            if props_doc:
+                body["props"] = props_doc
+            return _carry_vdeltas(prev, body)
+
+        self.manifests.commit(update)
+        return frozenset(touched), frozenset()
 
     def declare_prop(self, table: str, name: str, ddl_type: str) -> bool:
         """Declare a typed edge/vertex property WITHOUT writing data —
@@ -881,7 +1037,7 @@ class GraphEngine:
                     "graphs": dict((prev or {}).get("graphs", {})),
                     "txns": (prev or {}).get("txns", {}),
                     "props": props_doc}
-            return body
+            return _carry_vdeltas(prev, body)
 
         return self.manifests.commit(update) is not None
 
@@ -952,7 +1108,7 @@ class GraphEngine:
                     "txns": (prev or {}).get("txns", {})}
             if (prev or {}).get("props"):
                 body["props"] = dict(prev["props"])
-            return body
+            return _carry_vdeltas(prev, body)
 
         self.manifests.commit(update)
         adopted = frozenset(outcome[0])
@@ -1009,7 +1165,7 @@ class GraphEngine:
                 # overwritten graphs' new commit simply has no values
                 # for those columns (NULL-backfilled reads)
                 body["props"] = prev["props"]
-            return body
+            return _carry_vdeltas(prev, body)
 
         self.manifests.commit(update)
 
@@ -1081,7 +1237,7 @@ class GraphEngine:
                     "txns": (prev or {}).get("txns", {})}
             if (prev or {}).get("props"):
                 body["props"] = prev["props"]
-            return body
+            return _carry_vdeltas(prev, body)
 
         self.manifests.commit(update)
 

@@ -303,3 +303,95 @@ def test_pinned_snapshot_catches_read_modify_write_race(engine, spark):
                               "graph string, vid int, tag string"),
         pinned_snapshot=old)
     assert a == frozenset() and s == {"R"}
+
+
+def _vmap(eng, name="A"):
+    return {r["vid"]: tuple(r)[1:-1]
+            for r in eng.snapshot().vertices(name, props=True).collect()}
+
+
+def test_delta_upsert_equals_cow_results(spark, tmp_path):
+    """Merge-on-read (round-11 verdict item 6): the SAME upsert
+    sequence applied mode='delta' vs mode='cow' must read back
+    identically — wholesale-row replacement, membership joins,
+    NULL-backfill for batch-absent props, latest delta wins."""
+    batches = [
+        [("A", 1, "alice", 30), ("A", 7, "grace", 40)],
+        [("A", 1, "ALICE", None), ("B", 9, "bob", 20)],
+        [("A", 2, None, 55)],
+    ]
+    engines = {}
+    for mode in ("cow", "delta"):
+        eng = GraphEngine(spark, str(tmp_path / mode))
+        eng.append_edges(_prop_edges(spark))
+        for b in batches:
+            adopted, skipped = eng.set_vertex_props(
+                spark.createDataFrame(
+                    b, "graph string, vid int, vname string, age int"),
+                mode=mode)
+            assert adopted and not skipped
+        engines[mode] = eng
+    for name in ("A", "B"):
+        assert _vmap(engines["delta"], name) == _vmap(engines["cow"], name), \
+            name
+    # the delta store's chain really is append-shaped (no COW rewrite):
+    # base commit + 3 delta commits for A, and the manifest marks them
+    m = engines["delta"].manifests.load()
+    chain_a = m["graphs"]["A"]
+    assert isinstance(chain_a, list) and len(chain_a) == 4
+    assert set(chain_a[1:]) <= set(m["vdeltas"])
+    # membership read (props=False) sees delta-created vids too
+    assert {r["vid"] for r in
+            engines["delta"].snapshot().vertices("A").collect()} \
+        == {1, 2, 3, 7}
+
+
+def test_delta_propless_batch_keeps_props(spark, tmp_path):
+    """A prop-less delta batch is a MEMBERSHIP append: matched keys
+    keep their property values (never nulled through the wholesale
+    merge rule), new vids join bare — the same contract as COW."""
+    eng = GraphEngine(spark, str(tmp_path / "d"))
+    eng.append_edges(_prop_edges(spark))
+    eng.set_vertex_props(spark.createDataFrame(
+        [("A", 1, "alice")], "graph string, vid int, vname string"),
+        mode="delta")
+    eng.set_vertex_props(spark.createDataFrame(
+        [("A", 1), ("A", 9)], "graph string, vid int"), mode="delta")
+    got = _vmap(eng)
+    assert got[1] == ("alice",) and got[9] == (None,)
+    # the membership commit is chained but NOT marked as a prop delta
+    m = eng.manifests.load()
+    assert len(m["graphs"]["A"]) == 3 and len(m["vdeltas"]) == 1
+
+
+def test_delta_survives_other_writes_and_compact(spark, tmp_path):
+    """vdeltas rides through every other writer's manifest commit
+    (append/merge/ALTER), a COW flip of one graph leaves another
+    graph's deltas intact, and compact() collapses deltas into plain
+    rows with identical read-back."""
+    eng = GraphEngine(spark, str(tmp_path / "s"), buckets=4)
+    eng.append_edges(_prop_edges(spark))
+    eng.set_vertex_props(spark.createDataFrame(
+        [("A", 1, "alice")], "graph string, vid int, vname string"),
+        mode="delta")
+    # unrelated writers between the delta and the read
+    eng.append_edges(spark.createDataFrame(
+        [("B", 5, 6, 1)], "graph string, src int, dst int, w int"))
+    eng.declare_prop("edges", "note", "string")
+    eng.set_vertex_props(spark.createDataFrame(
+        [("B", 5, "bea")], "graph string, vid int, vname string"))  # COW on B
+    assert eng.manifests.load().get("vdeltas"), "vdeltas dropped by a writer"
+    assert _vmap(eng)[1] == ("alice",)
+    assert _vmap(eng, "B")[5] == ("bea",)
+    before_a, before_b = _vmap(eng), _vmap(eng, "B")
+    eng.compact()
+    m = eng.manifests.load()
+    assert not isinstance(m["graphs"]["A"], list) or \
+        len(m["graphs"]["A"]) == 1
+    assert _vmap(eng) == before_a and _vmap(eng, "B") == before_b
+    # post-compact snapshot reads the single commit (stale vdeltas ids
+    # no longer appear in any chain)
+    live = set()
+    for ptr in m["graphs"].values():
+        live.update(ptr if isinstance(ptr, list) else [ptr])
+    assert not live & set(m.get("vdeltas", []))

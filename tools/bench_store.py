@@ -321,10 +321,45 @@ def main_props(n_graphs: int, buckets: int) -> None:
                .filter(F.col("tag").isNotNull()).collect()}
         read_sec = round(time.perf_counter() - t0, 3)
         assert got == {1: "label1", 2: "label2", 3: "label3"}
+        # round-12: the merge-on-read alternative (mode="delta") — the
+        # write must track BATCH size, the read pays the delta merge
+        # until compact() collapses it
+        delta_upserts = {}
+        for k in (1, 10, 100):
+            rows = [(f"S{i:05d}", v, f"dlabel{v}")
+                    for i in range(k) for v in (4, 5, 6)]
+            df = spark.createDataFrame(
+                rows, "graph string, vid int, tag string")
+            t0 = time.perf_counter()
+            adopted, skipped = eng.set_vertex_props(df, mode="delta")
+            sec = round(time.perf_counter() - t0, 3)
+            assert len(adopted) == k and not skipped
+            delta_upserts[f"touch_{k}"] = sec
+        t0 = time.perf_counter()
+        got = {r["vid"]: r["tag"]
+               for r in eng.snapshot().vertices("S00000", props=True)
+               .filter(F.col("tag").isNotNull()).collect()}
+        read_delta_sec = round(time.perf_counter() - t0, 3)
+        assert got == {1: "label1", 2: "label2", 3: "label3",
+                       4: "dlabel4", 5: "dlabel5", 6: "dlabel6"}, got
+        t0 = time.perf_counter()
+        eng.compact()
+        compact_sec = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        got2 = {r["vid"]: r["tag"]
+                for r in eng.snapshot().vertices("S00000", props=True)
+                .filter(F.col("tag").isNotNull()).collect()}
+        read_compacted_sec = round(time.perf_counter() - t0, 3)
+        assert got2 == got, "compaction changed the read-back"
         doc = {"metric": "vertex_prop_cow_upsert_vs_catalog_size",
                "n_graphs": n_graphs, "buckets": buckets, "seed": SEED,
                "ingest_sec": ingest_sec, "upsert_sec": upserts,
-               "single_graph_props_read_sec": read_sec}
+               "single_graph_props_read_sec": read_sec,
+               "delta_upsert_sec": delta_upserts,
+               "single_graph_props_read_after_3_deltas_sec": read_delta_sec,
+               "compact_sec": compact_sec,
+               "single_graph_props_read_after_compact_sec":
+                   read_compacted_sec}
         with open(os.path.join(REPO, "BENCH_STORE_PROPS.json"), "w") as f:
             json.dump(doc, f, indent=1, sort_keys=True)
         print(json.dumps(doc, sort_keys=True))
