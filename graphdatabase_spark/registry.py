@@ -39,60 +39,46 @@ _MODULES = [relational, graph_queries, text, dedup, similarity, streamops, multi
 # i.e. ids whose first driver row is still pending — are fronted in
 # ``_CHECK_FIRST``.  When rotating for round N+1: copy ``_CHECK_FIRST``
 # into ``_PREV_WINDOW`` first.
-# Round-11 window: the round-10 deferral (``_DEFERRED_R10`` — 28 ids
-# whose r08 rows hit the three-round horizon) is fronted FIRST, per
-# the rotation invariant.  Next the ids NEW or MODIFIED this round
-# (``store_sql_dml`` gained the vertex-DELETE cascade statement +
-# vertex-count read-back; ``pregel_max_prop`` gives the generic
-# ``engine.pregel`` vertex-program API its first oracle-checked
-# driver row), then as many round-9-window ids as fit.  With >100
+# Round-12 window: the round-11 deferral (``_DEFERRED_R11`` — 32 ids
+# whose r09 rows hit the three-round horizon) is fronted FIRST, per
+# the rotation invariant.  Next the ids NEW this round
+# (``pq_recenter``, ``store_kcore_all``,
+# ``store_label_propagation_all``) and MODIFIED this round
+# (``store_sql_dml`` gained ALTER TABLE ADD COLUMN + a declared-
+# property UPDATE; ``events_gap_fill`` went from 3 events scans to
+# 1), then as many round-10-window ids as fit.  With >100
 # registered ids and a fixed 50-row driver window a two-window cover
 # stays arithmetically impossible (2 × 50 < N): the ids squeezed out
-# (``_DEFERRED_R11`` below — r09 greens) keep their r09 row until
-# round 12, where they MUST be fronted.
+# (``_DEFERRED_R12`` below — r10 greens) keep their r10 row until
+# round 13, where they MUST be fronted.
 # tests/test_registry.py enforces the three-window cover and that
 # deferral beyond two rounds happens only because the registry
 # outgrew two windows — never silently.  Local full-registry parity
 # evidence stays per-round in PARITY_LOCAL.json
 # (tools/harness_replica.py).
-_DEFERRED_R11 = [
-    # r09-window ids squeezed out of the round-11 window (>100 ids >
-    # 2 x 50 driver slots); their latest driver row is r09, inside the
-    # three-window horizon, and tests/test_registry.py keeps this list
-    # explicit. Round 12 MUST front these.
-    "running_user_stats", "search_bm25", "semdedup_ivf",
-    "knn_join", "connected_components", "dedup_clusters",
-    "corpus_funnel", "ivf_recenter",
-    "store_stream_ingest", "store_merge_edges", "store_snapshot_diff",
-    "store_stats", "store_bfs_all", "store_cc_all", "store_scc_all",
-    "store_sssp_all", "store_pagerank_all", "store_sql_degree",
-    "motif_find",
-    "dedup_embedding", "dedup_near", "asof_join_events_salted",
-    "hybrid_search_rrf", "sql_recursive_reachability", "multimodal_meta",
-    "events_stream_dedup", "events_stream_join", "bfs_levels", "pagerank",
-    "kcore", "triangle_count", "similarity_topk",
+_DEFERRED_R12 = [
+    # r10-window ids squeezed out of the round-12 window (the 50-slot
+    # driver window must front the 32 _DEFERRED_R11 ids whose r09 rows
+    # hit the three-window horizon, plus this round's new/modified
+    # ids; >130 ids > 2 x 50 slots). Their latest driver row is r10,
+    # inside the three-window horizon, and tests/test_registry.py
+    # keeps this list explicit. Round 13 MUST front these.
+    "contamination_check", "corpus_histogram", "corpus_prep",
+    "customer_distribution", "events_anomaly", "events_enriched",
+    "events_funnel", "events_retention", "events_rollup_daily",
+    "events_sessionization", "events_sliding_avg", "events_trending",
+    "events_tumbling_counts", "excess_stock_suppliers", "graph_stats",
+    "important_parts", "market_share", "min_cost_supplier",
+    "parts_supplier_counts", "pivot_returns", "product_profit",
+    "quality_repetition", "range_join_events", "returned_item_revenue",
+    "salted_join_orders", "sample_split",
+    "segment_distinct_customers_approx", "sequence_pack",
+    "shipmode_priority", "sql_forecast_revenue", "sql_grouping_sets",
+    "tfidf_top_terms", "top_ngrams", "vertex_jaccard", "volume_shipping",
+    "waiting_suppliers",
 ]
 
 _PREV_WINDOW2 = [
-    # round-9 window (CORRECTNESS_r09.json's 50 rows, in order)
-    "scalar_functions", "set_ops", "summary_stats", "top_expensive_orders",
-    "small_qty_revenue", "disjunctive_revenue", "text_stats", "token_count",
-    "file_search", "wordcount_docs", "lang_id", "quality_score",
-    "doc_fingerprint", "dedup_exact", "dedup_simhash", "pii_scrub",
-    "dedup_minhash_lsh", "running_user_stats", "search_bm25",
-    "semdedup_ivf", "knn_join", "connected_components", "dedup_clusters",
-    "corpus_funnel", "ivf_recenter",
-    "store_stream_ingest", "store_merge_edges", "store_snapshot_diff",
-    "store_stats", "store_bfs_all", "store_cc_all", "store_scc_all",
-    "store_sssp_all", "store_pagerank_all", "store_sql_degree",
-    "store_sql_dml", "motif_find",
-    "dedup_embedding", "dedup_near", "asof_join_events_salted",
-    "hybrid_search_rrf", "sql_recursive_reachability", "multimodal_meta",
-    "events_stream_dedup", "events_stream_join", "bfs_levels", "pagerank",
-    "kcore", "triangle_count", "similarity_topk",
-]
-
-_PREV_WINDOW = [
     # round-10 window (CORRECTNESS_r10.json's 50 rows, in order)
     "asof_join_events", "contamination_check", "corpus_prep",
     "embedding_ann_lsh", "embedding_ivf_topk", "events_anomaly",
@@ -103,52 +89,67 @@ _PREV_WINDOW = [
     "revenue_by_nation", "salted_join_orders", "scc",
     "segment_distinct_customers_approx", "sequence_pack",
     "pricing_summary", "sql_forecast_revenue", "sssp_weighted",
-    "tfidf_top_terms", "top_ngrams",
-    "store_sql_dml",
-    "motif_weighted", "bfs_expr", "shortest_paths_landmarks",
-    "graph_ingest_matrix", "pivot_returns", "window_showcase",
-    "sql_grouping_sets", "sample_split", "corpus_histogram",
-    "customer_distribution", "waiting_suppliers", "volume_shipping",
-    "market_share", "min_cost_supplier", "product_profit",
-    "important_parts", "parts_supplier_counts", "excess_stock_suppliers",
+    "tfidf_top_terms", "top_ngrams", "store_sql_dml", "motif_weighted",
+    "bfs_expr", "shortest_paths_landmarks", "graph_ingest_matrix",
+    "pivot_returns", "window_showcase", "sql_grouping_sets",
+    "sample_split", "corpus_histogram", "customer_distribution",
+    "waiting_suppliers", "volume_shipping", "market_share",
+    "min_cost_supplier", "product_profit", "important_parts",
+    "parts_supplier_counts", "excess_stock_suppliers",
     "returned_item_revenue", "shipmode_priority", "vertex_jaccard",
 ]
 
-_CHECK_FIRST = [
-    # -- the round-10 deferral (28 ids, r08 rows at the three-round
-    # horizon): MUST front per the rotation invariant --
+_PREV_WINDOW = [
+    # round-11 window (CORRECTNESS_r11.json's 50 rows, in order)
     "shipping_priority", "customers_without_orders",
     "order_priority_rollup", "returns_cube", "top_orders_per_customer",
     "running_revenue", "segment_distinct_customers",
     "local_supplier_volume", "promo_revenue", "top_supplier",
-    "large_volume_customers", "sales_opportunity",
-    "personalized_pagerank", "label_propagation", "graph_degree",
-    "reachability", "shortest_path_hops", "clustering_coefficient",
-    "dfs_leaves_tree", "dfs_leaves", "dedup_near_guarded",
-    "embedding_cosine_topk", "events_quantiles_approx",
-    "chunk_dedup", "domain_mix",
+    "large_volume_customers", "sales_opportunity", "personalized_pagerank",
+    "label_propagation", "graph_degree", "reachability",
+    "shortest_path_hops", "clustering_coefficient", "dfs_leaves_tree",
+    "dfs_leaves", "dedup_near_guarded", "embedding_cosine_topk",
+    "events_quantiles_approx", "chunk_dedup", "domain_mix",
     "multimodal_features", "multimodal_frames", "multimodal_resize",
-    # -- MODIFIED this round: store_sql_dml's statement list gained
-    # DELETE FROM gdb_vertices (the cascade vertex removal, round-10
-    # verdict item 7) and a vertex-count read-back --
-    "store_sql_dml",
-    # -- NEW this round: the generic pregel() vertex-program API's
-    # first oracle-checked driver row (round-10 verdict item 2), and
-    # product-quantization ANN with exact re-rank (the memory-bound
-    # third scale path next to LSH and IVF), and hypertable-style gap
-    # filling (dense time grid + LOCF over events), plus whole-store
-    # triangle counting (the last batched-analytics kernel) --
-    "pregel_max_prop", "embedding_pq_topk", "events_gap_fill",
-    "store_triangle_all",
-    # -- oldest r09-window ids (latest driver row is round 9) --
-    "scalar_functions", "set_ops", "summary_stats", "top_expensive_orders",
-    "small_qty_revenue", "disjunctive_revenue", "text_stats", "token_count",
-    "file_search", "wordcount_docs", "lang_id", "quality_score",
-    "doc_fingerprint", "dedup_exact", "dedup_simhash", "pii_scrub",
-    "dedup_minhash_lsh",
+    "store_sql_dml", "pregel_max_prop", "embedding_pq_topk",
+    "events_gap_fill", "store_triangle_all", "scalar_functions", "set_ops",
+    "summary_stats", "top_expensive_orders", "small_qty_revenue",
+    "disjunctive_revenue", "text_stats", "token_count", "file_search",
+    "wordcount_docs", "lang_id", "quality_score", "doc_fingerprint",
+    "dedup_exact", "dedup_simhash", "pii_scrub", "dedup_minhash_lsh",
 ]
-# (the remaining r09-window ids are _DEFERRED_R11 above — their r09
-# rows stay within the three-window horizon; round 12 fronts them.)
+
+_CHECK_FIRST = [
+    # -- the round-11 deferral (32 ids, r09 rows at the three-round
+    # horizon): MUST front per the rotation invariant --
+    "running_user_stats", "search_bm25", "semdedup_ivf", "knn_join",
+    "connected_components", "dedup_clusters", "corpus_funnel",
+    "ivf_recenter", "store_stream_ingest", "store_merge_edges",
+    "store_snapshot_diff", "store_stats", "store_bfs_all", "store_cc_all",
+    "store_scc_all", "store_sssp_all", "store_pagerank_all",
+    "store_sql_degree", "motif_find", "dedup_embedding", "dedup_near",
+    "asof_join_events_salted", "hybrid_search_rrf",
+    "sql_recursive_reachability", "multimodal_meta", "events_stream_dedup",
+    "events_stream_join", "bfs_levels", "pagerank", "kcore",
+    "triangle_count", "similarity_topk",
+    # -- NEW this round: PQ codebook training (the Lloyd step per
+    # subspace, round-11 verdict item 4) and the whole-store batched
+    # kcore / label-propagation kernels (item 7) --
+    "pq_recenter", "store_kcore_all", "store_label_propagation_all",
+    # -- MODIFIED this round: store_sql_dml gained ALTER TABLE ADD
+    # COLUMN + a declared-property UPDATE (8 statements, item 9);
+    # events_gap_fill now derives its grid from the persisted hourly
+    # aggregate (1 events scan instead of 3, r11 verdict nit 1) --
+    "store_sql_dml", "events_gap_fill",
+    # -- oldest r10-window ids that fit the remaining slots (the
+    # sweep-flagged sssp_weighted A/B'd this round rides along) --
+    "sssp_weighted", "window_showcase", "pricing_summary",
+    "revenue_by_nation", "asof_join_events", "events_quantiles", "scc",
+    "graph_ingest_matrix", "motif_weighted", "bfs_expr",
+    "shortest_paths_landmarks", "embedding_ann_lsh", "embedding_ivf_topk",
+]
+# (the remaining r10-window ids are _DEFERRED_R12 above — their r10
+# rows stay within the three-window horizon; round 13 fronts them.)
 
 # Query ids registered WITHOUT a DuckDB oracle (the driver records a
 # weaker rows-only check): approximate/sketch outputs whose exact values
