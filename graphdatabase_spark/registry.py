@@ -64,7 +64,8 @@ _DEFERRED_R12 = [
     # inside the three-window horizon, and tests/test_registry.py
     # keeps this list explicit. Round 13 MUST front these.
     "contamination_check", "corpus_histogram", "corpus_prep",
-    "customer_distribution", "events_anomaly", "events_enriched",
+    "customer_distribution", "embedding_ivf_topk", "events_anomaly",
+    "events_enriched",
     "events_funnel", "events_retention", "events_rollup_daily",
     "events_sessionization", "events_sliding_avg", "events_trending",
     "events_tumbling_counts", "excess_stock_suppliers", "graph_stats",
@@ -136,6 +137,7 @@ _CHECK_FIRST = [
     # subspace, round-11 verdict item 4) and the whole-store batched
     # kcore / label-propagation kernels (item 7) --
     "pq_recenter", "store_kcore_all", "store_label_propagation_all",
+    "store_clustering_all",
     # -- MODIFIED this round: store_sql_dml gained ALTER TABLE ADD
     # COLUMN + a declared-property UPDATE (8 statements, item 9);
     # events_gap_fill now derives its grid from the persisted hourly
@@ -146,10 +148,12 @@ _CHECK_FIRST = [
     "sssp_weighted", "window_showcase", "pricing_summary",
     "revenue_by_nation", "asof_join_events", "events_quantiles", "scc",
     "graph_ingest_matrix", "motif_weighted", "bfs_expr",
-    "shortest_paths_landmarks", "embedding_ann_lsh", "embedding_ivf_topk",
+    "shortest_paths_landmarks", "embedding_ann_lsh",
 ]
 # (the remaining r10-window ids are _DEFERRED_R12 above — their r10
-# rows stay within the three-window horizon; round 13 fronts them.)
+# rows stay within the three-window horizon; round 13 fronts them.
+# embedding_ivf_topk ceded its filler slot to store_clustering_all,
+# a first-timer that MUST front; its r10 row stays in-horizon.)
 
 # Query ids registered WITHOUT a DuckDB oracle (the driver records a
 # weaker rows-only check): approximate/sketch outputs whose exact values

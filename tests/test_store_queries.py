@@ -135,3 +135,19 @@ def test_label_propagation_all_equals_per_graph_kernel(spark):
         single = {r["vid"]: r["label"]
                   for r in eng.label_propagation(name, iterations=4).collect()}
         assert batched.get(name, {}) == single, name
+
+
+def test_clustering_all_equals_per_graph_kernel(spark):
+    """The batched whole-store clustering-coefficient kernel must
+    equal the per-graph kernel exactly for every fixture graph —
+    triangles never cross the disjoint vid ranges and degree-order
+    ties break by in-graph vid order either way."""
+    eng = sq.fixture_engine(spark)
+    batched = {}
+    for r in eng.clustering_all().collect():
+        batched.setdefault(r["graph"], {})[r["vid"]] = (
+            r["deg"], r["n_tri"], r["coeff"])
+    for name in sq.FIXTURE_GRAPHS:
+        single = {r["vid"]: (r["deg"], r["n_tri"], r["coeff"])
+                  for r in eng.clustering_coefficient(name).collect()}
+        assert batched.get(name, {}) == single, name

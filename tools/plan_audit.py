@@ -108,13 +108,31 @@ AUDIT = [
     ("embedding_pq_topk", "PQ ANN: cached codes table scanned once with a "
      "broadcast 128-entry ADC LUT folded per row (no corpus shuffle), "
      "TakeOrdered candidate cut, exact re-rank joins only the top-50"),
-    ("events_gap_fill", "gapfill: one map-side-combined hourly agg over "
-     "events, then grid-sized work — 1-row bounds broadcast, sequence() "
-     "explode, LOCF window partitioned by type over types x hours rows"),
+    ("events_gap_fill", "gapfill: ONE map-side-combined hourly agg over "
+     "events lands in an InMemoryRelation; bounds and the type domain are "
+     "re-aggregations of that cache (the three Scan-parquet prints below "
+     "are the cached relation's DEFINITION repeated per InMemoryTableScan "
+     "reference — events is physically scanned once, at materialization); "
+     "then grid-sized work — 1-row bounds broadcast, sequence() explode, "
+     "LOCF window partitioned by type over types x hours rows"),
     ("store_triangle_all", "whole-store triangles: packed disjoint-range "
      "union feeding the compact-forward kernel once — degree agg + "
      "adjacency collect (both map-side combined) + two adjacency joins, "
      "counts rolled up by u div stride; no wedge materialization"),
+    ("pq_recenter", "PQ codebook Lloyd step: session-shared PQ index "
+     "scanned once, two narrow posexplode fan-outs, ONE (m,code,dim)-keyed "
+     "map-side-combined agg — output rows independent of N"),
+    ("store_kcore_all", "whole-store k-core: final plan is the converged "
+     "degree table (checkpointed) — per-round work was frontier-sized "
+     "loss joins against the cached packed edge set, decode via broadcast "
+     "gidx join"),
+    ("store_label_propagation_all", "whole-store LPA: last superstep's "
+     "checkpointed label table + broadcast gidx decode; per-round plan "
+     "was one message join + (vid,label) count shuffle + argmax window"),
+    ("store_clustering_all", "whole-store clustering coefficients: the "
+     "corner-explode triangle kernel over the packed union — degree agg + "
+     "adjacency joins map-side combined, one corner explode (triangle-"
+     "sized), per-vertex agg, broadcast decode"),
 ]
 
 
