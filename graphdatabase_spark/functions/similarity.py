@@ -357,6 +357,79 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str,
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOPK)
 
 
+def trained_centroids(spark: SparkSession, sf_dir: str,
+                      n_cells: int = IVF_CELLS) -> DataFrame:
+    """``(cell, cv)`` after ONE Lloyd step over the seed assignment:
+    the ivf_recenter training output (per-(cell, dim) floor-mean of
+    the members' quantized components) reassembled into centroid
+    vectors. Exact int64 end-to-end (|sum| ≪ 2^53, so the double
+    floor-division is exact), so even the TRAINED quantizer stays
+    SQL-oracle-checkable. Every cell keeps ≥ 1 member (each seed
+    vector assigns to itself at distance 0), so the trained codebook
+    is always complete. Output is cells × 1 rows — broadcast-sized at
+    any N (cells ≈ sqrt(N) ≪ broadcast threshold up to N ~ 1e9+)."""
+    cells = cached_ivf_cells(spark, sf_dir, n_cells)
+    ex = cells.select("cell", F.posexplode("v").alias("dim", "cq"))
+    comp = (ex.groupBy("cell", "dim")
+            .agg(F.floor(F.sum("cq").cast("double")
+                         / F.count(F.lit(1))).cast("long").alias("c")))
+    return (comp.groupBy("cell")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x["c"]).alias("cv")))
+
+
+def cached_ivf_cells_trained(spark: SparkSession, sf_dir: str,
+                             n_cells: int = IVF_CELLS) -> DataFrame:
+    """The session-shared TRAINED cell materialization — the
+    ivf_recenter training step finally LOOPED INTO the quantizer build
+    (round-11 verdict's one unautomated scale knob): one Lloyd step on
+    the seed assignment, then every vector re-assigned to its nearest
+    TRAINED centroid. Same layout contract as
+    :func:`cached_ivf_cells` (hash-partitioned by cell, nsq
+    precomputed); production re-runs the recenter step to churn
+    convergence with the identical plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
+    quant = quant.select("vec_id", "v", _norm_sq(F.col("v")).alias("nsq"))
+    tc = trained_centroids(spark, sf_dir, n_cells)
+    n_part = spark.sparkContext.defaultParallelism
+    return shared_persist(
+        spark, ("ivf_cells_trained", sf_dir, n_cells),
+        lambda: _cell_assign(quant, tc, 1).repartition(n_part, "cell"))
+
+
+def q_embedding_ivf_trained_topk(spark: SparkSession, sf_dir: str,
+                                 n_cells: int = IVF_CELLS,
+                                 nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF ANN top-k over the TRAINED quantizer: identical probe shape
+    to :func:`q_embedding_ivf_topk`, but cells come from
+    :func:`cached_ivf_cells_trained` (one Lloyd step + re-assignment)
+    instead of the seed-vector quantizer — closing the loop from
+    training step (`ivf_recenter`) to serving index. Exact integer
+    math throughout: the whole pipeline (seed assign → floor-mean
+    recenter → re-assign → probe → exact cosine) unrolls into the SQL
+    oracle, so even the trained index is value-checked, not just
+    rows-counted."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
+    tc = trained_centroids(spark, sf_dir, n_cells)
+    cells = cached_ivf_cells_trained(spark, sf_dir, n_cells)
+    qcells = (_cell_assign(quant.filter(F.col("vec_id") == QUERY_VEC_ID),
+                           tc, nprobe)
+              .select(F.col("v").alias("qv"),
+                      _norm_sq(F.col("v")).alias("qnsq"),
+                      F.col("cell").alias("qcell")))
+    cands = (cells.filter(F.col("vec_id") != QUERY_VEC_ID)
+             .join(F.broadcast(qcells), F.col("cell") == F.col("qcell")))
+    scored = cands.join(emb.select("vec_id", "label"), "vec_id").select(
+        "vec_id", "label", "cell",
+        (_dot(F.col("qv"), F.col("v")).cast("double")
+         / (F.sqrt(F.col("qnsq").cast("double"))
+            * F.sqrt(F.col("nsq").cast("double")))).alias("cos_sim"))
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOPK)
+
+
 _DOT_CV_SQL = f"list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> cv[i] * v[i]))"
 
 ORACLE_EMBEDDING_IVF_TOPK = f"""
@@ -372,6 +445,53 @@ assigned AS (
            (list_sum(list_transform(cv, x -> x * x)) - 2 * {_DOT_CV_SQL}) ASC,
            cell ASC) AS rk
   FROM quant CROSS JOIN centroids
+),
+cells AS (SELECT vec_id, label, v, cell FROM assigned WHERE rk = 1),
+qcells AS (
+  SELECT v AS qv, cell AS qcell FROM assigned
+  WHERE vec_id = {QUERY_VEC_ID} AND rk <= {IVF_NPROBE}
+)
+SELECT vec_id, label, cell,
+       CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> qv[i] * v[i])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE))) AS cos_sim
+FROM cells JOIN qcells ON cell = qcell
+WHERE vec_id <> {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+ORACLE_TRAINED_IVF = f"""
+WITH quant AS (
+  SELECT vec_id, label, {QUANTIZED_SQL} AS v FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS cell, v AS cv FROM quant WHERE vec_id < {IVF_CELLS}
+),
+assigned0 AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY
+           (list_sum(list_transform(cv, x -> x * x)) - 2 * {_DOT_CV_SQL}) ASC,
+           cell ASC) AS rk
+  FROM quant CROSS JOIN seeds
+),
+cells0 AS (SELECT vec_id, v, cell FROM assigned0 WHERE rk = 1),
+ex AS (
+  SELECT cell, v, unnest(range(1, {EMB_DIM} + 1)) AS d FROM cells0
+),
+tcomp AS (
+  SELECT cell, d,
+         CAST(floor(CAST(SUM(v[d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM ex GROUP BY cell, d
+),
+tcent AS (SELECT cell, list(c ORDER BY d) AS cv FROM tcomp GROUP BY cell),
+assigned AS (
+  SELECT vec_id, label, v, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY
+           (list_sum(list_transform(cv, x -> x * x)) - 2 * {_DOT_CV_SQL}) ASC,
+           cell ASC) AS rk
+  FROM quant CROSS JOIN tcent
 ),
 cells AS (SELECT vec_id, label, v, cell FROM assigned WHERE rk = 1),
 qcells AS (
@@ -746,6 +866,7 @@ QUERIES = {
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
     "dedup_embedding": q_dedup_embedding,
     "semdedup_ivf": q_semdedup_ivf,
     "knn_join": q_knn_join,
@@ -757,6 +878,7 @@ ORACLES = {
     "embedding_cosine_topk": ORACLE_EMBEDDING_COSINE_TOPK,
     "embedding_ann_lsh": ORACLE_EMBEDDING_ANN_LSH,
     "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
+    "embedding_ivf_trained_topk": ORACLE_TRAINED_IVF,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "semdedup_ivf": ORACLE_SEMDEDUP_IVF,
     "knn_join": ORACLE_KNN_JOIN,

@@ -267,3 +267,39 @@ def test_pq_recenter_reduces_adc_error(spark, sf_dir):
     seed_err = _pq_total_quant_error(spark, sf_dir, seed_cb)
     trained_err = _pq_total_quant_error(spark, sf_dir, trained_cb)
     assert trained_err < seed_err, (trained_err, seed_err)
+
+
+def test_ivf_trained_topk_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+    assert_parity(similarity.q_embedding_ivf_trained_topk(spark, sf_dir),
+                  similarity.ORACLE_TRAINED_IVF, sf_dir)
+
+
+def test_trained_quantizer_reduces_ivf_distortion(spark, sf_dir):
+    """The trained-cell build (one Lloyd step + re-assignment,
+    cached_ivf_cells_trained) must have lower total quantization
+    error than the seed-vector quantizer — the k-means descent
+    property, surviving floor-quantized centroids. Lower distortion =
+    cells that better fit the data = better recall per probed cell."""
+    from pyspark.sql import functions as F
+
+    def distortion(cells, cents):
+        # cells: (vec_id, v, nsq, cell); cents: (cell, cv)
+        d2 = (similarity._norm_sq(F.col("v"))
+              - F.lit(2) * similarity._dot(F.col("cv"), F.col("v"))
+              + similarity._norm_sq(F.col("cv")))
+        return (cells.join(F.broadcast(cents), "cell")
+                .agg(F.sum(d2)).collect()[0][0])
+
+    emb = similarity.load_table(spark, sf_dir, "embeddings")
+    quant = emb.select("vec_id",
+                       similarity.quantized(F.col("embedding")).alias("v"))
+    seed_cents = quant.filter(
+        F.col("vec_id") < similarity.IVF_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    seed = similarity.cached_ivf_cells(spark, sf_dir)
+    trained_cents = similarity.trained_centroids(spark, sf_dir)
+    trained = similarity.cached_ivf_cells_trained(spark, sf_dir)
+    assert trained_cents.count() == similarity.IVF_CELLS
+    assert distortion(trained, trained_cents) < \
+        distortion(seed, seed_cents)
