@@ -1237,6 +1237,21 @@ class GraphEngine:
                     "txns": (prev or {}).get("txns", {})}
             if (prev or {}).get("props"):
                 body["props"] = prev["props"]
+            # vdeltas prune: keep only delta ids some chain still
+            # references (a graph written concurrently with this
+            # compaction keeps its chain, so its deltas survive).
+            # Stale ids are read-harmless but the set must not grow
+            # forever on a long-lived store; compaction is the natural
+            # trim point, like the chain collapse itself.
+            vd = set((prev or {}).get("vdeltas", []))
+            if vd:
+                live = set()
+                for ptr in graphs_map.values():
+                    live.update(_cids(ptr))
+                kept = sorted(vd & live)
+                if kept:
+                    body["vdeltas"] = kept
+                return body     # pruned (possibly to nothing) — no carry
             return _carry_vdeltas(prev, body)
 
         self.manifests.commit(update)

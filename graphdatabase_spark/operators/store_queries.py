@@ -122,6 +122,7 @@ def release_stores() -> int:
     _STORE_PATH = None
     _MERGE_STORE.clear()
     _PROPS_STORE.clear()
+    _MOR_STORE.clear()
     return n
 
 
@@ -869,6 +870,99 @@ FROM reach GROUP BY 1, 2
 """
 
 
+_MOR_STORE: dict[str, str] = {}
+
+
+def _mor_store_engine(spark: SparkSession, sf_dir: str):
+    """The MERGE-ON-READ fixture store, built ONCE per (process,
+    sf_dir): the events-derived edge load (one append commit), then
+    TWO vertex-prop DELTA commits (``set_vertex_props(mode="delta")``
+    — O(batch) appends, no COW rewrite):
+
+    - delta 1: every src-side vid gets ``band='lo'`` and ``hits`` =
+      its event count (both props);
+    - delta 2: vids ≡ 0 (mod 3) — plus a vid 99 NEW to every graph —
+      get ``band='hi'`` with NO hits column, so the wholesale-row rule
+      (batch-absent props read NULL) and delta-created membership are
+      both externally value-checked, not just unit-pinned.
+
+    Every prop value is a deterministic function of the events table,
+    so the oracle recomputes the merged final state relationally."""
+    from graphdatabase_spark.engine import GraphEngine
+
+    path = _MOR_STORE.get(sf_dir)
+    if path is None:
+        path = os.path.join(
+            _track_store(tempfile.mkdtemp(prefix="gdb_mor_store_")), "store")
+        eng = GraphEngine(spark, path, buckets=4)
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        edges = (ev.select(
+            F.col("event_type").alias("graph"),
+            (F.col("user_id") % 20).cast("int").alias("src"),
+            (F.col("event_id") % 30 + 1).cast("int").alias("dst"))
+            .distinct())
+        eng.append_edges(edges)                                   # seq 1
+        keys = (ev.groupBy(F.col("event_type").alias("graph"),
+                           (F.col("user_id") % 20).cast("int").alias("vid"))
+                .agg(F.count(F.lit(1)).cast("long").alias("hits")))
+        eng.set_vertex_props(                                     # seq 2
+            keys.select("graph", "vid", F.lit("lo").alias("band"), "hits"),
+            mode="delta")
+        b2 = (keys.filter(F.col("vid") % 3 == 0).select("graph", "vid")
+              .unionByName(keys.select("graph").distinct()
+                           .select("graph", F.lit(99).alias("vid")))
+              .withColumn("band", F.lit("hi")))
+        eng.set_vertex_props(b2, mode="delta")                    # seq 3
+        _MOR_STORE[sf_dir] = path
+        return eng
+    return GraphEngine(spark, path)
+
+
+def q_store_props_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-on-read vertex-prop path value-checked at the driver
+    (round-11 verdict item 6's external evidence): read the
+    chain-with-two-deltas store THROUGH the MoR merge (latest delta
+    wins per key, wholesale-row NULLs, delta-created vids in
+    membership) and return the merged (graph, vid, band, hits) —
+    NULLs coalesced to sentinels so both engines hash identically."""
+    eng = _mor_store_engine(spark, sf_dir)
+    v = eng.snapshot().vertices(props=True)
+    return v.select("graph", "vid",
+                    F.coalesce("band", F.lit("-")).alias("band"),
+                    F.coalesce("hits", F.lit(-1)).cast("long").alias("hits"))
+
+
+ORACLE_STORE_PROPS_MOR = """
+WITH m AS (
+  SELECT event_type AS graph,
+         CAST(user_id % 20 AS INT) AS src,
+         CAST(event_id % 30 + 1 AS INT) AS dst
+  FROM events),
+verts AS (SELECT DISTINCT graph, vid FROM (
+    SELECT graph, src AS vid FROM m
+    UNION ALL SELECT graph, dst FROM m)),
+b1 AS (SELECT graph, src AS vid, CAST(COUNT(*) AS BIGINT) AS hits
+       FROM (SELECT event_type AS graph,
+                    CAST(user_id % 20 AS INT) AS src FROM events)
+       GROUP BY graph, src),
+b2 AS (SELECT graph, vid FROM b1 WHERE vid % 3 = 0
+       UNION SELECT DISTINCT graph, 99 FROM b1),
+membership AS (
+  SELECT graph, vid FROM verts
+  UNION SELECT graph, vid FROM b1
+  UNION SELECT graph, vid FROM b2)
+SELECT v.graph, v.vid,
+       CASE WHEN b2.vid IS NOT NULL THEN 'hi'
+            WHEN b1.vid IS NOT NULL THEN 'lo'
+            ELSE '-' END AS band,
+       CAST(COALESCE(CASE WHEN b2.vid IS NOT NULL THEN NULL
+                          ELSE b1.hits END, -1) AS BIGINT) AS hits
+FROM membership v
+LEFT JOIN b1 ON b1.graph = v.graph AND b1.vid = v.vid
+LEFT JOIN b2 ON b2.graph = v.graph AND b2.vid = v.vid
+"""
+
+
 KCORE_ALL_K = 2   # leaves non-empty cores (G2, W1, W2) and full peels
 
 
@@ -1010,6 +1104,7 @@ QUERIES = {
     "store_kcore_all": q_store_kcore_all,
     "store_label_propagation_all": q_store_label_propagation_all,
     "store_clustering_all": q_store_clustering_all,
+    "store_props_mor": q_store_props_mor,
 }
 
 ORACLES = {
@@ -1033,4 +1128,5 @@ ORACLES = {
     "store_kcore_all": ORACLE_STORE_KCORE_ALL,
     "store_label_propagation_all": ORACLE_STORE_LPA_ALL,
     "store_clustering_all": ORACLE_STORE_CLUSTERING_ALL,
+    "store_props_mor": ORACLE_STORE_PROPS_MOR,
 }

@@ -389,9 +389,12 @@ def test_delta_survives_other_writes_and_compact(spark, tmp_path):
     assert not isinstance(m["graphs"]["A"], list) or \
         len(m["graphs"]["A"]) == 1
     assert _vmap(eng) == before_a and _vmap(eng, "B") == before_b
-    # post-compact snapshot reads the single commit (stale vdeltas ids
-    # no longer appear in any chain)
+    # post-compact snapshot reads the single commit; compaction also
+    # PRUNES the vdeltas set to ids some chain still references —
+    # here none survive, so the set is gone (a long-lived store's
+    # manifest must not accumulate stale delta ids forever)
     live = set()
     for ptr in m["graphs"].values():
         live.update(ptr if isinstance(ptr, list) else [ptr])
     assert not live & set(m.get("vdeltas", []))
+    assert not m.get("vdeltas"), m.get("vdeltas")

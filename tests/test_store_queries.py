@@ -151,3 +151,23 @@ def test_clustering_all_equals_per_graph_kernel(spark):
         single = {r["vid"]: (r["deg"], r["n_tri"], r["coeff"])
                   for r in eng.clustering_coefficient(name).collect()}
         assert batched.get(name, {}) == single, name
+
+
+def test_release_stores_resets_every_memo(spark, sf_dir_mid):
+    """registry.release() removes the tracked temp stores AND resets
+    every per-process memo table, so a released query transparently
+    rebuilds instead of reading a deleted path (the round-12 bench
+    crash: _MOR_STORE survived release pointing at a removed dir)."""
+    from graphdatabase_spark import registry
+
+    before = {r["vid"]: (r["band"], r["hits"])
+              for r in sq.q_store_props_mor(spark, sf_dir_mid)
+              .filter(F.col("graph") == "view").collect()}
+    assert before, "fixture store must produce rows"
+    registry.release()
+    assert not sq._MOR_STORE and not sq._PROPS_STORE \
+        and not sq._MERGE_STORE and sq._STORE_PATH is None
+    after = {r["vid"]: (r["band"], r["hits"])
+             for r in sq.q_store_props_mor(spark, sf_dir_mid)
+             .filter(F.col("graph") == "view").collect()}
+    assert after == before
