@@ -133,6 +133,14 @@ AUDIT = [
      "corner-explode triangle kernel over the packed union — degree agg + "
      "adjacency joins map-side combined, one corner explode (triangle-"
      "sized), per-vertex agg, broadcast decode"),
+    ("embedding_ivf_trained_topk", "trained-quantizer IVF probe: the "
+     "cached TRAINED cells (Lloyd step + re-assignment, built once) "
+     "joined against the broadcast nprobe query cells — same "
+     "Exchange-free probe shape as the seed-quantizer path"),
+    ("store_props_mor", "merge-on-read vertex props: per-chain-commit "
+     "pruned scans, the DELTA rows get a (graph, vid) latest-wins "
+     "window (delta-sized, not store-sized) then ONE full-outer join "
+     "against the base rows — chains without deltas skip all of it"),
 ]
 
 
