@@ -201,17 +201,20 @@ def _merge_props(declared: dict, batch: dict, op: str) -> dict:
 
 
 def _carry_vdeltas(prev: dict | None, body: dict) -> dict:
-    """Carry the manifest's ``vdeltas`` set (commit ids that are
-    vertex-prop DELTA commits — see set_vertex_props(mode="delta"))
-    through a write that doesn't manage it itself. MANDATORY in every
-    manifest update function: dropping the set would downgrade chained
-    delta commits to plain base rows at read time (stale property rows
-    resurface). Stale ids (deltas no longer referenced by any chain
-    after a COW flip or compaction) are harmless — the set only
-    classifies commit ids that DO appear in chains."""
-    vd = (prev or {}).get("vdeltas")
-    if vd and "vdeltas" not in body:
-        body["vdeltas"] = vd
+    """Carry the manifest's delta-commit classification sets —
+    ``vdeltas`` (vertex-prop deltas, set_vertex_props(mode="delta"))
+    and ``edeltas`` (edge deltas, merge_edges(mode="delta")) — through
+    a write that doesn't manage them itself. MANDATORY in every
+    manifest update function: dropping a set would downgrade chained
+    delta commits to plain base rows at read time (stale rows
+    resurface, delete markers become w=0 junk). Stale ids (deltas no
+    longer referenced by any chain after a COW flip or compaction) are
+    harmless — the sets only classify commit ids that DO appear in
+    chains; compact() prunes them."""
+    for k in ("vdeltas", "edeltas"):
+        v = (prev or {}).get(k)
+        if v and k not in body:
+            body[k] = v
     return body
 
 
@@ -354,8 +357,79 @@ class GraphSnapshot:
         return "".join(f", {n} {t}"
                        for n, t in self.props.get(table, {}).items())
 
+    def _edges_merged(self, ddl: str, name, pnames: list[str]) -> DataFrame:
+        """Edge read with MERGE-ON-READ applied: when a requested
+        graph's chain carries edge DELTA commits
+        (``merge_edges(mode="delta")`` — the manifest's ``edeltas``
+        set marks them), the latest delta per (graph, src, dst) wins
+        wholesale (w + every property; batch-absent props read NULL),
+        a latest ``w = 0`` row is a DELETE MARKER (the store's CDC
+        absence encoding — exactly why stored weights must be ≥ 1),
+        and chains with no deltas return the plain pre-MoR union.
+        ``ddl`` must include ``w``."""
+        edeltas = set((self.manifest or {}).get("edeltas", []))
+        names = ([name] if isinstance(name, str)
+                 else list(name) if name is not None else self.graphs())
+        gmap = (self.manifest or {}).get("graphs", {})
+        base_by_cid: dict[str, list[str]] = {}
+        delta_parts: dict[tuple[str, int], list[str]] = {}
+        for g in names:
+            ptr = gmap.get(g)
+            if ptr is None:
+                continue
+            for pos, cid in enumerate(_cids(ptr)):
+                if cid in edeltas:
+                    delta_parts.setdefault((cid, pos), []).append(g)
+                else:
+                    base_by_cid.setdefault(cid, []).append(g)
+        from pyspark.sql.types import StructType
+        full_schema = ddl + ", graph string"
+        cols = [f.name for f in StructType.fromDDL(full_schema).fields]
+        base_parts = [
+            self._graph_filter(self._commit_df("edges", cid, ddl), gs)
+            .select(*cols)
+            for cid, gs in sorted(base_by_cid.items())]
+        base = (base_parts[0] if base_parts
+                else self.spark.createDataFrame([], full_schema))
+        for p in base_parts[1:]:
+            base = base.unionByName(p)
+        if not delta_parts:
+            return base
+        dparts = [
+            self._graph_filter(self._commit_df("edges", cid, ddl), gs)
+            .select(*cols).withColumn("__pos", F.lit(pos))
+            for (cid, pos), gs in sorted(delta_parts.items())]
+        deltas = dparts[0]
+        for p in dparts[1:]:
+            deltas = deltas.unionByName(p)
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("graph", "src", "dst").orderBy(F.desc("__pos"))
+        latest = (deltas
+                  .withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .select("graph", "src", "dst",
+                          F.lit(True).alias("__hit"),
+                          F.col("w").alias("__d_w"),
+                          *[F.col(p).alias(f"__d_{p}") for p in pnames]))
+        merged = (base.join(latest, ["graph", "src", "dst"], "full_outer")
+                  # a latest w = 0 delta row deletes the key (whether
+                  # or not the base holds it)
+                  .filter(F.col("__hit").isNull() | (F.col("__d_w") != 0)))
+        return merged.select(
+            "src", "dst",
+            F.when(F.col("__hit").isNotNull(), F.col("__d_w"))
+            .otherwise(F.col("w")).alias("w"),
+            *[F.when(F.col("__hit").isNotNull(), F.col(f"__d_{p}"))
+              .otherwise(F.col(p)).alias(p) for p in pnames],
+            "graph")
+
     def edges(self, name: str | list[str] | None = None) -> DataFrame:
-        return self._table("edges", "src int, dst int", name)
+        if not (self.manifest or {}).get("edeltas"):
+            return self._table("edges", "src int, dst int", name)
+        # delta-carrying store: w must be read to honor upserts'
+        # latest-wins and delete markers, then dropped
+        return self._edges_merged("src int, dst int, w int", name, []) \
+            .select("src", "dst", "graph")
 
     def weighted_edges(self, name: str | list[str] | None = None, *,
                        props: bool = False) -> DataFrame:
@@ -372,7 +446,10 @@ class GraphSnapshot:
         extra = list(self.props.get("edges", {})) if props else []
         ddl = "src int, dst int, w int" + \
             (self._props_ddl("edges") if props else "")
-        e = self._table("edges", ddl, name)
+        if (self.manifest or {}).get("edeltas"):
+            e = self._edges_merged(ddl, name, extra)
+        else:
+            e = self._table("edges", ddl, name)
         return e.select("src", "dst",
                         F.coalesce("w", F.lit(1)).alias("w"),
                         *extra, "graph")
@@ -687,7 +764,8 @@ class GraphEngine:
         return self.manifests.commit(update) is not None
 
     def merge_edges(self, updates: DataFrame, delete: bool = False, *,
-                    pinned_snapshot: GraphSnapshot | None = None
+                    pinned_snapshot: GraphSnapshot | None = None,
+                    mode: str = "cow"
                     ) -> tuple[frozenset, frozenset]:
         """MERGE INTO over the stored edge sets: upsert (default) or
         delete by edge key. ``updates`` carries ``(graph, src, dst[,
@@ -724,7 +802,24 @@ class GraphEngine:
         covers the whole read-modify-write — otherwise a write landing
         between the caller's read and this method's own pin would be
         silently overwritten by stale rows while every graph counts as
-        adopted (the SQL UPDATE/DELETE paths pass the view snapshot)."""
+        adopted (the SQL UPDATE/DELETE paths pass the view snapshot).
+
+        ``mode="delta"`` is the MERGE-ON-READ leg (the edge-side twin
+        of ``set_vertex_props(mode="delta")``): the batch lands as one
+        O(batch) append commit — no touched-graph read or rewrite —
+        marked in the manifest's ``edeltas`` set; reads merge chained
+        deltas latest-wins per (graph, src, dst), a ``delete=True``
+        delta writes w = 0 DELETE MARKERS (the CDC absence encoding),
+        and ``compact()`` collapses the chain. Identical read-back to
+        COW (pinned by tests/test_props.py); unlike COW a delta never
+        skips — an upsert/delete stays correct appended after any
+        concurrent write — so the result is always ``(touched, ∅)``.
+        Choose delta for high-frequency small corrections, COW for
+        read-hot stores (each chained delta adds a delta-sized window
+        + join to every edge read until compaction)."""
+        if mode not in ("cow", "delta"):
+            raise ValueError(
+                f"merge_edges: mode must be 'cow' or 'delta', got {mode!r}")
         snap = pinned_snapshot or self.snapshot()
         batch_props: dict[str, str] = {}
         if delete:
@@ -752,6 +847,9 @@ class GraphEngine:
             touched = [g for g in touched if g in known]
         if not touched:
             return frozenset(), frozenset()
+        if mode == "delta":
+            return self._merge_edges_delta(snap, updates, batch_props,
+                                           touched, delete)
         # the COW rewrite reads the props-carrying shape so untouched
         # rows keep their property values; matched keys take the
         # update row WHOLESALE (a declared property absent from the
@@ -943,6 +1041,61 @@ class GraphEngine:
         self.manifests.commit(update)
         adopted = frozenset(outcome[0])
         return adopted, frozenset(touched) - adopted
+
+    def _merge_edges_delta(self, snap: GraphSnapshot, updates: DataFrame,
+                           batch_props: dict, touched: list[str],
+                           delete: bool) -> tuple[frozenset, frozenset]:
+        """The merge-on-read write leg of :meth:`merge_edges`: land the
+        batch as one O(batch) commit and append it to each touched
+        graph's chain, marked in ``edeltas``. Upsert batches carry
+        their validated (w ≥ 1) rows verbatim; delete batches write
+        w = 0 marker rows (keys only). Upserts also append membership
+        rows for endpoint vids NEW to their graph (the same anti-join
+        :meth:`append_edges` uses — a vertex-table-sized read, not an
+        edge rewrite) plus the per-graph max-vid meta bound. Appends
+        are unconditional — an upsert/delete stays correct appended
+        after any concurrent write — so nothing is ever skipped."""
+        cid = uuid.uuid4().hex[:12]
+        eff = self._eff_buckets(snap)
+        if delete:
+            rows = updates.select("src", "dst",
+                                  F.lit(0).alias("w"), "graph")
+            self._store_write(rows, "edges", cid, eff)
+        else:
+            self._store_write(updates, "edges", cid, eff)
+            known = snap.vertices(touched).select("vid", "graph")
+            evids = (updates.select(F.col("src").alias("vid"), "graph")
+                     .unionByName(updates.select(F.col("dst").alias("vid"),
+                                                 "graph"))
+                     .distinct())
+            new_verts = evids.join(known, ["vid", "graph"], "left_anti")
+            meta = (evids.groupBy("graph")
+                    .agg(F.max("vid").cast("int").alias("n"))
+                    .select("n", "graph"))
+            self._store_write(new_verts, "vertices", cid, eff)
+            self._store_write(meta, "meta", cid, eff)
+
+        def update(prev: dict | None) -> dict | None:
+            _check_layout(prev, eff)
+            graphs_map = dict(prev["graphs"]) if prev else {}
+            for g in touched:
+                chain = _cids(graphs_map[g]) if g in graphs_map else []
+                if cid not in chain:
+                    graphs_map[g] = chain + [cid]
+            body = {"commit": cid, "graphs": graphs_map,
+                    "txns": (prev or {}).get("txns", {}),
+                    "edeltas": sorted(
+                        set((prev or {}).get("edeltas", [])) | {cid})}
+            props_doc = dict((prev or {}).get("props", {}))
+            if batch_props:
+                props_doc["edges"] = _merge_props(
+                    props_doc.get("edges", {}), batch_props, "merge_edges")
+            if props_doc:
+                body["props"] = props_doc
+            return _carry_vdeltas(prev, body)
+
+        self.manifests.commit(update)
+        return frozenset(touched), frozenset()
 
     def _set_vertex_props_delta(self, snap: GraphSnapshot,
                                 verts: DataFrame, batch_props: dict,
@@ -1237,20 +1390,25 @@ class GraphEngine:
                     "txns": (prev or {}).get("txns", {})}
             if (prev or {}).get("props"):
                 body["props"] = prev["props"]
-            # vdeltas prune: keep only delta ids some chain still
+            # delta-set prune: keep only delta ids some chain still
             # references (a graph written concurrently with this
             # compaction keeps its chain, so its deltas survive).
-            # Stale ids are read-harmless but the set must not grow
+            # Stale ids are read-harmless but the sets must not grow
             # forever on a long-lived store; compaction is the natural
             # trim point, like the chain collapse itself.
-            vd = set((prev or {}).get("vdeltas", []))
-            if vd:
-                live = set()
-                for ptr in graphs_map.values():
-                    live.update(_cids(ptr))
-                kept = sorted(vd & live)
+            live = None
+            for k in ("vdeltas", "edeltas"):
+                ids = set((prev or {}).get(k, []))
+                if not ids:
+                    continue
+                if live is None:
+                    live = set()
+                    for ptr in graphs_map.values():
+                        live.update(_cids(ptr))
+                kept = sorted(ids & live)
                 if kept:
-                    body["vdeltas"] = kept
+                    body[k] = kept
+            if live is not None:
                 return body     # pruned (possibly to nothing) — no carry
             return _carry_vdeltas(prev, body)
 

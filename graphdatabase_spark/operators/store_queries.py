@@ -123,6 +123,7 @@ def release_stores() -> int:
     _MERGE_STORE.clear()
     _PROPS_STORE.clear()
     _MOR_STORE.clear()
+    _EMOR_STORE.clear()
     return n
 
 
@@ -963,6 +964,73 @@ LEFT JOIN b2 ON b2.graph = v.graph AND b2.vid = v.vid
 """
 
 
+_EMOR_STORE: dict[str, str] = {}
+
+
+def _emor_store_engine(spark: SparkSession, sf_dir: str):
+    """The edge-MoR fixture store, built ONCE per (process, sf_dir):
+    the even-event-id half of the DML edge derivation lands as the
+    base append commit, the odd half as a DELTA upsert
+    (``merge_edges(mode="delta")`` — O(batch), no rewrite), then a
+    DELTA delete (w = 0 markers) trims every key with src ≥ 20 from
+    the union of both halves — so markers hit base keys, delta-upserted
+    keys, AND keys the store never held (no-ops), all three marker
+    cases externally value-checked. Deterministic functions of the
+    events table throughout, so the oracle recomputes the merged final
+    state relationally."""
+    from graphdatabase_spark.engine import GraphEngine
+
+    path = _EMOR_STORE.get(sf_dir)
+    if path is None:
+        path = os.path.join(
+            _track_store(tempfile.mkdtemp(prefix="gdb_emor_store_")), "store")
+        eng = GraphEngine(spark, path, buckets=4)
+        # same view name + definition as the DML query's source —
+        # identical content for one sf_dir, so sharing is harmless
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")) \
+            .createOrReplaceTempView("dml_events_src")
+        half0 = spark.sql(_DML_HALF_SQL.format(par=0))
+        half1 = spark.sql(_DML_HALF_SQL.format(par=1))
+        eng.append_edges(half0)                                   # seq 1
+        eng.merge_edges(half1, mode="delta")                      # seq 2
+        victims = (half0.select("graph", "src", "dst")
+                   .unionByName(half1.select("graph", "src", "dst"))
+                   .filter(F.col("src") >= 20).distinct())
+        eng.merge_edges(victims, delete=True, mode="delta")       # seq 3
+        _EMOR_STORE[sf_dir] = path
+        return eng
+    return GraphEngine(spark, path)
+
+
+def q_store_merge_edges_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-on-read EDGE path value-checked at the driver: read a
+    chain with one base commit + an upsert delta + a delete-marker
+    delta THROUGH the latest-wins merge (upserted keys take the delta
+    row, w = 0 markers drop keys whether they live in the base or an
+    earlier delta) and return the merged (graph, src, dst, w)."""
+    eng = _emor_store_engine(spark, sf_dir)
+    return eng.snapshot().weighted_edges()         .select("graph", "src", "dst", "w")
+
+
+ORACLE_STORE_MERGE_EDGES_MOR = """
+WITH m AS (
+  SELECT event_type AS graph,
+         CAST(user_id % 25 AS INT) AS src,
+         CAST((event_id // 2) % 50 + 1 AS INT) AS dst,
+         CAST(event_id % 2 AS INT) AS par,
+         event_id % 5 + 1 AS w1
+  FROM events),
+base AS (SELECT graph, src, dst, CAST(SUM(w1) AS INT) AS w
+         FROM m WHERE par = 0 GROUP BY 1, 2, 3),
+upd AS (SELECT graph, src, dst, CAST(SUM(w1) AS INT) AS w
+        FROM m WHERE par = 1 GROUP BY 1, 2, 3)
+SELECT graph, src, dst,
+       CAST(COALESCE(u.w, b.w) AS INT) AS w
+FROM base b FULL OUTER JOIN upd u USING (graph, src, dst)
+WHERE src < 20
+"""
+
+
 KCORE_ALL_K = 2   # leaves non-empty cores (G2, W1, W2) and full peels
 
 
@@ -1105,6 +1173,7 @@ QUERIES = {
     "store_label_propagation_all": q_store_label_propagation_all,
     "store_clustering_all": q_store_clustering_all,
     "store_props_mor": q_store_props_mor,
+    "store_merge_edges_mor": q_store_merge_edges_mor,
 }
 
 ORACLES = {
@@ -1129,4 +1198,5 @@ ORACLES = {
     "store_label_propagation_all": ORACLE_STORE_LPA_ALL,
     "store_clustering_all": ORACLE_STORE_CLUSTERING_ALL,
     "store_props_mor": ORACLE_STORE_PROPS_MOR,
+    "store_merge_edges_mor": ORACLE_STORE_MERGE_EDGES_MOR,
 }

@@ -70,6 +70,7 @@ _DEFERRED_R12 = [
     "events_sessionization", "events_sliding_avg", "events_trending",
     "events_tumbling_counts", "excess_stock_suppliers", "graph_stats",
     "important_parts", "market_share", "min_cost_supplier",
+    "motif_weighted",
     "parts_supplier_counts", "pivot_returns", "product_profit",
     "quality_repetition", "range_join_events", "returned_item_revenue",
     "salted_join_orders", "sample_split",
@@ -141,7 +142,7 @@ _CHECK_FIRST = [
     # scale knob the r11 verdict called unautomated) --
     "pq_recenter", "store_kcore_all", "store_label_propagation_all",
     "store_clustering_all", "embedding_ivf_trained_topk",
-    "store_props_mor",
+    "store_props_mor", "store_merge_edges_mor",
     # -- MODIFIED this round: store_sql_dml gained ALTER TABLE ADD
     # COLUMN + a declared-property UPDATE (8 statements, item 9);
     # events_gap_fill now derives its grid from the persisted hourly
@@ -151,15 +152,16 @@ _CHECK_FIRST = [
     # sweep-flagged sssp_weighted A/B'd this round rides along) --
     "sssp_weighted", "window_showcase", "pricing_summary",
     "revenue_by_nation", "asof_join_events", "events_quantiles", "scc",
-    "graph_ingest_matrix", "motif_weighted",
+    "graph_ingest_matrix",
     "shortest_paths_landmarks",
 ]
 # (the remaining r10-window ids are _DEFERRED_R12 above — their r10
 # rows stay within the three-window horizon; round 13 fronts them.
-# embedding_ivf_topk, embedding_ann_lsh, and bfs_expr ceded their
-# filler slots to the first-timers store_clustering_all,
-# embedding_ivf_trained_topk, and store_props_mor, which MUST front;
-# all ceded ids' r10 rows stay in-horizon.)
+# embedding_ivf_topk, embedding_ann_lsh, bfs_expr, and motif_weighted
+# ceded their filler slots to the first-timers store_clustering_all,
+# embedding_ivf_trained_topk, store_props_mor, and
+# store_merge_edges_mor, which MUST front; all ceded ids' r10 rows
+# stay in-horizon.)
 
 # Query ids registered WITHOUT a DuckDB oracle (the driver records a
 # weaker rows-only check): approximate/sketch outputs whose exact values

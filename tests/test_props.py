@@ -398,3 +398,76 @@ def test_delta_survives_other_writes_and_compact(spark, tmp_path):
         live.update(ptr if isinstance(ptr, list) else [ptr])
     assert not live & set(m.get("vdeltas", []))
     assert not m.get("vdeltas"), m.get("vdeltas")
+
+
+def _edgemap(eng, name=None):
+    return {(r["graph"], r["src"], r["dst"]): tuple(r)[2:-1]
+            for r in eng.snapshot()
+            .weighted_edges(name, props=True).collect()}
+
+
+def test_edge_delta_merge_equals_cow(spark, tmp_path):
+    """merge_edges(mode='delta') — the edge-side MoR twin: the same
+    upsert/delete sequence applied delta vs COW must read back
+    identically through weighted_edges AND bare edges (latest delta
+    wins wholesale, w=0 markers delete, batch-absent props NULL)."""
+    ups = [
+        (False, [("A", 1, 2, 9, "x"), ("A", 9, 9, 4, "new")]),
+        (False, [("A", 9, 9, 7, None), ("B", 1, 2, 2, "b")]),
+        (True, [("A", 2, 3)]),
+    ]
+    engines = {}
+    for mode in ("cow", "delta"):
+        eng = GraphEngine(spark, str(tmp_path / mode), buckets=4)
+        eng.append_edges(_prop_edges(spark))
+        for is_del, rows in ups:
+            if is_del:
+                df = spark.createDataFrame(
+                    rows, "graph string, src int, dst int")
+                out = eng.merge_edges(df, delete=True, mode=mode)
+            else:
+                df = spark.createDataFrame(
+                    rows, "graph string, src int, dst int, w int, "
+                          "kind string")
+                out = eng.merge_edges(df, mode=mode)
+            assert out[0] and not out[1]
+        engines[mode] = eng
+    assert _edgemap(engines["delta"]) == _edgemap(engines["cow"])
+    bare = {m: {(r["graph"], r["src"], r["dst"]) for r in
+                engines[m].snapshot().edges().collect()}
+            for m in engines}
+    assert bare["delta"] == bare["cow"]
+    assert ("A", 2, 3) not in bare["delta"]          # deleted key gone
+    # the delta store never rewrote: base + 3 chained deltas
+    m = engines["delta"].manifests.load()
+    assert len(m["graphs"]["A"]) == 4
+    assert set(m["graphs"]["A"][1:]) <= set(m["edeltas"])
+    # inserted endpoint vid 9 joined membership; graph B was CREATED
+    # by a delta upsert
+    assert 9 in {r["vid"] for r in
+                 engines["delta"].snapshot().vertices("A").collect()}
+    assert "B" in engines["delta"].graphs()
+
+
+def test_edge_delta_delete_of_prior_delta_and_kernels(spark, tmp_path):
+    """A delete marker beats an earlier delta upsert of the same key
+    (chain-position order), kernels traverse the MERGED edge set, and
+    compact() collapses the chain with identical read-back + pruned
+    edeltas."""
+    eng = GraphEngine(spark, str(tmp_path / "k"))
+    eng.add_graph("G", "3\n0 1 0\n0 0 1\n0 0 0\n")     # 1->2->3
+    df = spark.createDataFrame([("G", 1, 3, 1)],
+                               "graph string, src int, dst int, w int")
+    eng.merge_edges(df, mode="delta")                  # add shortcut 1->3
+    levels = {r["vertex"]: r["level"] for r in eng.bfs("G", 1).collect()}
+    assert levels[3] == 1                              # kernel sees delta
+    eng.merge_edges(spark.createDataFrame(
+        [("G", 1, 3)], "graph string, src int, dst int"),
+        delete=True, mode="delta")                     # delete it again
+    levels = {r["vertex"]: r["level"] for r in eng.bfs("G", 1).collect()}
+    assert levels[3] == 2                              # marker honored
+    before = _edgemap(eng, "G")
+    eng.compact()
+    m = eng.manifests.load()
+    assert not m.get("edeltas")                        # pruned
+    assert _edgemap(eng, "G") == before
