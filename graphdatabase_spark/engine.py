@@ -1332,36 +1332,53 @@ class GraphEngine:
 
     # -- store maintenance -------------------------------------------------
 
-    def compact(self) -> None:
-        """Rewrite the store's CURRENT state into one fresh commit and
-        point every graph at it. A long-lived store accumulates one
-        live commit per surviving write, and the all-graphs read unions
-        one scan per live commit — compaction collapses that back to a
-        single scan (the table-format maintenance op, like Iceberg
-        rewrite). Snapshot-safe: readers pinned to older manifests are
-        untouched until :meth:`vacuum`. Concurrency-safe: the publish
-        only points a graph at the compacted copy if that graph's
-        pointer is UNCHANGED since compaction pinned its snapshot — a
-        write landing mid-compaction keeps its (newer) pointer instead
-        of being reverted to the stale rewrite."""
+    def compact(self, names: list[str] | None = None) -> None:
+        """Rewrite the CURRENT state of ``names`` (default: every
+        graph) into one fresh commit and point those graphs at it. A
+        long-lived store accumulates one live commit per surviving
+        write, and the all-graphs read unions one scan per live commit
+        — compaction collapses that back to a single scan (the
+        table-format maintenance op, like Iceberg rewrite); it is also
+        what collapses merge-on-read delta chains back into plain
+        rows. SELECTIVE compaction (``names``) is the operational form
+        at a large catalog: rewriting 100 TB because one graph's chain
+        grew long is not a maintenance op — target the delta-heavy /
+        chain-heavy graphs (``history()`` shows chain lengths) and
+        leave the rest untouched, at O(named graphs) cost via the same
+        partition-pruned reads every COW write uses. Snapshot-safe:
+        readers pinned to older manifests are untouched until
+        :meth:`vacuum`. Concurrency-safe: the publish only points a
+        graph at the compacted copy if that graph's pointer is
+        UNCHANGED since compaction pinned its snapshot — a write
+        landing mid-compaction keeps its (newer) pointer instead of
+        being reverted to the stale rewrite. Unknown ``names`` raise
+        (a typo must not silently compact nothing)."""
         snap = self.snapshot()
         graphs = snap.graphs()
+        if names is not None:
+            unknown = sorted(set(names) - set(graphs))
+            if unknown:
+                raise ValueError(f"compact: unknown graphs {unknown}")
+            graphs = sorted(set(names))
         if not graphs:
             return
+        sel = graphs if names is not None else None
         cid = uuid.uuid4().hex[:12]
         eff = self._eff_buckets(snap)
         for table in ("edges", "vertices", "meta"):
             if table == "edges":
                 # the weighted read normalizes legacy commits (no w
                 # column) to w=1, so compaction also migrates them;
-                # props=True carries the declared property columns
-                df = snap.weighted_edges(props=True)
+                # props=True carries the declared property columns;
+                # both reads resolve merge-on-read deltas, so the
+                # compacted commit holds plain merged rows
+                df = snap.weighted_edges(sel, props=True)
             elif table == "vertices":
                 # distinct: an append chain written by concurrent
                 # same-graph appenders can carry duplicate vertex rows
                 # (each anti-joined against the same pre-append
                 # snapshot); compaction is the heal point
-                df = snap.vertices(props=True).distinct()
+                df = snap.vertices(sel, props=True).distinct()
             else:
                 # meta needs a per-graph AGGREGATE, not distinct: two
                 # concurrent appends that both CREATE a graph write
@@ -1369,15 +1386,16 @@ class GraphEngine:
                 # batch against the same pre-append snapshot), and
                 # distinct() would keep both forever. max preserves the
                 # "n >= max vid at write time" bound both writers held.
-                df = (snap._table(table, "n int", None)
+                df = (snap._table(table, "n int", sel)
                       .groupBy("graph").agg(F.max("n").alias("n")))
             self._store_write(df, table, cid, eff)
         pinned = snap.manifest["graphs"]
+        target = set(graphs)
 
         def update(prev: dict | None) -> dict:
             _check_layout(prev, eff)
             graphs_map = {
-                g: cid if pinned.get(g) == ptr else ptr
+                g: cid if g in target and pinned.get(g) == ptr else ptr
                 for g, ptr in (prev["graphs"] if prev else {}).items()}
             # txns carry forward VERBATIM: collapsing an append chain
             # must not forget which streaming batch versions were

@@ -635,3 +635,43 @@ def test_append_bumps_no_meta_but_stride_still_safe(engine, spark):
             for r in engine.connected_components("G9").collect()}
     assert batched["G9"] == want
     assert (77, 1) in batched["G9"]
+
+
+def test_selective_compaction(spark, tmp_path):
+    """compact(names) — the maintenance op a large catalog actually
+    runs: only the NAMED graphs' chains collapse (delta chains
+    resolved to plain rows), untouched graphs keep their commits
+    byte-identical, read-back is unchanged everywhere, and the delta
+    classification sets are pruned against the full post-flip map so
+    an uncompacted graph's deltas survive. Unknown names raise."""
+    from graphdatabase_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark, str(tmp_path / "s"), buckets=4)
+    eng.add_graph("A", "3\n0 1 0\n0 0 1\n0 0 0\n")
+    eng.add_graph("B", "2\n0 1\n0 0\n")
+    for g in ("A", "B"):      # one edge delta + one vertex delta each
+        eng.merge_edges(spark.createDataFrame(
+            [(g, 2, 1, 5)], "graph string, src int, dst int, w int"),
+            mode="delta")
+        eng.set_vertex_props(spark.createDataFrame(
+            [(g, 1, "root")], "graph string, vid int, tag string"),
+            mode="delta")
+    def state(g):
+        return (sorted(tuple(r) for r in
+                       eng.snapshot().weighted_edges(g, props=True).collect()),
+                sorted(tuple(r) for r in
+                       eng.snapshot().vertices(g, props=True).collect()))
+    before = {g: state(g) for g in ("A", "B")}
+    b_ptr_before = eng.manifests.load()["graphs"]["B"]
+    eng.compact(["A"])
+    m = eng.manifests.load()
+    assert not isinstance(m["graphs"]["A"], list)      # A collapsed
+    assert m["graphs"]["B"] == b_ptr_before            # B untouched
+    # B's delta ids survive the prune; A's are gone
+    b_chain = set(m["graphs"]["B"])
+    assert set(m["vdeltas"]) <= b_chain and set(m["edeltas"]) <= b_chain
+    assert m["vdeltas"] and m["edeltas"]
+    assert {g: state(g) for g in ("A", "B")} == before
+    import pytest
+    with pytest.raises(ValueError, match="unknown graphs"):
+        eng.compact(["A", "nope"])
