@@ -351,6 +351,19 @@ def main_props(n_graphs: int, buckets: int) -> None:
                 .filter(F.col("tag").isNotNull()).collect()}
         read_compacted_sec = round(time.perf_counter() - t0, 3)
         assert got2 == got, "compaction changed the read-back"
+        # round-12: the EDGE-side MoR twin — merge_edges COW vs delta
+        # at the same touch counts (upserting 3 edges per touched graph)
+        em_cow, em_delta = {}, {}
+        for dest, mode in ((em_cow, "cow"), (em_delta, "delta")):
+            for k in (1, 10, 100):
+                rows = [(f"S{i:05d}", 1, v, 7)
+                        for i in range(k) for v in (2, 3, 4)]
+                df = spark.createDataFrame(
+                    rows, "graph string, src int, dst int, w int")
+                t0 = time.perf_counter()
+                adopted, skipped = eng.merge_edges(df, mode=mode)
+                dest[f"touch_{k}"] = round(time.perf_counter() - t0, 3)
+                assert len(adopted) == k and not skipped
         doc = {"metric": "vertex_prop_cow_upsert_vs_catalog_size",
                "n_graphs": n_graphs, "buckets": buckets, "seed": SEED,
                "ingest_sec": ingest_sec, "upsert_sec": upserts,
@@ -359,7 +372,9 @@ def main_props(n_graphs: int, buckets: int) -> None:
                "single_graph_props_read_after_3_deltas_sec": read_delta_sec,
                "compact_sec": compact_sec,
                "single_graph_props_read_after_compact_sec":
-                   read_compacted_sec}
+                   read_compacted_sec,
+               "edge_merge_cow_sec": em_cow,
+               "edge_merge_delta_sec": em_delta}
         with open(os.path.join(REPO, "BENCH_STORE_PROPS.json"), "w") as f:
             json.dump(doc, f, indent=1, sort_keys=True)
         print(json.dumps(doc, sort_keys=True))

@@ -141,6 +141,10 @@ AUDIT = [
      "pruned scans, the DELTA rows get a (graph, vid) latest-wins "
      "window (delta-sized, not store-sized) then ONE full-outer join "
      "against the base rows — chains without deltas skip all of it"),
+    ("store_merge_edges_mor", "merge-on-read edges: base commit scan + "
+     "delta commits' (graph,src,dst) latest-wins window + one "
+     "full-outer join, w=0 delete markers filtered — the same gated "
+     "shape the traversal kernels read through"),
 ]
 
 
