@@ -1343,7 +1343,7 @@ class GraphEngine:
         rows. SELECTIVE compaction (``names``) is the operational form
         at a large catalog: rewriting 100 TB because one graph's chain
         grew long is not a maintenance op — target the delta-heavy /
-        chain-heavy graphs (``history()`` shows chain lengths) and
+        chain-heavy graphs (:meth:`chains` is that view) and
         leave the rest untouched, at O(named graphs) cost via the same
         partition-pruned reads every COW write uses. Snapshot-safe:
         readers pinned to older manifests are untouched until
@@ -1543,6 +1543,27 @@ class GraphEngine:
             rows = [fetch(i) for i in names]
         return self.spark.createDataFrame(
             rows, "seq long, commit string, n_graphs int")
+
+    def chains(self) -> DataFrame:
+        """Per-graph chain statistics from the CURRENT manifest —
+        ``(graph, chain_len, n_vdeltas, n_edeltas)`` — the maintenance
+        view :meth:`compact`'s selective form plans from: long chains
+        pay one scan per commit at read, delta-carrying chains
+        additionally pay the latest-wins merge, and this view names
+        exactly the graphs worth compacting. Pure manifest metadata
+        (one driver pass over the graphs map, no Spark job over
+        data)."""
+        m = (self.snapshot().manifest) or {}
+        vd = set(m.get("vdeltas", []))
+        ed = set(m.get("edeltas", []))
+        rows = [(g, len(chain),
+                 sum(c in vd for c in chain),
+                 sum(c in ed for c in chain))
+                for g, ptr in m.get("graphs", {}).items()
+                for chain in [_cids(ptr)]]
+        return self.spark.createDataFrame(
+            rows, "graph string, chain_len int, n_vdeltas int, "
+                  "n_edeltas int")
 
     def diff(self, seq_old: int, seq_new: int | None = None) -> DataFrame:
         """Row-level changes between two retained snapshots — the

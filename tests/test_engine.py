@@ -675,3 +675,9 @@ def test_selective_compaction(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="unknown graphs"):
         eng.compact(["A", "nope"])
+    # chains() is the view this maintenance op plans from: A collapsed
+    # to one plain commit, B still carries its 2-commit-deep deltas
+    ch = {r["graph"]: (r["chain_len"], r["n_vdeltas"], r["n_edeltas"])
+          for r in eng.chains().collect()}
+    assert ch["A"] == (1, 0, 0)
+    assert ch["B"] == (3, 1, 1)
