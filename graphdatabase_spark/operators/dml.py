@@ -34,6 +34,11 @@ anchored grammar, not a SQL parser — and every embedded QUERY
   incident edge in ONE commit (``engine.delete_vertices``), so the
   store never holds edges referencing a vertex it no longer lists.
 
+- maintenance from SQL text: ``OPTIMIZE <prefix> [WHERE graph IN
+  ('A', …)]`` (whole-store or selective compaction —
+  ``engine.compact``) and ``VACUUM <prefix> [RETAIN k VERSIONS]``
+  (retention-windowed manifest + dead-commit-dir reclamation,
+  ``engine.vacuum``).
 - schema evolution from SQL text:
   ``ALTER TABLE <prefix>_edges|_vertices ADD COLUMN [IF NOT EXISTS]
   <name> <spark-sql-type>`` — declares a typed property via a
@@ -385,6 +390,31 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
         raise ValueError(
             f"MERGE INTO: unsupported WHEN clauses {actions!r} (supported: "
             f"UPDATE SET w = {source}.w + INSERT *, or DELETE alone)")
+
+    m = re.match(rf"(?is)^OPTIMIZE\s+{re.escape(prefix)}"
+                 rf"(?:\s+WHERE\s+graph\s+IN\s*\(([^)]*)\))?$", stmt)
+    if m:
+        # Delta's OPTIMIZE spelling for the store's compaction: whole
+        # store, or just the named graphs (selective compaction — the
+        # WHERE graph IN (...) predicate is the partition-predicate
+        # analog). Unknown graphs raise via engine.compact.
+        names = None
+        if m.group(1):
+            names = [x.strip().strip("'\"")
+                     for x in m.group(1).split(",") if x.strip()]
+            if not names:
+                raise ValueError("OPTIMIZE: empty graph list")
+        engine.compact(names)
+        return None
+
+    m = re.match(rf"(?is)^VACUUM\s+{re.escape(prefix)}"
+                 rf"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?$", stmt)
+    if m:
+        # Delta's VACUUM spelling: drop manifests outside the newest-K
+        # retention window and unreferenced commit dirs (default K=1,
+        # the compact-then-vacuum lifecycle)
+        engine.vacuum(keep_last=int(m.group(1)) if m.group(1) else 1)
+        return None
 
     m = re.match(rf"(?is)^ALTER\s+TABLE\s+({edges_p}|{verts_p})\s+"
                  rf"ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?"

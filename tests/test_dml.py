@@ -381,3 +381,35 @@ def test_alter_table_on_virgin_store(engine):
                "VALUES ('V', 1, 2, 1, 'first')")
     got = engine.sql("SELECT src, dst, tag FROM gdb_edges").collect()
     assert [(r["src"], r["dst"], r["tag"]) for r in got] == [(1, 2, "first")]
+
+
+def test_optimize_and_vacuum_from_sql(spark, tmp_path):
+    """Maintenance drivable from SQL text: OPTIMIZE compacts (whole
+    store or WHERE graph IN (...) selective), VACUUM reclaims outside
+    the retention window — both dispatch onto the engine ops."""
+    eng = GraphEngine(spark, str(tmp_path / "m"), buckets=4)
+    eng.sql("INSERT INTO gdb_edges VALUES ('A', 1, 2, 1), ('B', 5, 6, 1)")
+    eng.sql("INSERT INTO gdb_edges VALUES ('A', 2, 3, 1)")   # chain on A
+    eng.sql("INSERT INTO gdb_edges VALUES ('B', 6, 7, 1)")   # chain on B
+    chains = {r["graph"]: r["chain_len"] for r in eng.chains().collect()}
+    assert chains == {"A": 2, "B": 2}
+    eng.sql("OPTIMIZE gdb WHERE graph IN ('A')")
+    chains = {r["graph"]: r["chain_len"] for r in eng.chains().collect()}
+    assert chains == {"A": 1, "B": 2}
+    eng.sql("OPTIMIZE gdb")
+    chains = {r["graph"]: r["chain_len"] for r in eng.chains().collect()}
+    assert chains == {"A": 1, "B": 1}
+    n_manifests = len(eng.manifests.names())
+    assert n_manifests > 2
+    eng.sql("VACUUM gdb RETAIN 2 VERSIONS")
+    assert len(eng.manifests.names()) == 2
+    eng.sql("VACUUM gdb")
+    assert len(eng.manifests.names()) == 1
+    # state intact after the full maintenance cycle
+    got = {(r["graph"], r["src"], r["dst"]) for r in
+           eng.sql("SELECT graph, src, dst FROM gdb_edges").collect()}
+    assert got == {("A", 1, 2), ("A", 2, 3), ("B", 5, 6), ("B", 6, 7)}
+    with pytest.raises(ValueError, match="unknown graphs"):
+        eng.sql("OPTIMIZE gdb WHERE graph IN ('nope')")
+    with pytest.raises(ValueError, match="unsupported statement"):
+        eng.sql("OPTIMIZE gdb WHERE src > 3")
