@@ -358,47 +358,75 @@ class GraphSnapshot:
                        for n, t in self.props.get(table, {}).items())
 
     def _edges_merged(self, ddl: str, name, pnames: list[str]) -> DataFrame:
-        """Edge read with MERGE-ON-READ applied: when a requested
-        graph's chain carries edge DELTA commits
+        """Edge read with MERGE-ON-READ applied, CHAIN-ORDER-AWARE:
+        when a requested graph's chain carries edge DELTA commits
         (``merge_edges(mode="delta")`` — the manifest's ``edeltas``
-        set marks them), the latest delta per (graph, src, dst) wins
+        set marks them), a delta only overrides rows from commits
+        EARLIER in that graph's chain — the Delta/Iceberg MoR rule
+        that delete files apply only to data files present at
+        delete-commit time. Per (graph, src, dst): the LATEST delta in
+        the chain replaces every base row at a LOWER chain position
         wholesale (w + every property; batch-absent props read NULL),
-        a latest ``w = 0`` row is a DELETE MARKER (the store's CDC
-        absence encoding — exactly why stored weights must be ≥ 1),
-        and chains with no deltas return the plain pre-MoR union.
-        ``ddl`` must include ``w``."""
+        a latest ``w = 0`` delta row is a DELETE MARKER (the store's
+        CDC absence encoding — exactly why stored weights must be
+        ≥ 1), and base rows appended AFTER that delta survive
+        untouched — so an INSERT/append landing after a delta delete
+        of the same key reads back, exactly as a new data file after a
+        delete file would. A side effect of position-resolution: a
+        delta upsert of a key the append chain holds twice collapses
+        it to ONE row (the earlier duplicates are all at lower
+        positions), matching the COW merge read-back. Chains with no
+        deltas return the exact plain pre-MoR union. ``ddl`` must
+        include ``w``. Plan cost: one window over the delta rows
+        (delta-sized, not store-sized) + one delta-keyed join + one
+        union."""
         edeltas = set((self.manifest or {}).get("edeltas", []))
         names = ([name] if isinstance(name, str)
                  else list(name) if name is not None else self.graphs())
         gmap = (self.manifest or {}).get("graphs", {})
-        base_by_cid: dict[str, list[str]] = {}
+        base_parts_map: dict[tuple[str, int], list[str]] = {}
         delta_parts: dict[tuple[str, int], list[str]] = {}
         for g in names:
             ptr = gmap.get(g)
             if ptr is None:
                 continue
             for pos, cid in enumerate(_cids(ptr)):
-                if cid in edeltas:
-                    delta_parts.setdefault((cid, pos), []).append(g)
-                else:
-                    base_by_cid.setdefault(cid, []).append(g)
+                part = delta_parts if cid in edeltas else base_parts_map
+                part.setdefault((cid, pos), []).append(g)
         from pyspark.sql.types import StructType
         full_schema = ddl + ", graph string"
         cols = [f.name for f in StructType.fromDDL(full_schema).fields]
-        base_parts = [
-            self._graph_filter(self._commit_df("edges", cid, ddl), gs)
-            .select(*cols)
-            for cid, gs in sorted(base_by_cid.items())]
+        if not delta_parts:
+            # no delta in any requested chain: the exact pre-MoR plan —
+            # one scan per COMMIT (a commit shared across graphs at
+            # different chain positions is still read once; position is
+            # irrelevant without deltas)
+            base_by_cid: dict[str, list[str]] = {}
+            for (cid, _pos), gs in base_parts_map.items():
+                base_by_cid.setdefault(cid, []).extend(gs)
+            base_parts = [
+                self._graph_filter(self._commit_df("edges", cid, ddl), gs)
+                .select(*cols)
+                for cid, gs in sorted(base_by_cid.items())]
+            base = (base_parts[0] if base_parts
+                    else self.spark.createDataFrame([], full_schema))
+            for p in base_parts[1:]:
+                base = base.unionByName(p)
+            return base
+
+        def _part(cid: str, pos: int, gs: list[str]) -> DataFrame:
+            return (self._graph_filter(
+                self._commit_df("edges", cid, ddl), gs)
+                .select(*cols).withColumn("__pos", F.lit(pos)))
+
+        base_parts = [_part(cid, pos, gs)
+                      for (cid, pos), gs in sorted(base_parts_map.items())]
         base = (base_parts[0] if base_parts
-                else self.spark.createDataFrame([], full_schema))
+                else self.spark.createDataFrame([], full_schema + ", __pos int"))
         for p in base_parts[1:]:
             base = base.unionByName(p)
-        if not delta_parts:
-            return base
-        dparts = [
-            self._graph_filter(self._commit_df("edges", cid, ddl), gs)
-            .select(*cols).withColumn("__pos", F.lit(pos))
-            for (cid, pos), gs in sorted(delta_parts.items())]
+        dparts = [_part(cid, pos, gs)
+                  for (cid, pos), gs in sorted(delta_parts.items())]
         deltas = dparts[0]
         for p in dparts[1:]:
             deltas = deltas.unionByName(p)
@@ -408,20 +436,27 @@ class GraphSnapshot:
                   .withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") == 1)
                   .select("graph", "src", "dst",
-                          F.lit(True).alias("__hit"),
+                          F.col("__pos").alias("__dpos"),
                           F.col("w").alias("__d_w"),
                           *[F.col(p).alias(f"__d_{p}") for p in pnames]))
-        merged = (base.join(latest, ["graph", "src", "dst"], "full_outer")
-                  # a latest w = 0 delta row deletes the key (whether
-                  # or not the base holds it)
-                  .filter(F.col("__hit").isNull() | (F.col("__d_w") != 0)))
-        return merged.select(
-            "src", "dst",
-            F.when(F.col("__hit").isNotNull(), F.col("__d_w"))
-            .otherwise(F.col("w")).alias("w"),
-            *[F.when(F.col("__hit").isNotNull(), F.col(f"__d_{p}"))
-              .otherwise(F.col(p)).alias(p) for p in pnames],
-            "graph")
+        # base rows survive iff their key has no delta, or they landed
+        # AFTER the latest delta in their graph's chain (positions are
+        # per-graph chain indexes; the join carries graph, so the
+        # comparison never crosses chains)
+        surviving = (base.join(latest.select("graph", "src", "dst", "__dpos"),
+                               ["graph", "src", "dst"], "left")
+                     .filter(F.col("__dpos").isNull()
+                             | (F.col("__pos") > F.col("__dpos")))
+                     .select(*cols))
+        # the latest delta row itself contributes unless it is a
+        # delete marker
+        drows = (latest.filter(F.col("__d_w") != 0)
+                 .select(F.col("graph"),
+                         F.col("src"), F.col("dst"),
+                         F.col("__d_w").alias("w"),
+                         *[F.col(f"__d_{p}").alias(p) for p in pnames])
+                 .select(*cols))
+        return surviving.unionByName(drows)
 
     def edges(self, name: str | list[str] | None = None) -> DataFrame:
         if not (self.manifest or {}).get("edeltas"):

@@ -471,3 +471,71 @@ def test_edge_delta_delete_of_prior_delta_and_kernels(spark, tmp_path):
     m = eng.manifests.load()
     assert not m.get("edeltas")                        # pruned
     assert _edgemap(eng, "G") == before
+
+
+def test_append_after_delta_delete_survives(spark, tmp_path):
+    """Chain-ORDER MoR (round-12 advice, high): a delta only overrides
+    commits EARLIER in the chain — Delta/Iceberg's rule that delete
+    files apply only to data files present at delete-commit time. An
+    append landing AFTER a delta delete marker of the same key must
+    read back, and compact() must keep it."""
+    eng = GraphEngine(spark, str(tmp_path / "co"))
+    eng.append_edges(spark.createDataFrame(
+        [("G", 1, 2, 1)], "graph string, src int, dst int, w int"))
+    eng.merge_edges(spark.createDataFrame(
+        [("G", 1, 2)], "graph string, src int, dst int"),
+        delete=True, mode="delta")
+    # masked at this point: the delete marker beats the earlier append
+    assert _edgemap(eng, "G") == {}
+    eng.append_edges(spark.createDataFrame(
+        [("G", 1, 2, 9)], "graph string, src int, dst int, w int"))
+    assert _edgemap(eng, "G") == {("G", 1, 2): (9,)}, \
+        "append after delta delete masked by the earlier marker"
+    eng.compact()
+    assert _edgemap(eng, "G") == {("G", 1, 2): (9,)}, \
+        "compact() discarded the re-inserted row"
+    assert not eng.manifests.load().get("edeltas")
+
+
+def test_append_after_delta_upsert_coexists(spark, tmp_path):
+    """Base rows after a delta UPSERT are additional data files: the
+    upsert row and the later append row coexist (multiset append
+    semantics), exactly as two appends would without any delta."""
+    eng = GraphEngine(spark, str(tmp_path / "cu"))
+    eng.append_edges(spark.createDataFrame(
+        [("G", 1, 2, 1)], "graph string, src int, dst int, w int"))
+    eng.merge_edges(spark.createDataFrame(
+        [("G", 1, 2, 5)], "graph string, src int, dst int, w int"),
+        mode="delta")
+    eng.append_edges(spark.createDataFrame(
+        [("G", 1, 2, 9)], "graph string, src int, dst int, w int"))
+    ws = sorted(r["w"] for r in
+                eng.snapshot().weighted_edges("G").collect())
+    assert ws == [5, 9]                     # upsert@1 replaced base@0;
+    #                                         append@2 adds a new row
+
+
+def test_delta_upsert_collapses_duplicate_base_keys(spark, tmp_path):
+    """Round-12 advice (low): an append chain holding the same key
+    twice, then a delta upsert of that key — the read must collapse to
+    ONE row (the COW merge read-back), not two identical merged rows.
+    Position-resolution gives this for free: both duplicates sit at
+    lower chain positions than the delta."""
+    eng = GraphEngine(spark, str(tmp_path / "dd"))
+    for w in (1, 2):
+        eng.append_edges(spark.createDataFrame(
+            [("G", 1, 2, w)], "graph string, src int, dst int, w int"))
+    eng.merge_edges(spark.createDataFrame(
+        [("G", 1, 2, 7)], "graph string, src int, dst int, w int"),
+        mode="delta")
+    rows = eng.snapshot().weighted_edges("G").collect()
+    assert [(r["src"], r["dst"], r["w"]) for r in rows] == [(1, 2, 7)]
+    # untouched duplicate keys keep multiset semantics (same as the
+    # no-delta read)
+    for w in (3, 4):
+        eng.append_edges(spark.createDataFrame(
+            [("G", 5, 6, w)], "graph string, src int, dst int, w int"))
+    ws = sorted(r["w"] for r in
+                eng.snapshot().weighted_edges("G")
+                .filter("src = 5").collect())
+    assert ws == [3, 4]
