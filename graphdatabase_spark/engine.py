@@ -1205,13 +1205,23 @@ class GraphEngine:
                 f"declare_prop: property name {name!r} collides with a "
                 f"reserved store column {sorted(_RESERVED_COLS)} or is "
                 f"not a plain identifier")
-        from pyspark.sql.types import _parse_datatype_string
+        # public StructType.fromDDL round-trip (the same DDL parse the
+        # read paths use) — not the private _parse_datatype_string,
+        # which has shifted between PySpark releases
+        from pyspark.sql.types import StructType
         try:
-            canon_type = _parse_datatype_string(ddl_type).simpleString()
+            fields = StructType.fromDDL(f"x {ddl_type}").fields
         except Exception as exc:
             raise ValueError(
                 f"declare_prop: {ddl_type!r} is not a Spark SQL type "
                 f"({exc})") from None
+        if len(fields) != 1:
+            # "int, y int" parses as TWO fields — a smuggled column,
+            # not a type
+            raise ValueError(
+                f"declare_prop: {ddl_type!r} is not a single Spark SQL "
+                f"type")
+        canon_type = fields[0].dataType.simpleString()
 
         def update(prev: dict | None) -> dict | None:
             props_doc = dict((prev or {}).get("props", {}))

@@ -60,6 +60,35 @@ from pyspark.sql import functions as F
 
 _EDGE_COLS = ("graph", "src", "dst", "w")
 
+# one SQL string literal ('' escapes an embedded quote) followed by a
+# comma or end-of-list — the grammar's string-literal rule, reused by
+# every list-valued clause so names containing ')' ',' or quotes stay
+# addressable (naive comma-split + strip would mangle them)
+_STR_LIT = re.compile(r"\s*'((?:[^']|'')*)'\s*(,?)")
+
+
+def _parse_string_list(body: str, what: str) -> list[str]:
+    """Parse ``'a', 'b''c', …`` — a non-empty comma-separated list of
+    single-quoted SQL string literals. Raises naming the offending
+    text for anything else (bare words, trailing commas, empty list):
+    failing loudly beats compacting a mangled name."""
+    names, pos = [], 0
+    while True:
+        m = _STR_LIT.match(body, pos)
+        if not m:
+            raise ValueError(
+                f"{what}: expected a quoted name at "
+                f"{body[pos:pos + 25]!r} (names are SQL string "
+                f"literals; '' escapes an embedded quote)")
+        names.append(m.group(1).replace("''", "'"))
+        pos = m.end()
+        if not m.group(2):          # no trailing comma: list ends here
+            break
+    if body[pos:].strip():
+        raise ValueError(f"{what}: trailing text after the name list: "
+                         f"{body[pos:pos + 25]!r}")
+    return names
+
 
 def _strip_alias(rest: str) -> tuple[str | None, str]:
     """Consume an optional ``[AS] name`` prefix; returns (alias, tail)."""
@@ -392,18 +421,18 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
             f"UPDATE SET w = {source}.w + INSERT *, or DELETE alone)")
 
     m = re.match(rf"(?is)^OPTIMIZE\s+{re.escape(prefix)}"
-                 rf"(?:\s+WHERE\s+graph\s+IN\s*\(([^)]*)\))?$", stmt)
+                 rf"(?:\s+WHERE\s+graph\s+IN\s*\((.*)\))?\s*$", stmt)
     if m:
         # Delta's OPTIMIZE spelling for the store's compaction: whole
         # store, or just the named graphs (selective compaction — the
         # WHERE graph IN (...) predicate is the partition-predicate
-        # analog). Unknown graphs raise via engine.compact.
+        # analog). The list is parsed with the real string-literal
+        # rule (not a comma split), so graph names containing ')' ','
+        # or quotes are addressable. Unknown graphs raise via
+        # engine.compact.
         names = None
-        if m.group(1):
-            names = [x.strip().strip("'\"")
-                     for x in m.group(1).split(",") if x.strip()]
-            if not names:
-                raise ValueError("OPTIMIZE: empty graph list")
+        if m.group(1) is not None:
+            names = _parse_string_list(m.group(1), "OPTIMIZE")
         engine.compact(names)
         return None
 

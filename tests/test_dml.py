@@ -413,3 +413,38 @@ def test_optimize_and_vacuum_from_sql(spark, tmp_path):
         eng.sql("OPTIMIZE gdb WHERE graph IN ('nope')")
     with pytest.raises(ValueError, match="unsupported statement"):
         eng.sql("OPTIMIZE gdb WHERE src > 3")
+
+
+def test_optimize_name_list_is_real_string_literals(spark, tmp_path):
+    """Round-12 advice (low): the OPTIMIZE WHERE graph IN (...) list
+    is parsed with the grammar's string-literal rule, so graph names
+    containing ')' ',' or an embedded quote are addressable from SQL
+    text; malformed lists raise naming the offending text."""
+    eng = GraphEngine(spark, str(tmp_path / "q"))
+    tricky = ["a)b", "c,d", "o'brien"]
+    for g in tricky:
+        df = spark.createDataFrame([(g, 1, 2, 1)],
+                                   "graph string, src int, dst int, w int")
+        eng.append_edges(df)
+        eng.append_edges(df.withColumn("src", F.lit(7)))   # chain len 2
+    lits = ", ".join("'" + g.replace("'", "''") + "'" for g in tricky)
+    eng.sql(f"OPTIMIZE gdb WHERE graph IN ({lits})")
+    chains = {r["graph"]: r["chain_len"] for r in eng.chains().collect()}
+    assert chains == {g: 1 for g in tricky}
+    for bad in ["()", "(A)", "('A',)", "('A' 'B')", "('A') junk"]:
+        with pytest.raises(ValueError,
+                           match="OPTIMIZE|unsupported statement"):
+            eng.sql(f"OPTIMIZE gdb WHERE graph IN {bad}")
+
+
+def test_alter_table_rejects_smuggled_column(engine):
+    """'int, y int' is two DDL fields, not a type — the public
+    StructType.fromDDL round-trip must reject it instead of silently
+    declaring an extra column."""
+    with pytest.raises(ValueError, match="not a single Spark SQL type"):
+        engine.sql("ALTER TABLE gdb_edges ADD COLUMN z int, y int")
+    with pytest.raises(ValueError, match="not a Spark SQL type"):
+        engine.sql("ALTER TABLE gdb_edges ADD COLUMN z nottype")
+    # comma-typed SINGLE types still pass the round-trip
+    engine.sql("ALTER TABLE gdb_edges ADD COLUMN z decimal(10,2)")
+    assert engine.snapshot().props["edges"]["z"] == "decimal(10,2)"
