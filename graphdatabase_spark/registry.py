@@ -39,69 +39,45 @@ _MODULES = [relational, graph_queries, text, dedup, similarity, streamops, multi
 # i.e. ids whose first driver row is still pending — are fronted in
 # ``_CHECK_FIRST``.  When rotating for round N+1: copy ``_CHECK_FIRST``
 # into ``_PREV_WINDOW`` first.
-# Round-12 window: the round-11 deferral (``_DEFERRED_R11`` — 32 ids
-# whose r09 rows hit the three-round horizon) is fronted FIRST, per
-# the rotation invariant.  Next the ids NEW this round
-# (``pq_recenter``, ``store_kcore_all``,
-# ``store_label_propagation_all``) and MODIFIED this round
-# (``store_sql_dml`` gained ALTER TABLE ADD COLUMN + a declared-
-# property UPDATE; ``events_gap_fill`` went from 3 events scans to
-# 1), then as many round-10-window ids as fit.  With >100
+# Round-13 window: the round-12 deferral (the 40 ids below, fronted
+# FIRST — their r10 rows hit the three-window horizon, the one
+# mechanical MUST of the round-12 verdict), then the ids MODIFIED
+# this round (``store_merge_edges_mor``: the merge-on-read edge read
+# became chain-ORDER-aware — a delta now only overrides commits
+# earlier in the chain, so its r12 row predates the semantics fix),
+# then oldest-r11-window fillers for the remaining slots.  With >100
 # registered ids and a fixed 50-row driver window a two-window cover
 # stays arithmetically impossible (2 × 50 < N): the ids squeezed out
-# (``_DEFERRED_R12`` below — r10 greens) keep their r10 row until
-# round 13, where they MUST be fronted.
+# (``_DEFERRED_R13`` below — r11 greens) keep their r11 row until
+# round 14, where they MUST be fronted.
 # tests/test_registry.py enforces the three-window cover and that
 # deferral beyond two rounds happens only because the registry
 # outgrew two windows — never silently.  Local full-registry parity
 # evidence stays per-round in PARITY_LOCAL.json
 # (tools/harness_replica.py).
-_DEFERRED_R12 = [
-    # r10-window ids squeezed out of the round-12 window (the 50-slot
-    # driver window must front the 32 _DEFERRED_R11 ids whose r09 rows
+_DEFERRED_R13 = [
+    # r11-window ids squeezed out of the round-13 window (the 50-slot
+    # driver window must front the 40 _DEFERRED_R12 ids whose r10 rows
     # hit the three-window horizon, plus this round's new/modified
-    # ids; >130 ids > 2 x 50 slots). Their latest driver row is r10,
+    # ids; >130 ids > 2 x 50 slots). Their latest driver row is r11,
     # inside the three-window horizon, and tests/test_registry.py
-    # keeps this list explicit. Round 13 MUST front these.
-    "contamination_check", "corpus_histogram", "corpus_prep",
-    "bfs_expr", "customer_distribution", "embedding_ann_lsh",
-    "embedding_ivf_topk", "events_anomaly", "events_enriched",
-    "events_funnel", "events_retention", "events_rollup_daily",
-    "events_sessionization", "events_sliding_avg", "events_trending",
-    "events_tumbling_counts", "excess_stock_suppliers", "graph_stats",
-    "important_parts", "market_share", "min_cost_supplier",
-    "motif_weighted",
-    "parts_supplier_counts", "pivot_returns", "product_profit",
-    "quality_repetition", "range_join_events", "returned_item_revenue",
-    "salted_join_orders", "sample_split",
-    "segment_distinct_customers_approx", "sequence_pack",
-    "shipmode_priority", "sql_forecast_revenue", "sql_grouping_sets",
-    "tfidf_top_terms", "top_ngrams", "vertex_jaccard", "volume_shipping",
-    "waiting_suppliers",
+    # keeps this list explicit. Round 14 MUST front these.
+    "chunk_dedup", "clustering_coefficient", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_near_guarded", "dedup_simhash",
+    "dfs_leaves", "dfs_leaves_tree", "disjunctive_revenue",
+    "doc_fingerprint", "domain_mix", "embedding_cosine_topk",
+    "embedding_pq_topk", "events_quantiles_approx", "file_search",
+    "graph_degree", "label_propagation", "large_volume_customers",
+    "lang_id", "multimodal_features", "multimodal_frames",
+    "multimodal_resize", "personalized_pagerank", "pii_scrub",
+    "pregel_max_prop", "quality_score", "reachability",
+    "sales_opportunity", "scalar_functions", "set_ops",
+    "shortest_path_hops", "small_qty_revenue", "store_triangle_all",
+    "summary_stats", "text_stats", "token_count",
+    "top_expensive_orders", "top_supplier", "wordcount_docs",
 ]
 
 _PREV_WINDOW2 = [
-    # round-10 window (CORRECTNESS_r10.json's 50 rows, in order)
-    "asof_join_events", "contamination_check", "corpus_prep",
-    "embedding_ann_lsh", "embedding_ivf_topk", "events_anomaly",
-    "events_enriched", "events_funnel", "events_quantiles",
-    "events_retention", "events_rollup_daily", "events_sessionization",
-    "events_sliding_avg", "events_trending", "events_tumbling_counts",
-    "graph_stats", "quality_repetition", "range_join_events",
-    "revenue_by_nation", "salted_join_orders", "scc",
-    "segment_distinct_customers_approx", "sequence_pack",
-    "pricing_summary", "sql_forecast_revenue", "sssp_weighted",
-    "tfidf_top_terms", "top_ngrams", "store_sql_dml", "motif_weighted",
-    "bfs_expr", "shortest_paths_landmarks", "graph_ingest_matrix",
-    "pivot_returns", "window_showcase", "sql_grouping_sets",
-    "sample_split", "corpus_histogram", "customer_distribution",
-    "waiting_suppliers", "volume_shipping", "market_share",
-    "min_cost_supplier", "product_profit", "important_parts",
-    "parts_supplier_counts", "excess_stock_suppliers",
-    "returned_item_revenue", "shipmode_priority", "vertex_jaccard",
-]
-
-_PREV_WINDOW = [
     # round-11 window (CORRECTNESS_r11.json's 50 rows, in order)
     "shipping_priority", "customers_without_orders",
     "order_priority_rollup", "returns_cube", "top_orders_per_customer",
@@ -121,9 +97,8 @@ _PREV_WINDOW = [
     "dedup_exact", "dedup_simhash", "pii_scrub", "dedup_minhash_lsh",
 ]
 
-_CHECK_FIRST = [
-    # -- the round-11 deferral (32 ids, r09 rows at the three-round
-    # horizon): MUST front per the rotation invariant --
+_PREV_WINDOW = [
+    # round-12 window (CORRECTNESS_r12.json's 50 rows, in order)
     "running_user_stats", "search_bm25", "semdedup_ivf", "knn_join",
     "connected_components", "dedup_clusters", "corpus_funnel",
     "ivf_recenter", "store_stream_ingest", "store_merge_edges",
@@ -134,34 +109,48 @@ _CHECK_FIRST = [
     "sql_recursive_reachability", "multimodal_meta", "events_stream_dedup",
     "events_stream_join", "bfs_levels", "pagerank", "kcore",
     "triangle_count", "similarity_topk",
-    # -- NEW this round: PQ codebook training (the Lloyd step per
-    # subspace, round-11 verdict item 4), the whole-store batched
-    # kcore / label-propagation / clustering kernels (item 7 + the
-    # item-4 observation), and the TRAINED-quantizer IVF probe (the
-    # recenter step looped into the shared quantizer build — the one
-    # scale knob the r11 verdict called unautomated) --
     "pq_recenter", "store_kcore_all", "store_label_propagation_all",
     "store_clustering_all", "embedding_ivf_trained_topk",
     "store_props_mor", "store_merge_edges_mor",
-    # -- MODIFIED this round: store_sql_dml gained ALTER TABLE ADD
-    # COLUMN + a declared-property UPDATE (8 statements, item 9);
-    # events_gap_fill now derives its grid from the persisted hourly
-    # aggregate (1 events scan instead of 3, r11 verdict nit 1) --
     "store_sql_dml", "events_gap_fill",
-    # -- oldest r10-window ids that fit the remaining slots (the
-    # sweep-flagged sssp_weighted A/B'd this round rides along) --
     "sssp_weighted", "window_showcase", "pricing_summary",
     "revenue_by_nation", "asof_join_events", "events_quantiles", "scc",
     "graph_ingest_matrix",
     "shortest_paths_landmarks",
 ]
-# (the remaining r10-window ids are _DEFERRED_R12 above — their r10
-# rows stay within the three-window horizon; round 13 fronts them.
-# embedding_ivf_topk, embedding_ann_lsh, bfs_expr, and motif_weighted
-# ceded their filler slots to the first-timers store_clustering_all,
-# embedding_ivf_trained_topk, store_props_mor, and
-# store_merge_edges_mor, which MUST front; all ceded ids' r10 rows
-# stay in-horizon.)
+
+_CHECK_FIRST = [
+    # -- the round-12 deferral (40 ids, r10 rows at the three-round
+    # horizon): MUST front per the rotation invariant --
+    "contamination_check", "corpus_histogram", "corpus_prep",
+    "bfs_expr", "customer_distribution", "embedding_ann_lsh",
+    "embedding_ivf_topk", "events_anomaly", "events_enriched",
+    "events_funnel", "events_retention", "events_rollup_daily",
+    "events_sessionization", "events_sliding_avg", "events_trending",
+    "events_tumbling_counts", "excess_stock_suppliers", "graph_stats",
+    "important_parts", "market_share", "min_cost_supplier",
+    "motif_weighted",
+    "parts_supplier_counts", "pivot_returns", "product_profit",
+    "quality_repetition", "range_join_events", "returned_item_revenue",
+    "salted_join_orders", "sample_split",
+    "segment_distinct_customers_approx", "sequence_pack",
+    "shipmode_priority", "sql_forecast_revenue", "sql_grouping_sets",
+    "tfidf_top_terms", "top_ngrams", "vertex_jaccard", "volume_shipping",
+    "waiting_suppliers",
+    # -- MODIFIED this round: the merge-on-read edge read became
+    # chain-ORDER-aware (a delta only overrides commits earlier in
+    # the chain — round-12 advice, high), so its r12 row predates the
+    # fix --
+    "store_merge_edges_mor",
+    # -- oldest r11-window fillers for the remaining slots (these
+    # would otherwise head next round's deferral) --
+    "shipping_priority", "customers_without_orders",
+    "order_priority_rollup", "returns_cube", "top_orders_per_customer",
+    "running_revenue", "segment_distinct_customers",
+    "local_supplier_volume", "promo_revenue",
+]
+# (the remaining r11-window ids are _DEFERRED_R13 above — their r11
+# rows stay within the three-window horizon; round 14 fronts them.)
 
 # Query ids registered WITHOUT a DuckDB oracle (the driver records a
 # weaker rows-only check): approximate/sketch outputs whose exact values
