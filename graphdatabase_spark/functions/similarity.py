@@ -743,21 +743,31 @@ def cached_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggregations — the corpus never self-joins."""
     def build():
         quant, subs, cb = _pq_sub_frames(spark, sf_dir)
-        d2 = (_norm_sq(F.col("csub"))
-              - F.lit(2) * _dot(F.col("csub"), F.col("sub")))
-        best = (subs.join(F.broadcast(cb), "m")
-                .select("vec_id", "m",
-                        F.struct(d2.alias("d2"), F.col("code").alias("code"))
-                        .alias("s"))
-                .groupBy("vec_id", "m").agg(F.min("s").alias("s")))
-        codes = (best.groupBy("vec_id")
-                 .agg(F.transform(
-                     F.sort_array(F.collect_list(
-                         F.struct(F.col("m"), F.col("s.code").alias("code")))),
-                     lambda x: x["code"]).alias("codes")))
-        return quant.join(codes, "vec_id")
+        return _pq_encode(quant, subs, cb)
 
     return shared_persist(spark, ("pq_codes", sf_dir), build)
+
+
+def _pq_encode(quant: DataFrame, subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Encode every vector against codebook ``cb`` (m, code, csub):
+    per subspace the argmin of exact integer |c|² − 2c·v (ties by code
+    id — total-ordered, engine-portable), reassembled into the
+    ``codes`` array. One broadcast join of the (PQ_M × PQ_CODES)-row
+    codebook + two map-side-combinable aggs — the corpus never
+    self-joins, whichever codebook (seed or trained) is passed."""
+    d2 = (_norm_sq(F.col("csub"))
+          - F.lit(2) * _dot(F.col("csub"), F.col("sub")))
+    best = (subs.join(F.broadcast(cb), "m")
+            .select("vec_id", "m",
+                    F.struct(d2.alias("d2"), F.col("code").alias("code"))
+                    .alias("s"))
+            .groupBy("vec_id", "m").agg(F.min("s").alias("s")))
+    codes = (best.groupBy("vec_id")
+             .agg(F.transform(
+                 F.sort_array(F.collect_list(
+                     F.struct(F.col("m"), F.col("s.code").alias("code")))),
+                 lambda x: x["code"]).alias("codes")))
+    return quant.join(codes, "vec_id")
 
 
 def q_embedding_pq_topk(spark: SparkSession, sf_dir: str,
@@ -777,9 +787,19 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str,
     math throughout ⇒ the full pipeline (codebooks, encode, LUT, ADC
     cut, re-rank) unrolls into the SQL oracle. ``rerank >= N``
     degenerates to brute force exactly (unit-pinned)."""
-    emb = load_table(spark, sf_dir, "embeddings")
     pq = cached_pq_codes(spark, sf_dir)
     _, subs, cb = _pq_sub_frames(spark, sf_dir)
+    return _pq_adc_probe(spark, sf_dir, pq, subs, cb, rerank)
+
+
+def _pq_adc_probe(spark: SparkSession, sf_dir: str, pq: DataFrame,
+                  subs: DataFrame, cb: DataFrame,
+                  rerank: int) -> DataFrame:
+    """The ADC probe shared by the seed- and trained-codebook PQ
+    queries: broadcast LUT of query-subvector dot products against
+    ``cb``, one array fold per row over ``pq``'s codes, top-``rerank``
+    cut, exact cosine re-rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
     qsubs = (subs.filter(F.col("vec_id") == QUERY_VEC_ID)
              .select("m", F.col("sub").alias("qsub")))
     # LUT packed (m, code)-ordered into one broadcast array row:
@@ -861,6 +881,142 @@ LIMIT {TOPK}
 """
 
 
+# --- embedding_pq_trained_topk (PQ serving over TRAINED codebooks) -----------
+
+def trained_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(m, code, csub)`` after ONE Lloyd step per subspace — the
+    ``pq_recenter`` training output (pipeline.py: per-(m, code, dim)
+    floor-mean of the members' quantized subvector components)
+    reassembled into codebook subvectors, the PQ twin of
+    :func:`trained_centroids`. Exact int64 end-to-end (|sum| ≪ 2^53,
+    so the double floor-division is exact) ⇒ the trained codebooks
+    stay SQL-oracle-checkable. Every (m, code) keeps ≥ 1 member (each
+    seed vector encodes to itself per subspace at distance 0), so the
+    trained codebooks are complete — PQ_M × PQ_CODES rows, broadcast-
+    sized at any N."""
+    pq = cached_pq_codes(spark, sf_dir)
+    ex = (pq.select("codes", F.posexplode(
+              F.expr(_SUBSLICES_EXPR)).alias("m", "sub"))
+          .select("m",
+                  F.element_at("codes", F.col("m") + 1).cast("int")
+                  .alias("code"),
+                  F.posexplode("sub").alias("dim", "cq")))
+    comp = (ex.groupBy("m", "code", "dim")
+            .agg(F.floor(F.sum("cq").cast("double")
+                         / F.count(F.lit(1))).cast("long").alias("c")))
+    return (comp.groupBy("m", "code")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x["c"]).alias("csub")))
+
+
+def cached_pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-shared TRAINED PQ index — the ``pq_recenter``
+    training step LOOPED INTO the index build (the PQ twin of
+    :func:`cached_ivf_cells_trained`, closing the round-12 verdict's
+    remaining train→serve asymmetry): one Lloyd step per subspace on
+    the seed encoding, then every vector RE-ENCODED against the
+    trained codebooks. Same layout contract as
+    :func:`cached_pq_codes`; production re-runs the recenter step to
+    churn convergence with the identical plan shape."""
+    def build():
+        quant, subs, _ = _pq_sub_frames(spark, sf_dir)
+        return _pq_encode(quant, subs, trained_pq_codebook(spark, sf_dir))
+
+    return shared_persist(spark, ("pq_codes_trained", sf_dir), build)
+
+
+def q_embedding_pq_trained_topk(spark: SparkSession, sf_dir: str,
+                                rerank: int = PQ_RERANK) -> DataFrame:
+    """PQ ANN top-k SERVED FROM THE TRAINED CODEBOOKS: identical ADC
+    probe shape to :func:`q_embedding_pq_topk`, but both the vector
+    codes and the query LUT come from the one-Lloyd-step codebooks —
+    closing the loop from training step (``pq_recenter``) to serving
+    index, exactly as ``embedding_ivf_trained_topk`` closed it for
+    IVF. At real data distributions this is the one that matters:
+    trained codebooks have strictly lower quantization error than the
+    first-N seeds (unit-pinned), so ADC distance estimates are tighter
+    and recall at fixed rerank depth is higher. Exact int64 + floor-
+    division throughout, so the whole chain (seed encode → floor-mean
+    recenter → re-encode → LUT → ADC cut → exact re-rank) unrolls into
+    the SQL oracle — the trained index is value-checked, not just
+    rows-counted."""
+    pq = cached_pq_codes_trained(spark, sf_dir)
+    _, subs, _ = _pq_sub_frames(spark, sf_dir)
+    cb = trained_pq_codebook(spark, sf_dir)
+    return _pq_adc_probe(spark, sf_dir, pq, subs, cb, rerank)
+
+
+ORACLE_EMBEDDING_PQ_TRAINED_TOPK = f"""
+WITH quant AS (
+  SELECT vec_id, label, {QUANTIZED_SQL} AS v FROM embeddings
+),
+subs AS (
+  SELECT vec_id, m, array_slice(v, m * {PQ_SUBDIM} + 1,
+                                m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sub
+  FROM quant CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+),
+cb AS (
+  SELECT m, vec_id AS code, sub AS csub FROM subs WHERE vec_id < {PQ_CODES}
+),
+encoded AS (
+  SELECT vec_id, m, code,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY
+           (list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+              i -> csub[i] * csub[i] - 2 * csub[i] * sub[i]))) ASC,
+           code ASC) AS rk
+  FROM subs JOIN cb USING (m)
+),
+codes AS (SELECT vec_id, m, code FROM encoded WHERE rk = 1),
+ex AS (
+  SELECT c.m, c.code, s.sub, unnest(range(1, {PQ_SUBDIM} + 1)) AS d
+  FROM codes c JOIN subs s ON s.vec_id = c.vec_id AND s.m = c.m
+),
+tcomp AS (
+  SELECT m, code, d,
+         CAST(floor(CAST(SUM(sub[d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+  FROM ex GROUP BY m, code, d
+),
+tcb AS (SELECT m, code, list(cq ORDER BY d) AS csub
+        FROM tcomp GROUP BY m, code),
+encoded2 AS (
+  SELECT vec_id, m, code,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY
+           (list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+              i -> csub[i] * csub[i] - 2 * csub[i] * sub[i]))) ASC,
+           code ASC) AS rk
+  FROM subs JOIN tcb USING (m)
+),
+codes2 AS (SELECT vec_id, m, code FROM encoded2 WHERE rk = 1),
+lut AS (
+  SELECT m, code,
+         list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+            i -> csub[i] * q.sub[i])) AS ldot
+  FROM tcb JOIN (SELECT m, sub FROM subs
+                 WHERE vec_id = {QUERY_VEC_ID}) q USING (m)
+),
+adc AS (
+  SELECT c.vec_id, SUM(l.ldot) AS adot
+  FROM codes2 c JOIN lut l ON l.m = c.m AND l.code = c.code
+  WHERE c.vec_id <> {QUERY_VEC_ID}
+  GROUP BY c.vec_id
+),
+cands AS (
+  SELECT vec_id FROM adc ORDER BY adot DESC, vec_id ASC LIMIT {PQ_RERANK}
+),
+q AS (SELECT v AS qv FROM quant WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id, e.label,
+       CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+              i -> qv[i] * v[i])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)))
+         AS cos_sim
+FROM quant e JOIN cands USING (vec_id) CROSS JOIN q
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT {TOPK}
+"""
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "embedding_cosine_topk": q_embedding_cosine_topk,
@@ -871,6 +1027,7 @@ QUERIES = {
     "semdedup_ivf": q_semdedup_ivf,
     "knn_join": q_knn_join,
     "embedding_pq_topk": q_embedding_pq_topk,
+    "embedding_pq_trained_topk": q_embedding_pq_trained_topk,
 }
 
 ORACLES = {
@@ -883,4 +1040,5 @@ ORACLES = {
     "semdedup_ivf": ORACLE_SEMDEDUP_IVF,
     "knn_join": ORACLE_KNN_JOIN,
     "embedding_pq_topk": ORACLE_EMBEDDING_PQ_TOPK,
+    "embedding_pq_trained_topk": ORACLE_EMBEDDING_PQ_TRAINED_TOPK,
 }

@@ -70,7 +70,7 @@ _DEFERRED_R13 = [
     "graph_degree", "label_propagation", "large_volume_customers",
     "lang_id", "multimodal_features", "multimodal_frames",
     "multimodal_resize", "personalized_pagerank", "pii_scrub",
-    "pregel_max_prop", "quality_score", "reachability",
+    "pregel_max_prop", "promo_revenue", "quality_score", "reachability",
     "sales_opportunity", "scalar_functions", "set_ops",
     "shortest_path_hops", "small_qty_revenue", "store_triangle_all",
     "summary_stats", "text_stats", "token_count",
@@ -142,12 +142,16 @@ _CHECK_FIRST = [
     # the chain — round-12 advice, high), so its r12 row predates the
     # fix --
     "store_merge_edges_mor",
+    # -- NEW this round: PQ served from the TRAINED codebooks (the
+    # pq_recenter Lloyd step looped into the serving index — the
+    # round-12 verdict's remaining train→serve asymmetry, item 2) --
+    "embedding_pq_trained_topk",
     # -- oldest r11-window fillers for the remaining slots (these
     # would otherwise head next round's deferral) --
     "shipping_priority", "customers_without_orders",
     "order_priority_rollup", "returns_cube", "top_orders_per_customer",
     "running_revenue", "segment_distinct_customers",
-    "local_supplier_volume", "promo_revenue",
+    "local_supplier_volume",
 ]
 # (the remaining r11-window ids are _DEFERRED_R13 above — their r11
 # rows stay within the three-window horizon; round 14 fronts them.)
