@@ -611,6 +611,48 @@ class GraphEngine:
                     self.manifest_dir)
         self.manifests = metastore.ManifestLog(manifest_store,
                                                buckets=buckets)
+        self._compact_max_deltas: int | None = None
+
+    def compact_policy(self, max_deltas: int | None) -> None:
+        """Arm (or disarm with ``None``) AUTO-COMPACTION for
+        merge-on-read delta chains: after every delta write
+        (``merge_edges(mode="delta")`` / ``set_vertex_props(
+        mode="delta")``), any TOUCHED graph whose chain then carries
+        MORE THAN ``max_deltas`` delta commits is selectively
+        compacted (``compact(names)``) — the background-compaction
+        economics Delta/Iceberg tables get from OPTIMIZE schedulers,
+        without which an always-delta writer re-creates the
+        small-files/long-chain problem MoR solves (each chained delta
+        adds a delta-sized window + join to every read; the measured
+        read tax grows with chain length, BENCH_STORE_PROPS.json).
+        The trigger check is driver-side manifest metadata over the
+        TOUCHED graphs only (the :meth:`chains` view's numbers, not a
+        Spark job), so a policy-armed writer pays O(batch) until the
+        threshold trips, then one O(touched-graphs) selective rewrite
+        resets the chain. Snapshot- and concurrency-safe because
+        :meth:`compact` is (a graph written mid-compaction keeps its
+        newer pointer; its deltas survive for the next trigger)."""
+        if max_deltas is not None and max_deltas < 1:
+            raise ValueError(
+                f"compact_policy: max_deltas must be >= 1 or None, "
+                f"got {max_deltas!r}")
+        self._compact_max_deltas = max_deltas
+
+    def _auto_compact(self, touched) -> None:
+        """Policy hook run after every delta write's publish: compact
+        the touched graphs whose delta count now exceeds the armed
+        threshold. Metadata-only fast path when disarmed or under
+        threshold."""
+        k = self._compact_max_deltas
+        if k is None:
+            return
+        m = self.manifests.load() or {}
+        dset = set(m.get("vdeltas", [])) | set(m.get("edeltas", []))
+        gmap = m.get("graphs", {})
+        over = [g for g in touched if g in gmap
+                and sum(c in dset for c in _cids(gmap[g])) > k]
+        if over:
+            self.compact(sorted(over))
 
     def _eff_buckets(self, snap: GraphSnapshot) -> int | None:
         """The layout this write must use: the store's persisted layout
@@ -1130,6 +1172,7 @@ class GraphEngine:
             return _carry_vdeltas(prev, body)
 
         self.manifests.commit(update)
+        self._auto_compact(touched)
         return frozenset(touched), frozenset()
 
     def _set_vertex_props_delta(self, snap: GraphSnapshot,
@@ -1177,6 +1220,7 @@ class GraphEngine:
             return _carry_vdeltas(prev, body)
 
         self.manifests.commit(update)
+        self._auto_compact(touched)
         return frozenset(touched), frozenset()
 
     def declare_prop(self, table: str, name: str, ddl_type: str) -> bool:

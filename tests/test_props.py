@@ -539,3 +539,53 @@ def test_delta_upsert_collapses_duplicate_base_keys(spark, tmp_path):
                 eng.snapshot().weighted_edges("G")
                 .filter("src = 5").collect())
     assert ws == [3, 4]
+
+
+def test_compact_policy_caps_delta_chains(spark, tmp_path):
+    """Round-12 verdict item 3: compact_policy(max_deltas=K) keeps a
+    long delta-write sequence's chains at <= K deltas (auto-triggered
+    selective compaction after the write that exceeds K), with
+    read-back identical to an unpoliced twin store at every step."""
+    engines = {}
+    for tag in ("policed", "free"):
+        eng = GraphEngine(spark, str(tmp_path / tag))
+        eng.append_edges(spark.createDataFrame(
+            [("A", 1, 2, 1), ("B", 1, 2, 1)],
+            "graph string, src int, dst int, w int"))
+        engines[tag] = eng
+    engines["policed"].compact_policy(max_deltas=2)
+    for i in range(7):
+        # alternate edge upserts and vertex-prop deltas on A; B stays
+        # untouched so the SELECTIVE trigger is observable
+        for eng in engines.values():
+            if i % 2 == 0:
+                eng.merge_edges(spark.createDataFrame(
+                    [("A", 1, 2, i + 2)],
+                    "graph string, src int, dst int, w int"),
+                    mode="delta")
+            else:
+                eng.set_vertex_props(spark.createDataFrame(
+                    [("A", 1, f"t{i}")], "graph string, vid int, tag string"),
+                    mode="delta")
+        assert _edgemap(engines["policed"], "A") == \
+            _edgemap(engines["free"], "A")
+        assert _vmap(engines["policed"], "A") == _vmap(engines["free"], "A")
+        m = engines["policed"].manifests.load()
+        dset = set(m.get("vdeltas", [])) | set(m.get("edeltas", []))
+        n_deltas = sum(c in dset for c in m["graphs"]["A"])
+        assert n_deltas <= 2, f"step {i}: {n_deltas} deltas survived"
+    # the unpoliced twin really accumulated a long chain (the policy
+    # did real work), and B was never rewritten by the trigger
+    mf = engines["free"].manifests.load()
+    assert len(mf["graphs"]["A"]) == 8
+    assert len(engines["policed"].manifests.load()["graphs"]["B"]) == 1
+    # disarm: chains grow past K again (3 new deltas on top of the
+    # one the capped loop legitimately left behind)
+    engines["policed"].compact_policy(None)
+    for i in range(3):
+        engines["policed"].merge_edges(spark.createDataFrame(
+            [("A", 1, 2, 50 + i)], "graph string, src int, dst int, w int"),
+            mode="delta")
+    m = engines["policed"].manifests.load()
+    dset = set(m.get("vdeltas", [])) | set(m.get("edeltas", []))
+    assert sum(c in dset for c in m["graphs"]["A"]) == 4
