@@ -39,6 +39,11 @@ anchored grammar, not a SQL parser — and every embedded QUERY
   ``engine.compact``) and ``VACUUM <prefix> [RETAIN k VERSIONS]``
   (retention-windowed manifest + dead-commit-dir reclamation,
   ``engine.vacuum``).
+- time travel from SQL text: ``SELECT``/``WITH`` statements may
+  reference ``<prefix>_edges|_vertices|_meta VERSION AS OF <seq>``
+  (Delta's spelling) — each occurrence binds a temp view pinned at
+  manifest seq ``<seq>``, so historical and current state join in one
+  query; a vacuumed seq raises FileNotFoundError.
 - schema evolution from SQL text:
   ``ALTER TABLE <prefix>_edges|_vertices ADD COLUMN [IF NOT EXISTS]
   <name> <spark-sql-type>`` — declares a typed property via a
@@ -88,6 +93,41 @@ def _parse_string_list(body: str, what: str) -> list[str]:
         raise ValueError(f"{what}: trailing text after the name list: "
                          f"{body[pos:pos + 25]!r}")
     return names
+
+
+def _bind_time_travel(engine, stmt: str, prefix: str) -> str:
+    """Delta's ``<table> VERSION AS OF <seq>`` spelling for the store
+    views (round-12 verdict item 5 — the SQL-only user could maintain
+    the store but not query the history its commit log exists to
+    provide): every ``<prefix>_edges|_vertices|_meta VERSION AS OF n``
+    occurrence in a SELECT/WITH statement is bound to a temp view
+    pinned at manifest seq ``n`` (``engine.snapshot(seq)`` — raises
+    FileNotFoundError if that manifest was vacuumed, the same loud
+    failure as the Python API) and the statement text is rewritten to
+    reference it; mixing historical and current views in one query
+    (e.g. a change-audit join) works because the rewrite leaves plain
+    table references alone. Same thin-grammar caveat as the statement
+    heads: the pattern is matched textually, so the (pathological)
+    string literal containing ``<prefix>_edges VERSION AS OF 3`` would
+    be rewritten too — keep version clauses out of literals."""
+    pat = re.compile(
+        rf"(?is)\b{re.escape(prefix)}_(edges|vertices|meta)"
+        rf"\s+VERSION\s+AS\s+OF\s+(\d+)\b")
+    snaps: dict[int, object] = {}
+
+    def bind(m: re.Match) -> str:
+        table, seq = m.group(1).lower(), int(m.group(2))
+        view = f"{prefix}_{table}_v{seq}"
+        snap = snaps.get(seq)
+        if snap is None:
+            snap = snaps[seq] = engine.snapshot(seq)
+        df = (snap.weighted_edges(props=True) if table == "edges"
+              else snap.vertices(props=True) if table == "vertices"
+              else snap.meta())
+        df.createOrReplaceTempView(view)
+        return view
+
+    return pat.sub(bind, stmt)
 
 
 def _strip_alias(rest: str) -> tuple[str | None, str]:
@@ -180,6 +220,7 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
     edges_p = re.escape(edges_t)
 
     if re.match(r"(?is)^(SELECT|WITH)\b", stmt):
+        stmt = _bind_time_travel(engine, stmt, prefix)
         engine.create_views(prefix)
         return spark.sql(stmt)
 

@@ -67,11 +67,13 @@ _DEFERRED_R13 = [
     "dfs_leaves", "dfs_leaves_tree", "disjunctive_revenue",
     "doc_fingerprint", "domain_mix", "embedding_cosine_topk",
     "embedding_pq_topk", "events_quantiles_approx", "file_search",
-    "graph_degree", "label_propagation", "large_volume_customers",
-    "lang_id", "multimodal_features", "multimodal_frames",
+    "graph_degree", "label_propagation", "lang_id",
+    "large_volume_customers", "local_supplier_volume",
+    "multimodal_features", "multimodal_frames",
     "multimodal_resize", "personalized_pagerank", "pii_scrub",
     "pregel_max_prop", "promo_revenue", "quality_score", "reachability",
-    "sales_opportunity", "scalar_functions", "set_ops",
+    "sales_opportunity", "scalar_functions",
+    "segment_distinct_customers", "set_ops",
     "shortest_path_hops", "small_qty_revenue", "store_triangle_all",
     "summary_stats", "text_stats", "token_count",
     "top_expensive_orders", "top_supplier", "wordcount_docs",
@@ -144,14 +146,19 @@ _CHECK_FIRST = [
     "store_merge_edges_mor",
     # -- NEW this round: PQ served from the TRAINED codebooks (the
     # pq_recenter Lloyd step looped into the serving index — the
-    # round-12 verdict's remaining train→serve asymmetry, item 2) --
-    "embedding_pq_trained_topk",
+    # round-12 verdict's remaining train→serve asymmetry, item 2),
+    # and the maintenance/schema/time-travel SQL grammar split into
+    # its own oracle-checked id incl. VERSION AS OF (items 5+6) --
+    "embedding_pq_trained_topk", "store_sql_maintenance",
+    # -- MODIFIED this round: store_sql_dml ceded ALTER TABLE + the
+    # declared-property UPDATE to the maintenance id (its statement
+    # list changed, so its r12 row predates the split) --
+    "store_sql_dml",
     # -- oldest r11-window fillers for the remaining slots (these
     # would otherwise head next round's deferral) --
     "shipping_priority", "customers_without_orders",
     "order_priority_rollup", "returns_cube", "top_orders_per_customer",
-    "running_revenue", "segment_distinct_customers",
-    "local_supplier_volume",
+    "running_revenue",
 ]
 # (the remaining r11-window ids are _DEFERRED_R13 above — their r11
 # rows stay within the three-window horizon; round 14 fronts them.)
