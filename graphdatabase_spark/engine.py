@@ -612,45 +612,65 @@ class GraphEngine:
         self.manifests = metastore.ManifestLog(manifest_store,
                                                buckets=buckets)
         self._compact_max_deltas: int | None = None
+        self._compact_max_chain: int | None = None
 
-    def compact_policy(self, max_deltas: int | None) -> None:
-        """Arm (or disarm with ``None``) AUTO-COMPACTION for
-        merge-on-read delta chains: after every delta write
-        (``merge_edges(mode="delta")`` / ``set_vertex_props(
-        mode="delta")``), any TOUCHED graph whose chain then carries
-        MORE THAN ``max_deltas`` delta commits is selectively
-        compacted (``compact(names)``) — the background-compaction
-        economics Delta/Iceberg tables get from OPTIMIZE schedulers,
-        without which an always-delta writer re-creates the
-        small-files/long-chain problem MoR solves (each chained delta
-        adds a delta-sized window + join to every read; the measured
-        read tax grows with chain length, BENCH_STORE_PROPS.json).
+    def compact_policy(self, max_deltas: int | None = None,
+                       max_chain: int | None = None) -> None:
+        """Arm (or disarm, both ``None``) AUTO-COMPACTION — the
+        background-compaction economics Delta/Iceberg tables get from
+        OPTIMIZE schedulers, without which an always-appending or
+        always-delta writer re-creates the small-files/long-chain
+        problem the chained formats solve:
+
+        - ``max_deltas=K``: after every MERGE-ON-READ delta write
+          (``merge_edges(mode="delta")`` / ``set_vertex_props(
+          mode="delta")``), any TOUCHED graph whose chain then carries
+          MORE THAN K delta commits is selectively compacted (each
+          chained delta adds a delta-sized window + join to every
+          read; the measured read tax grows with chain length,
+          BENCH_STORE_PROPS.json).
+        - ``max_chain=M``: after ANY chain-extending write (appends —
+          incl. streaming ingest batches — and delta writes), a
+          touched graph whose TOTAL chain exceeds M commits is
+          compacted: a long append chain costs one scan per commit at
+          read even with no deltas.
+
         The trigger check is driver-side manifest metadata over the
         TOUCHED graphs only (the :meth:`chains` view's numbers, not a
-        Spark job), so a policy-armed writer pays O(batch) until the
+        Spark job), so a policy-armed writer pays O(batch) until a
         threshold trips, then one O(touched-graphs) selective rewrite
         resets the chain. Snapshot- and concurrency-safe because
         :meth:`compact` is (a graph written mid-compaction keeps its
-        newer pointer; its deltas survive for the next trigger)."""
-        if max_deltas is not None and max_deltas < 1:
-            raise ValueError(
-                f"compact_policy: max_deltas must be >= 1 or None, "
-                f"got {max_deltas!r}")
+        newer pointer; its commits survive for the next trigger).
+        Exactly-once replay is unaffected: the txn ledger rides
+        through compaction verbatim."""
+        for nm, v in (("max_deltas", max_deltas), ("max_chain", max_chain)):
+            if v is not None and v < 1:
+                raise ValueError(
+                    f"compact_policy: {nm} must be >= 1 or None, "
+                    f"got {v!r}")
         self._compact_max_deltas = max_deltas
+        self._compact_max_chain = max_chain
 
     def _auto_compact(self, touched) -> None:
-        """Policy hook run after every delta write's publish: compact
-        the touched graphs whose delta count now exceeds the armed
-        threshold. Metadata-only fast path when disarmed or under
-        threshold."""
-        k = self._compact_max_deltas
-        if k is None:
+        """Policy hook run after every chain-extending write's
+        publish: compact the touched graphs whose delta count / chain
+        length now exceeds an armed threshold. Metadata-only fast path
+        when disarmed or under threshold."""
+        kd, kc = self._compact_max_deltas, self._compact_max_chain
+        if kd is None and kc is None:
             return
         m = self.manifests.load() or {}
         dset = set(m.get("vdeltas", [])) | set(m.get("edeltas", []))
         gmap = m.get("graphs", {})
-        over = [g for g in touched if g in gmap
-                and sum(c in dset for c in _cids(gmap[g])) > k]
+        over = []
+        for g in touched:
+            if g not in gmap:
+                continue
+            chain = _cids(gmap[g])
+            if (kc is not None and len(chain) > kc) or \
+                    (kd is not None and sum(c in dset for c in chain) > kd):
+                over.append(g)
         if over:
             self.compact(sorted(over))
 
@@ -838,7 +858,10 @@ class GraphEngine:
                 body["props"] = props_doc
             return _carry_vdeltas(prev, body)
 
-        return self.manifests.commit(update) is not None
+        published = self.manifests.commit(update) is not None
+        if published:
+            self._auto_compact(write_graphs)
+        return published
 
     def merge_edges(self, updates: DataFrame, delete: bool = False, *,
                     pinned_snapshot: GraphSnapshot | None = None,

@@ -589,3 +589,26 @@ def test_compact_policy_caps_delta_chains(spark, tmp_path):
     m = engines["policed"].manifests.load()
     dset = set(m.get("vdeltas", [])) | set(m.get("edeltas", []))
     assert sum(c in dset for c in m["graphs"]["A"]) == 4
+
+
+def test_compact_policy_caps_append_chains(spark, tmp_path):
+    """compact_policy(max_chain=M) also bounds PLAIN append chains
+    (the streaming-ingest shape: each batch extends the chain and
+    costs one scan per commit at read) — and the exactly-once txn
+    ledger rides through the policy's compactions."""
+    from graphdatabase_spark.engine import _cids
+
+    eng = GraphEngine(spark, str(tmp_path / "ac"))
+    eng.compact_policy(max_chain=3)
+    for i in range(8):
+        assert eng.append_edges(spark.createDataFrame(
+            [("S", 1, i + 2, 1)], "graph string, src int, dst int, w int"),
+            txn_app="sink", txn_version=i)
+        m = eng.manifests.load()
+        assert len(_cids(m["graphs"]["S"])) <= 3
+    # all 8 batches' rows present; replay of an applied version no-ops
+    assert eng.snapshot().edges("S").count() == 8
+    assert not eng.append_edges(spark.createDataFrame(
+        [("S", 1, 99, 1)], "graph string, src int, dst int, w int"),
+        txn_app="sink", txn_version=3)
+    assert eng.snapshot().edges("S").count() == 8

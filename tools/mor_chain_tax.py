@@ -98,12 +98,9 @@ def main() -> None:
         n_deltas = sum(c in dset for c in m["graphs"][GRAPH])
         policed = timed_read(eng2)
         # equivalence of final state, policed vs not
-        same = (eng.weighted_edges(GRAPH, props=True)
-                .exceptAll(eng2.weighted_edges(GRAPH, props=True))
-                .isEmpty()
-                and eng2.weighted_edges(GRAPH, props=True)
-                .exceptAll(eng.weighted_edges(GRAPH, props=True))
-                .isEmpty())
+        a = eng.snapshot().weighted_edges(GRAPH, props=True)
+        b = eng2.snapshot().weighted_edges(GRAPH, props=True)
+        same = a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
         print(json.dumps({
             "sf_dir": sf_dir, "graph_rows": base_rows,
             "read_sec_by_chain_deltas": {str(k): v
