@@ -1628,10 +1628,12 @@ class GraphEngine:
 
     def history(self) -> DataFrame:
         """Retained commit history as a small DataFrame ``(seq, commit,
-        n_graphs)``, ascending by seq — the store's DESCRIBE HISTORY
-        twin, pairing with ``snapshot(seq=N)`` time travel. Metadata-
-        sized: one manifest read per retained seq through the pluggable
-        store, no Spark job over data."""
+        n_graphs, ts)``, ascending by seq — the store's DESCRIBE
+        HISTORY twin, pairing with ``snapshot(seq=N)`` /
+        ``seq_at(ts)`` time travel. ``ts`` is the publish-time epoch
+        stamp (NULL for manifests written before stamping existed).
+        Metadata-sized: one manifest read per retained seq through the
+        pluggable store, no Spark job over data."""
         import json
         from concurrent.futures import ThreadPoolExecutor
 
@@ -1643,7 +1645,7 @@ class GraphEngine:
             # chunked roots carry n_graphs as metadata so history stays
             # one blob get per seq (never assembles the chunk set)
             return seq, doc.get("commit"), doc.get(
-                "n_graphs", len(doc.get("graphs", {})))
+                "n_graphs", len(doc.get("graphs", {}))), doc.get("ts")
 
         # blob gets are IO-bound round trips (one per retained seq, so
         # remote stores pay latency × history depth if serial) — fan
@@ -1654,7 +1656,30 @@ class GraphEngine:
         else:
             rows = [fetch(i) for i in names]
         return self.spark.createDataFrame(
-            rows, "seq long, commit string, n_graphs int")
+            rows, "seq long, commit string, n_graphs int, ts double")
+
+    def seq_at(self, ts: float) -> int:
+        """The newest RETAINED manifest seq whose commit timestamp is
+        ≤ ``ts`` — what ``TIMESTAMP AS OF`` resolves through (Delta's
+        rule: a timestamp earlier than the oldest retained commit
+        raises instead of silently pinning something newer). Manifests
+        predating timestamp stamping are skipped (their publish time
+        is unknown)."""
+        import json
+
+        best = None
+        for seq, name in self.manifests.names():
+            doc = json.loads(self.manifests.store.get(name))
+            mts = doc.get("ts")
+            if mts is not None and mts <= ts and \
+                    (best is None or seq > best):
+                best = seq
+        if best is None:
+            raise FileNotFoundError(
+                f"no retained manifest committed at or before "
+                f"timestamp {ts} (history starts later, or was "
+                f"vacuumed)")
+        return best
 
     def chains(self) -> DataFrame:
         """Per-graph chain statistics from the CURRENT manifest —

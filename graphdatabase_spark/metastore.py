@@ -49,6 +49,7 @@ import json
 import os
 import re
 import threading
+import time
 import uuid
 from collections.abc import Callable
 
@@ -493,6 +494,11 @@ class ManifestLog:
             if body is None:
                 return None
             seq = (prev["seq"] + 1) if prev else 1
+            # commit timestamp, stamped at publish (never carried from
+            # prev): what DESCRIBE HISTORY shows and TIMESTAMP AS OF
+            # time travel resolves against. Clock skew across writers
+            # makes ts-ordering advisory; seq stays the total order.
+            body = {**body, "ts": round(time.time(), 3)}
             doc = self._encode(prev, seq, body)
             data = json.dumps(doc).encode()
             if self.store.put_if_absent(manifest_name(seq), data):

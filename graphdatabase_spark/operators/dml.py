@@ -40,10 +40,12 @@ anchored grammar, not a SQL parser — and every embedded QUERY
   (retention-windowed manifest + dead-commit-dir reclamation,
   ``engine.vacuum``).
 - time travel from SQL text: ``SELECT``/``WITH`` statements may
-  reference ``<prefix>_edges|_vertices|_meta VERSION AS OF <seq>``
-  (Delta's spelling) — each occurrence binds a temp view pinned at
-  manifest seq ``<seq>``, so historical and current state join in one
-  query; a vacuumed seq raises FileNotFoundError.
+  reference ``<prefix>_edges|_vertices|_meta VERSION AS OF <seq>`` or
+  ``… TIMESTAMP AS OF '<iso-ts>'|<epoch>`` (Delta's spellings) — each
+  occurrence binds a temp view pinned at that manifest seq (a
+  timestamp resolves to the newest commit at-or-before it), so
+  historical and current state join in one query; a vacuumed seq or a
+  timestamp predating retained history raises FileNotFoundError.
 - schema evolution from SQL text:
   ``ALTER TABLE <prefix>_edges|_vertices ADD COLUMN [IF NOT EXISTS]
   <name> <spark-sql-type>`` — declares a typed property via a
@@ -96,27 +98,49 @@ def _parse_string_list(body: str, what: str) -> list[str]:
 
 
 def _bind_time_travel(engine, stmt: str, prefix: str) -> str:
-    """Delta's ``<table> VERSION AS OF <seq>`` spelling for the store
-    views (round-12 verdict item 5 — the SQL-only user could maintain
-    the store but not query the history its commit log exists to
-    provide): every ``<prefix>_edges|_vertices|_meta VERSION AS OF n``
-    occurrence in a SELECT/WITH statement is bound to a temp view
-    pinned at manifest seq ``n`` (``engine.snapshot(seq)`` — raises
-    FileNotFoundError if that manifest was vacuumed, the same loud
-    failure as the Python API) and the statement text is rewritten to
-    reference it; mixing historical and current views in one query
-    (e.g. a change-audit join) works because the rewrite leaves plain
-    table references alone. Same thin-grammar caveat as the statement
-    heads: the pattern is matched textually, so the (pathological)
-    string literal containing ``<prefix>_edges VERSION AS OF 3`` would
-    be rewritten too — keep version clauses out of literals."""
+    """Delta's ``<table> VERSION AS OF <seq>`` / ``<table> TIMESTAMP
+    AS OF <ts>`` spellings for the store views (round-12 verdict item
+    5 — the SQL-only user could maintain the store but not query the
+    history its commit log exists to provide): every
+    ``<prefix>_edges|_vertices|_meta VERSION AS OF n`` (or ``TIMESTAMP
+    AS OF '2026-08-16 10:00:00'`` / epoch-seconds literal) occurrence
+    in a SELECT/WITH statement is bound to a temp view pinned at that
+    manifest seq (``engine.snapshot(seq)`` — raises FileNotFoundError
+    if that manifest was vacuumed, the same loud failure as the Python
+    API; a timestamp resolves through ``engine.seq_at`` to the newest
+    commit at-or-before it, raising if history starts later) and the
+    statement text is rewritten to reference it; mixing historical and
+    current views in one query (e.g. a change-audit join) works
+    because the rewrite leaves plain table references alone. Same
+    thin-grammar caveat as the statement heads: the pattern is matched
+    textually, so the (pathological) string literal containing
+    ``<prefix>_edges VERSION AS OF 3`` would be rewritten too — keep
+    version clauses out of literals."""
     pat = re.compile(
         rf"(?is)\b{re.escape(prefix)}_(edges|vertices|meta)"
-        rf"\s+VERSION\s+AS\s+OF\s+(\d+)\b")
+        rf"\s+(?:VERSION\s+AS\s+OF\s+(\d+)"
+        rf"|TIMESTAMP\s+AS\s+OF\s+('(?:[^']|'')*'|\d+(?:\.\d+)?))")
     snaps: dict[int, object] = {}
 
     def bind(m: re.Match) -> str:
-        table, seq = m.group(1).lower(), int(m.group(2))
+        table = m.group(1).lower()
+        if m.group(2) is not None:
+            seq = int(m.group(2))
+        else:
+            lit = m.group(3)
+            if lit.startswith("'"):
+                from datetime import datetime
+                try:
+                    # local-time ISO timestamp, Delta's convention
+                    ts = datetime.fromisoformat(
+                        lit[1:-1].replace("''", "'")).timestamp()
+                except ValueError as exc:
+                    raise ValueError(
+                        f"TIMESTAMP AS OF: {lit} is not an ISO "
+                        f"timestamp ({exc})") from None
+            else:
+                ts = float(lit)       # epoch seconds
+            seq = engine.seq_at(ts)
         view = f"{prefix}_{table}_v{seq}"
         snap = snaps.get(seq)
         if snap is None:

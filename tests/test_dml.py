@@ -476,3 +476,35 @@ def test_version_as_of_from_sql(spark, tmp_path):
     eng.vacuum(keep_last=1)
     with pytest.raises(FileNotFoundError):
         eng.sql("SELECT * FROM gdb_edges VERSION AS OF 2")
+
+
+def test_timestamp_as_of_from_sql(spark, tmp_path):
+    """TIMESTAMP AS OF resolves to the newest commit at-or-before the
+    given time (epoch literal or quoted ISO local time); a timestamp
+    predating retained history fails loudly. Commit timestamps are
+    stamped at publish and surface in history()."""
+    import time as _time
+
+    eng = GraphEngine(spark, str(tmp_path / "ts"))
+    before = _time.time() - 0.002
+    eng.sql("INSERT INTO gdb_edges VALUES ('A', 1, 2, 5)")       # seq 1
+    mid = _time.time()
+    _time.sleep(0.01)
+    eng.sql("INSERT INTO gdb_edges VALUES ('A', 2, 3, 7)")       # seq 2
+    hist = {r["seq"]: r["ts"] for r in eng.history().collect()}
+    assert hist[1] is not None and hist[2] is not None
+    assert hist[1] <= mid <= hist[2]
+    got = eng.sql(f"SELECT src, dst FROM gdb_edges TIMESTAMP AS OF {mid}")
+    assert [(r["src"], r["dst"]) for r in got.collect()] == [(1, 2)]
+    # newest commit when the timestamp is in the future of all commits
+    now = eng.sql(f"SELECT COUNT(*) AS n FROM gdb_edges "
+                  f"TIMESTAMP AS OF {_time.time() + 60}")
+    assert now.collect()[0]["n"] == 2
+    # ISO spelling routes through the same resolver
+    from datetime import datetime
+    iso = datetime.fromtimestamp(mid).isoformat(sep=" ")
+    got2 = eng.sql(f"SELECT COUNT(*) AS n FROM gdb_edges "
+                   f"TIMESTAMP AS OF '{iso}'")
+    assert got2.collect()[0]["n"] == 1
+    with pytest.raises(FileNotFoundError):
+        eng.sql(f"SELECT * FROM gdb_edges TIMESTAMP AS OF {before}")

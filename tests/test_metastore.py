@@ -475,12 +475,16 @@ def test_engine_vacuum_keep_last_retains_time_travel(spark, tmp_path):
 
 def test_manifest_doc_shape_unchanged(tmp_path):
     """The on-disk manifest document keeps its public shape (seq,
-    commit, graphs) so older stores and external tooling stay
-    readable."""
+    commit, graphs, plus the r13 publish-time ``ts`` stamp) so older
+    stores and external tooling stay readable; ts is additive — docs
+    written before it read as NULL through history()."""
     log = ManifestLog(PosixManifestStore(str(tmp_path / "m")))
     doc = log.commit(_body("abc", {"G": "abc"}))
     raw = json.loads(log.store.get(manifest_name(1)).decode())
-    assert raw == {"seq": 1, "commit": "abc", "graphs": {"G": "abc"}} == doc
+    assert raw == doc
+    ts = raw.pop("ts")
+    assert isinstance(ts, float)
+    assert raw == {"seq": 1, "commit": "abc", "graphs": {"G": "abc"}}
 
 
 # -- chunked manifest layout (round-8 verdict items 4+5) ---------------

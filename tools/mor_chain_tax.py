@@ -11,7 +11,10 @@ shows the merge window stays DELTA-sized as base data grows — the
 design claim at engine.py's ``_edges_merged`` (the latest-wins window
 runs over delta rows only), measured.
 
-Usage: python tools/mor_chain_tax.py [SF_DIR ...]
+Usage: python tools/mor_chain_tax.py [SF_DIR[:K] ...]
+``K`` scales the fixture's edge-key space (src mod 20·K × dst mod
+30·K) so the BASE graph's stored rows actually grow with the data —
+the default key space saturates at 600 rows/graph regardless of SF.
 Prints one JSON line per SF_DIR.
 """
 
@@ -36,16 +39,17 @@ MEASURE_AT = (0, 1, 3, 6, 10)
 POLICY_K = 2
 
 
-def build(spark, sf_dir: str) -> GraphEngine:
+def build(spark, sf_dir: str, k: int = 1) -> GraphEngine:
     """The props-fixture recipe (store_queries.py): events-derived
-    edges with a string prop + vertex tags, bucketed layout."""
+    edges with a string prop + vertex tags, bucketed layout; ``k``
+    widens the key space so stored rows track the data volume."""
     path = os.path.join(tempfile.mkdtemp(prefix="gdb_mor_tax_"), "store")
     eng = GraphEngine(spark, path, buckets=4)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     edges = (ev.select(
         F.col("event_type").alias("graph"),
-        (F.col("user_id") % 20).cast("int").alias("src"),
-        (F.col("event_id") % 30 + 1).cast("int").alias("dst"),
+        (F.col("user_id") % (20 * k)).cast("int").alias("src"),
+        (F.col("event_id") % (30 * k) + 1).cast("int").alias("dst"),
         (F.col("event_id") % 5 + 1).alias("w1"),
         F.expr("CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'a' "
                "WHEN 1 THEN 'b' ELSE 'c' END").alias("k1"))
@@ -74,14 +78,16 @@ def timed_read(eng: GraphEngine, reps: int = 3) -> float:
 
 
 def main() -> None:
-    dirs = sys.argv[1:] or ["/root/testdata/sf0.1", ".scale/sf1"]
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.1", ".scale/sf1:10"]
     spark = get_spark("mor-chain-tax",
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
-    for sf_dir in dirs:
+    for spec in dirs:
+        sf_dir, _, ks = spec.partition(":")
+        k = int(ks) if ks else 1
         spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
         # --- unpoliced: the raw chain-length tax curve ---
-        eng = build(spark, sf_dir)
+        eng = build(spark, sf_dir, k)
         curve = {0: timed_read(eng)}
         for i in range(1, max(MEASURE_AT) + 1):
             eng.merge_edges(delta_batch(spark, i), mode="delta")
@@ -89,7 +95,7 @@ def main() -> None:
                 curve[i] = timed_read(eng)
         base_rows = eng.weighted_edges(GRAPH).count()
         # --- policed: same 10 delta writes, policy armed ---
-        eng2 = build(spark, sf_dir)
+        eng2 = build(spark, sf_dir, k)
         eng2.compact_policy(max_deltas=POLICY_K)
         for i in range(1, max(MEASURE_AT) + 1):
             eng2.merge_edges(delta_batch(spark, i), mode="delta")
