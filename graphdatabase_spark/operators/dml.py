@@ -36,9 +36,10 @@ anchored grammar, not a SQL parser — and every embedded QUERY
 
 - maintenance from SQL text: ``OPTIMIZE <prefix> [WHERE graph IN
   ('A', …)]`` (whole-store or selective compaction —
-  ``engine.compact``) and ``VACUUM <prefix> [RETAIN k VERSIONS]``
+  ``engine.compact``), ``VACUUM <prefix> [RETAIN k VERSIONS]``
   (retention-windowed manifest + dead-commit-dir reclamation,
-  ``engine.vacuum``).
+  ``engine.vacuum``), and ``DESCRIBE HISTORY <prefix>`` (the retained
+  commit log ``(seq, commit, n_graphs, ts)`` — ``engine.history``).
 - time travel from SQL text: ``SELECT``/``WITH`` statements may
   reference ``<prefix>_edges|_vertices|_meta VERSION AS OF <seq>`` or
   ``… TIMESTAMP AS OF '<iso-ts>'|<epoch>`` (Delta's spellings) — each
@@ -484,6 +485,13 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
         raise ValueError(
             f"MERGE INTO: unsupported WHEN clauses {actions!r} (supported: "
             f"UPDATE SET w = {source}.w + INSERT *, or DELETE alone)")
+
+    if re.match(rf"(?is)^DESCRIBE\s+HISTORY\s+{re.escape(prefix)}$", stmt):
+        # Delta's DESCRIBE HISTORY: the retained commit log as a
+        # DataFrame (seq, commit, n_graphs, ts) — pairs with VERSION
+        # AS OF / TIMESTAMP AS OF so the SQL-only user can DISCOVER
+        # which seqs/timestamps are pinnable, not just pin them
+        return engine.history()
 
     m = re.match(rf"(?is)^OPTIMIZE\s+{re.escape(prefix)}"
                  rf"(?:\s+WHERE\s+graph\s+IN\s*\((.*)\))?\s*$", stmt)

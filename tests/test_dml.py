@@ -508,3 +508,18 @@ def test_timestamp_as_of_from_sql(spark, tmp_path):
     assert got2.collect()[0]["n"] == 1
     with pytest.raises(FileNotFoundError):
         eng.sql(f"SELECT * FROM gdb_edges TIMESTAMP AS OF {before}")
+
+
+def test_describe_history_from_sql(spark, tmp_path):
+    """DESCRIBE HISTORY returns the retained commit log so the
+    SQL-only user can discover pinnable seqs/timestamps."""
+    eng = GraphEngine(spark, str(tmp_path / "dh"))
+    eng.sql("INSERT INTO gdb_edges VALUES ('A', 1, 2, 1)")
+    eng.sql("INSERT INTO gdb_edges VALUES ('A', 2, 3, 1)")
+    hist = eng.sql("DESCRIBE HISTORY gdb").collect()
+    assert [r["seq"] for r in hist] == [1, 2]
+    assert all(r["ts"] is not None for r in hist)
+    # the discovered seq is directly pinnable
+    n = eng.sql(f"SELECT COUNT(*) AS n FROM gdb_edges "
+                f"VERSION AS OF {hist[0]['seq']}").collect()[0]["n"]
+    assert n == 1
