@@ -803,10 +803,21 @@ def _pq_adc_probe(spark: SparkSession, sf_dir: str, pq: DataFrame,
     qsubs = (subs.filter(F.col("vec_id") == QUERY_VEC_ID)
              .select("m", F.col("sub").alias("qsub")))
     # LUT packed (m, code)-ordered into one broadcast array row:
-    # entry index = m * PQ_CODES + code
-    lut_row = (cb.join(F.broadcast(qsubs), "m")
+    # entry index = m * PQ_CODES + code. Built over a DENSE (m, code)
+    # grid so the packed positions are fixed even if a codebook cell
+    # is empty (a trained codebook on real data can lose a code to a
+    # duplicate seed subvector — its position must not shift the
+    # others; the absent cell's 0 is never consulted because no
+    # vector encodes to an absent code).
+    grid = spark.range(PQ_M * PQ_CODES).select(
+        (F.col("id") / PQ_CODES).cast("int").alias("m"),
+        (F.col("id") % PQ_CODES).cast("int").alias("code"))
+    ldots = (cb.join(F.broadcast(qsubs), "m")
+             .select("m", "code",
+                     _dot(F.col("csub"), F.col("qsub")).alias("ldot")))
+    lut_row = (grid.join(ldots, ["m", "code"], "left")
                .select(F.struct("m", "code",
-                                _dot(F.col("csub"), F.col("qsub"))
+                                F.coalesce("ldot", F.lit(0))
                                 .alias("ldot")).alias("e"))
                .groupBy()
                .agg(F.transform(F.sort_array(F.collect_list("e")),

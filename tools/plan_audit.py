@@ -141,10 +141,25 @@ AUDIT = [
      "pruned scans, the DELTA rows get a (graph, vid) latest-wins "
      "window (delta-sized, not store-sized) then ONE full-outer join "
      "against the base rows — chains without deltas skip all of it"),
-    ("store_merge_edges_mor", "merge-on-read edges: base commit scan + "
-     "delta commits' (graph,src,dst) latest-wins window + one "
-     "full-outer join, w=0 delete markers filtered — the same gated "
-     "shape the traversal kernels read through"),
+    ("store_merge_edges_mor", "merge-on-read edges (chain-ORDER-aware, "
+     "r13): per-commit pruned scans position-tagged, delta rows' "
+     "(graph,src,dst) latest-wins window (delta-sized), base survival "
+     "via ONE left join against the delta keys (rows after the latest "
+     "delta survive), surviving delta rows unioned in with w=0 delete "
+     "markers filtered — the same gated shape the traversal kernels "
+     "read through; no-delta chains take the plain pre-MoR union"),
+    ("embedding_pq_trained_topk", "trained-codebook PQ ANN: the cached "
+     "TRAINED codes (Lloyd step per subspace + re-encode, built once) "
+     "scanned once with the trained-LUT 128-entry broadcast fold per "
+     "row — identical Exchange-free ADC probe shape as the seed path; "
+     "training subplan is two narrow fan-outs + one (m,code,dim)-keyed "
+     "map-side-combined agg, output independent of N"),
+    ("store_sql_maintenance", "SQL maintenance read-back incl. VERSION "
+     "AS OF: the historical view is a pruned scan of the seq-4 "
+     "manifest's commits, the current view post-OPTIMIZE is ONE "
+     "compacted scan; the audit join keys (graph,src,dst) with AQE "
+     "picking the strategy — time travel costs a second pruned scan, "
+     "never a log replay"),
 ]
 
 
