@@ -1544,6 +1544,39 @@ class GraphEngine:
 
         self.manifests.commit(update)
 
+    def restore(self, seq: int) -> None:
+        """Roll the whole store BACK to the state of retained manifest
+        ``seq``, published as a NEW commit — Delta's ``RESTORE TABLE …
+        VERSION AS OF``. Metadata-only and O(1) data IO: the immutable
+        commit dirs still hold the old rows, so restore re-points the
+        graphs map (and the props schema + delta-marker sets) at them
+        without moving a byte. History moves FORWARD — the restore is
+        seq N+1 and the in-between states stay pinnable until
+        :meth:`vacuum` — and vacuum stays safe because liveness is
+        computed from retained manifests and the restore manifest is
+        the newest. The exactly-once txn ledger carries from the
+        CURRENT manifest, not the restored one: a streaming batch
+        applied after ``seq`` stays recorded, so its replay after the
+        restore still no-ops (re-appending it would silently
+        double-apply data the restore was meant to erase — if re-play
+        is wanted, it must be an explicit new version). Raises
+        FileNotFoundError if ``seq`` was vacuumed. Concurrency:
+        last-writer-wins by design (a restore IS a whole-store
+        overwrite), but the publish is a CAS append so it never tears
+        a concurrent writer's manifest."""
+        old = self._load_manifest(seq)
+
+        def update(prev: dict | None) -> dict:
+            body = {"commit": old.get("commit"),
+                    "graphs": dict(old.get("graphs", {})),
+                    "txns": (prev or {}).get("txns", {})}
+            for k in ("props", "vdeltas", "edeltas"):
+                if old.get(k):
+                    body[k] = old[k]
+            return body
+
+        self.manifests.commit(update)
+
     def vacuum(self, keep_last: int = 1, *, orphan_retention_s: float = 600.0,
                force: bool = False) -> int:
         """Delete manifests outside the newest-``keep_last`` retention

@@ -38,8 +38,12 @@ anchored grammar, not a SQL parser — and every embedded QUERY
   ('A', …)]`` (whole-store or selective compaction —
   ``engine.compact``), ``VACUUM <prefix> [RETAIN k VERSIONS]``
   (retention-windowed manifest + dead-commit-dir reclamation,
-  ``engine.vacuum``), and ``DESCRIBE HISTORY <prefix>`` (the retained
-  commit log ``(seq, commit, n_graphs, ts)`` — ``engine.history``).
+  ``engine.vacuum``), ``DESCRIBE HISTORY <prefix>`` (the retained
+  commit log ``(seq, commit, n_graphs, ts)`` — ``engine.history``),
+  and ``RESTORE <prefix> TO VERSION AS OF <seq> | TO TIMESTAMP AS OF
+  <ts>`` (metadata-only rollback published as a new commit —
+  ``engine.restore``; the txn ledger carries forward so replayed
+  streaming batches stay deduped).
 - time travel from SQL text: ``SELECT``/``WITH`` statements may
   reference ``<prefix>_edges|_vertices|_meta VERSION AS OF <seq>`` or
   ``… TIMESTAMP AS OF '<iso-ts>'|<epoch>`` (Delta's spellings) — each
@@ -98,6 +102,25 @@ def _parse_string_list(body: str, what: str) -> list[str]:
     return names
 
 
+# a TIMESTAMP AS OF operand: quoted ISO local time or epoch seconds
+_TS_OPERAND = r"('(?:[^']|'')*'|\d+(?:\.\d+)?)"
+
+
+def _parse_ts_literal(lit: str) -> float:
+    """Epoch seconds from a ``TIMESTAMP AS OF`` operand: a quoted ISO
+    local-time literal (Delta's convention) or a bare epoch number."""
+    if lit.startswith("'"):
+        from datetime import datetime
+        try:
+            return datetime.fromisoformat(
+                lit[1:-1].replace("''", "'")).timestamp()
+        except ValueError as exc:
+            raise ValueError(
+                f"TIMESTAMP AS OF: {lit} is not an ISO timestamp "
+                f"({exc})") from None
+    return float(lit)
+
+
 def _bind_time_travel(engine, stmt: str, prefix: str) -> str:
     """Delta's ``<table> VERSION AS OF <seq>`` / ``<table> TIMESTAMP
     AS OF <ts>`` spellings for the store views (round-12 verdict item
@@ -120,7 +143,7 @@ def _bind_time_travel(engine, stmt: str, prefix: str) -> str:
     pat = re.compile(
         rf"(?is)\b{re.escape(prefix)}_(edges|vertices|meta)"
         rf"\s+(?:VERSION\s+AS\s+OF\s+(\d+)"
-        rf"|TIMESTAMP\s+AS\s+OF\s+('(?:[^']|'')*'|\d+(?:\.\d+)?))")
+        rf"|TIMESTAMP\s+AS\s+OF\s+{_TS_OPERAND})")
     snaps: dict[int, object] = {}
 
     def bind(m: re.Match) -> str:
@@ -128,20 +151,7 @@ def _bind_time_travel(engine, stmt: str, prefix: str) -> str:
         if m.group(2) is not None:
             seq = int(m.group(2))
         else:
-            lit = m.group(3)
-            if lit.startswith("'"):
-                from datetime import datetime
-                try:
-                    # local-time ISO timestamp, Delta's convention
-                    ts = datetime.fromisoformat(
-                        lit[1:-1].replace("''", "'")).timestamp()
-                except ValueError as exc:
-                    raise ValueError(
-                        f"TIMESTAMP AS OF: {lit} is not an ISO "
-                        f"timestamp ({exc})") from None
-            else:
-                ts = float(lit)       # epoch seconds
-            seq = engine.seq_at(ts)
+            seq = engine.seq_at(_parse_ts_literal(m.group(3)))
         view = f"{prefix}_{table}_v{seq}"
         snap = snaps.get(seq)
         if snap is None:
@@ -485,6 +495,18 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
         raise ValueError(
             f"MERGE INTO: unsupported WHEN clauses {actions!r} (supported: "
             f"UPDATE SET w = {source}.w + INSERT *, or DELETE alone)")
+
+    m = re.match(rf"(?is)^RESTORE\s+{re.escape(prefix)}\s+TO\s+"
+                 rf"(?:VERSION\s+AS\s+OF\s+(\d+)"
+                 rf"|TIMESTAMP\s+AS\s+OF\s+{_TS_OPERAND})$", stmt)
+    if m:
+        # Delta's RESTORE TABLE spelling: roll the store back to a
+        # retained version (metadata-only — engine.restore re-points
+        # the graphs map at the immutable old commits as a NEW seq)
+        seq = (int(m.group(1)) if m.group(1) is not None
+               else engine.seq_at(_parse_ts_literal(m.group(2))))
+        engine.restore(seq)
+        return None
 
     if re.match(rf"(?is)^DESCRIBE\s+HISTORY\s+{re.escape(prefix)}$", stmt):
         # Delta's DESCRIBE HISTORY: the retained commit log as a

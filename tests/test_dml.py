@@ -523,3 +523,55 @@ def test_describe_history_from_sql(spark, tmp_path):
     n = eng.sql(f"SELECT COUNT(*) AS n FROM gdb_edges "
                 f"VERSION AS OF {hist[0]['seq']}").collect()[0]["n"]
     assert n == 1
+
+
+def test_restore_from_sql(spark, tmp_path):
+    """RESTORE rolls the store back to a retained version as a NEW
+    metadata-only commit: data reappears byte-identically, history
+    moves forward, the txn ledger carries so a replayed streaming
+    batch stays deduped, and TIMESTAMP AS OF spells it too."""
+    eng = GraphEngine(spark, str(tmp_path / "rs"))
+    eng.sql("INSERT INTO gdb_edges VALUES ('A', 1, 2, 5)")       # seq 1
+    eng.append_edges(spark.createDataFrame(
+        [("A", 2, 3, 7)], "graph string, src int, dst int, w int"),
+        txn_app="sink", txn_version=9)                           # seq 2
+    eng.sql("DELETE FROM gdb_edges WHERE src = 1")               # seq 3
+    eng.sql("RESTORE gdb TO VERSION AS OF 2")                    # seq 4
+    got = {(r["src"], r["dst"], r["w"]) for r in
+           eng.sql("SELECT src, dst, w FROM gdb_edges").collect()}
+    assert got == {(1, 2, 5), (2, 3, 7)}
+    hist = [r["seq"] for r in eng.history().collect()]
+    assert hist == [1, 2, 3, 4]                 # forward, not rewound
+    # exactly-once survives the rollback: replaying version 9 no-ops
+    assert not eng.append_edges(spark.createDataFrame(
+        [("A", 2, 3, 7)], "graph string, src int, dst int, w int"),
+        txn_app="sink", txn_version=9)
+    # restore to the state before the second batch, via its timestamp
+    ts1 = {r["seq"]: r["ts"] for r in eng.history().collect()}[1]
+    eng.sql(f"RESTORE gdb TO TIMESTAMP AS OF {ts1}")
+    got = {(r["src"], r["dst"]) for r in
+           eng.sql("SELECT src, dst FROM gdb_edges").collect()}
+    assert got == {(1, 2)}
+    with pytest.raises(FileNotFoundError):
+        eng.sql("RESTORE gdb TO VERSION AS OF 99")
+
+
+def test_restore_preserves_props_and_deltas(spark, tmp_path):
+    """Restore re-points the props schema and delta-marker sets too:
+    a merge-on-read chain restored after compaction reads back
+    through the same latest-wins merge it had at that seq."""
+    eng = GraphEngine(spark, str(tmp_path / "rp"))
+    eng.append_edges(spark.createDataFrame(
+        [("G", 1, 2, 1, "x")],
+        "graph string, src int, dst int, w int, kind string"))   # seq 1
+    eng.merge_edges(spark.createDataFrame(
+        [("G", 1, 2, 9, "y")],
+        "graph string, src int, dst int, w int, kind string"),
+        mode="delta")                                            # seq 2
+    eng.compact()                                                # seq 3
+    eng.restore(2)                                               # seq 4
+    m = eng.manifests.load()
+    assert m.get("edeltas"), "delta markers dropped by restore"
+    rows = eng.snapshot().weighted_edges("G", props=True).collect()
+    assert [(r["src"], r["dst"], r["w"], r["kind"]) for r in rows] \
+        == [(1, 2, 9, "y")]
