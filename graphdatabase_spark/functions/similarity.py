@@ -1028,6 +1028,73 @@ LIMIT {TOPK}
 """
 
 
+# --- ann_recall (the ANN quality metric, itself oracle-checked) --------------
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of every ANN path against the brute-force cosine
+    top-k — ``(method, hits, recall)``, one row per serving path
+    (hyperplane LSH, seed/trained IVF, seed/trained PQ). "Measure,
+    don't guess" applied to the index family itself: because every
+    path is exact integer math end-to-end, the recall REPORT is
+    deterministic and value-checked by the SQL oracle — the quality
+    number a production corpus would dashboard, not a hand-waved
+    claim. Plan cost: the five top-k subplans (each already
+    scale-shaped + session-cache-backed) + k-row joins; the heavy
+    work is shared with the individual query ids through the cached
+    indexes."""
+    exact = q_embedding_cosine_topk(spark, sf_dir).select("vec_id")
+    methods = [
+        ("ann_lsh", q_embedding_ann_lsh),
+        ("ivf", q_embedding_ivf_topk),
+        ("ivf_trained", q_embedding_ivf_trained_topk),
+        ("pq", q_embedding_pq_topk),
+        ("pq_trained", q_embedding_pq_trained_topk),
+    ]
+    out = None
+    for name, fn in methods:
+        got = (fn(spark, sf_dir).select("vec_id")
+               .withColumn("method", F.lit(name)))
+        out = got if out is None else out.unionByName(got)
+    hits = (out.join(exact, "vec_id", "left_semi")
+            .groupBy("method").agg(F.count(F.lit(1)).alias("hits")))
+    # a method whose candidate set missed EVERY exact neighbor (or
+    # returned no rows) must still report, at recall 0
+    names = spark.createDataFrame([(n,) for n, _ in methods],
+                                  "method string")
+    return (names.join(hits, "method", "left")
+            .select("method",
+                    F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+                    (F.coalesce("hits", F.lit(0)).cast("double")
+                     / F.lit(TOPK)).alias("recall")))
+
+
+ORACLE_ANN_RECALL = f"""
+WITH exact_k AS ({ORACLE_EMBEDDING_COSINE_TOPK}),
+lsh AS ({ORACLE_EMBEDDING_ANN_LSH}),
+ivf AS ({ORACLE_EMBEDDING_IVF_TOPK}),
+ivf_t AS ({ORACLE_TRAINED_IVF}),
+pq AS ({ORACLE_EMBEDDING_PQ_TOPK}),
+pq_t AS ({ORACLE_EMBEDDING_PQ_TRAINED_TOPK}),
+got AS (
+  SELECT 'ann_lsh' AS method, vec_id FROM lsh
+  UNION ALL SELECT 'ivf', vec_id FROM ivf
+  UNION ALL SELECT 'ivf_trained', vec_id FROM ivf_t
+  UNION ALL SELECT 'pq', vec_id FROM pq
+  UNION ALL SELECT 'pq_trained', vec_id FROM pq_t
+),
+h AS (
+  SELECT method, COUNT(*) AS hits FROM got
+  WHERE vec_id IN (SELECT vec_id FROM exact_k)
+  GROUP BY method
+)
+SELECT m.method, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(h.hits, 0) AS DOUBLE) / {TOPK} AS recall
+FROM (VALUES ('ann_lsh'), ('ivf'), ('ivf_trained'),
+             ('pq'), ('pq_trained')) m(method)
+LEFT JOIN h ON h.method = m.method
+"""
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "embedding_cosine_topk": q_embedding_cosine_topk,
@@ -1039,6 +1106,7 @@ QUERIES = {
     "knn_join": q_knn_join,
     "embedding_pq_topk": q_embedding_pq_topk,
     "embedding_pq_trained_topk": q_embedding_pq_trained_topk,
+    "ann_recall": q_ann_recall,
 }
 
 ORACLES = {
@@ -1052,4 +1120,5 @@ ORACLES = {
     "knn_join": ORACLE_KNN_JOIN,
     "embedding_pq_topk": ORACLE_EMBEDDING_PQ_TOPK,
     "embedding_pq_trained_topk": ORACLE_EMBEDDING_PQ_TRAINED_TOPK,
+    "ann_recall": ORACLE_ANN_RECALL,
 }

@@ -72,6 +72,7 @@ _DEFERRED_R13 = [
     "multimodal_features", "multimodal_frames",
     "multimodal_resize", "personalized_pagerank", "pii_scrub",
     "pregel_max_prop", "promo_revenue", "quality_score", "reachability",
+    "running_revenue",
     "sales_opportunity", "scalar_functions",
     "segment_distinct_customers", "set_ops",
     "shortest_path_hops", "small_qty_revenue", "store_triangle_all",
@@ -150,6 +151,10 @@ _CHECK_FIRST = [
     # and the maintenance/schema/time-travel SQL grammar split into
     # its own oracle-checked id incl. VERSION AS OF (items 5+6) --
     "embedding_pq_trained_topk", "store_sql_maintenance",
+    # (and the recall-report id: recall@k of all five ANN paths vs
+    # brute force, itself value-checked — the index family's quality
+    # metric measured, not claimed)
+    "ann_recall",
     # -- MODIFIED this round: store_sql_dml ceded ALTER TABLE + the
     # declared-property UPDATE to the maintenance id (its statement
     # list changed, so its r12 row predates the split) --
@@ -158,7 +163,6 @@ _CHECK_FIRST = [
     # would otherwise head next round's deferral) --
     "shipping_priority", "customers_without_orders",
     "order_priority_rollup", "returns_cube", "top_orders_per_customer",
-    "running_revenue",
 ]
 # (the remaining r11-window ids are _DEFERRED_R13 above — their r11
 # rows stay within the three-window horizon; round 14 fronts them.)

@@ -339,3 +339,17 @@ def test_pq_trained_full_rerank_equals_brute_force(spark, sf_dir):
     want = [(r["vec_id"], r["cos_sim"]) for r in
             similarity.q_embedding_cosine_topk(spark, sf_dir).collect()]
     assert got == want
+
+
+def test_ann_recall_parity_and_sanity(spark, sf_dir):
+    from tests.parity import assert_parity
+    assert_parity(similarity.q_ann_recall(spark, sf_dir),
+                  similarity.ORACLE_ANN_RECALL, sf_dir)
+    rows = {r["method"]: r["recall"]
+            for r in similarity.q_ann_recall(spark, sf_dir).collect()}
+    assert set(rows) == {"ann_lsh", "ivf", "ivf_trained", "pq",
+                         "pq_trained"}
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
+    # the exact-re-rank PQ paths can only miss via the ADC cut; at the
+    # fixture's rerank depth they must stay strong
+    assert rows["pq"] >= 0.5 and rows["pq_trained"] >= 0.5
