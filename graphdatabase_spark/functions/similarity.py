@@ -357,6 +357,20 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str,
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOPK)
 
 
+def _recenter_cells(cells: DataFrame) -> DataFrame:
+    """One IVF Lloyd step from an ASSIGNED frame ``(cell, v, …)``:
+    per-(cell, dim) floor-mean of the members' quantized components,
+    reassembled into ``(cell, cv)`` centroid vectors."""
+    ex = cells.select("cell", F.posexplode("v").alias("dim", "cq"))
+    comp = (ex.groupBy("cell", "dim")
+            .agg(F.floor(F.sum("cq").cast("double")
+                         / F.count(F.lit(1))).cast("long").alias("c")))
+    return (comp.groupBy("cell")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x["c"]).alias("cv")))
+
+
 def trained_centroids(spark: SparkSession, sf_dir: str,
                       n_cells: int = IVF_CELLS) -> DataFrame:
     """``(cell, cv)`` after ONE Lloyd step over the seed assignment:
@@ -368,15 +382,30 @@ def trained_centroids(spark: SparkSession, sf_dir: str,
     vector assigns to itself at distance 0), so the trained codebook
     is always complete. Output is cells × 1 rows — broadcast-sized at
     any N (cells ≈ sqrt(N) ≪ broadcast threshold up to N ~ 1e9+)."""
-    cells = cached_ivf_cells(spark, sf_dir, n_cells)
-    ex = cells.select("cell", F.posexplode("v").alias("dim", "cq"))
-    comp = (ex.groupBy("cell", "dim")
-            .agg(F.floor(F.sum("cq").cast("double")
-                         / F.count(F.lit(1))).cast("long").alias("c")))
-    return (comp.groupBy("cell")
-            .agg(F.transform(
-                F.sort_array(F.collect_list(F.struct("dim", "c"))),
-                lambda x: x["c"]).alias("cv")))
+    return _recenter_cells(cached_ivf_cells(spark, sf_dir, n_cells))
+
+
+def train_centroids(spark: SparkSession, sf_dir: str,
+                    n_cells: int = IVF_CELLS, steps: int = 1) -> DataFrame:
+    """The FULL k-means training loop: ``steps`` Lloyd iterations
+    (assign → floor-mean recenter), the until-churn-is-low production
+    form of the single-step ``ivf_recenter``/:func:`trained_centroids`
+    pattern. Step 1 reuses the session-shared seed assignment; each
+    further step re-assigns every vector against the previous
+    centroids (one broadcast join + one agg per step — the
+    k-means-on-MapReduce shape, N-independent output). Distortion is
+    monotone non-increasing in ``steps`` up to the ±1 floor
+    quantization of centroid components (unit-pinned)."""
+    if steps < 1:
+        raise ValueError(f"train_centroids: steps must be >= 1, got {steps}")
+    tc = trained_centroids(spark, sf_dir, n_cells)
+    if steps == 1:
+        return tc
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
+    for _ in range(steps - 1):
+        tc = _recenter_cells(_cell_assign(quant, tc, 1))
+    return tc
 
 
 def cached_ivf_cells_trained(spark: SparkSession, sf_dir: str,
@@ -894,18 +923,10 @@ LIMIT {TOPK}
 
 # --- embedding_pq_trained_topk (PQ serving over TRAINED codebooks) -----------
 
-def trained_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``(m, code, csub)`` after ONE Lloyd step per subspace — the
-    ``pq_recenter`` training output (pipeline.py: per-(m, code, dim)
-    floor-mean of the members' quantized subvector components)
-    reassembled into codebook subvectors, the PQ twin of
-    :func:`trained_centroids`. Exact int64 end-to-end (|sum| ≪ 2^53,
-    so the double floor-division is exact) ⇒ the trained codebooks
-    stay SQL-oracle-checkable. Every (m, code) keeps ≥ 1 member (each
-    seed vector encodes to itself per subspace at distance 0), so the
-    trained codebooks are complete — PQ_M × PQ_CODES rows, broadcast-
-    sized at any N."""
-    pq = cached_pq_codes(spark, sf_dir)
+def _recenter_pq_cb(pq: DataFrame) -> DataFrame:
+    """One PQ Lloyd step from an ENCODED frame ``(vec_id, v, codes)``:
+    per-(m, code, dim) floor-mean of the members' quantized subvector
+    components, reassembled into ``(m, code, csub)`` codebooks."""
     ex = (pq.select("codes", F.posexplode(
               F.expr(_SUBSLICES_EXPR)).alias("m", "sub"))
           .select("m",
@@ -919,6 +940,43 @@ def trained_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.transform(
                 F.sort_array(F.collect_list(F.struct("dim", "c"))),
                 lambda x: x["c"]).alias("csub")))
+
+
+def trained_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(m, code, csub)`` after ONE Lloyd step per subspace — the
+    ``pq_recenter`` training output (pipeline.py: per-(m, code, dim)
+    floor-mean of the members' quantized subvector components)
+    reassembled into codebook subvectors, the PQ twin of
+    :func:`trained_centroids`. Exact int64 end-to-end (|sum| ≪ 2^53,
+    so the double floor-division is exact) ⇒ the trained codebooks
+    stay SQL-oracle-checkable. Every (m, code) keeps ≥ 1 member (each
+    seed vector encodes to itself per subspace at distance 0), so the
+    trained codebooks are complete — PQ_M × PQ_CODES rows, broadcast-
+    sized at any N."""
+    return _recenter_pq_cb(cached_pq_codes(spark, sf_dir))
+
+
+def train_pq_codebook(spark: SparkSession, sf_dir: str,
+                      steps: int = 1) -> DataFrame:
+    """The FULL per-subspace k-means loop: ``steps`` Lloyd iterations
+    (encode → floor-mean recenter), the until-churn-is-low production
+    form of the single-step ``pq_recenter``/:func:`trained_pq_codebook`
+    pattern. Step 1 reuses the session-shared seed encoding; each
+    further step re-encodes every subvector against the previous
+    codebooks (one broadcast codebook join + two aggs per step).
+    Total ADC quantization error is monotone non-increasing in
+    ``steps`` up to the ±1 floor quantization of centroid components
+    (unit-pinned)."""
+    if steps < 1:
+        raise ValueError(f"train_pq_codebook: steps must be >= 1, "
+                         f"got {steps}")
+    cb = trained_pq_codebook(spark, sf_dir)
+    if steps == 1:
+        return cb
+    quant, subs, _ = _pq_sub_frames(spark, sf_dir)
+    for _ in range(steps - 1):
+        cb = _recenter_pq_cb(_pq_encode(quant, subs, cb))
+    return cb
 
 
 def cached_pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:

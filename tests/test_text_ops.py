@@ -353,3 +353,41 @@ def test_ann_recall_parity_and_sanity(spark, sf_dir):
     # the exact-re-rank PQ paths can only miss via the ADC cut; at the
     # fixture's rerank depth they must stay strong
     assert rows["pq"] >= 0.5 and rows["pq_trained"] >= 0.5
+
+
+def test_multi_step_training_monotone(spark, sf_dir):
+    """train_pq_codebook(steps=N) / train_centroids(steps=N): the full
+    Lloyd loop's error is monotone non-increasing in steps (k-means
+    descent, surviving the floor-quantized centroid components), and
+    steps=1 is exactly the single-step trained output."""
+    from pyspark.sql import functions as F
+
+    from graphdatabase_spark.sources.tables import load_table
+
+    cb1 = similarity.train_pq_codebook(spark, sf_dir, steps=1)
+    cb2 = similarity.train_pq_codebook(spark, sf_dir, steps=2)
+    e1 = _pq_total_quant_error(spark, sf_dir, cb1)
+    e2 = _pq_total_quant_error(spark, sf_dir, cb2)
+    assert e2 <= e1, (e2, e1)
+    # steps=1 == trained_pq_codebook exactly
+    a = {(r["m"], r["code"]): list(r["csub"]) for r in cb1.collect()}
+    b = {(r["m"], r["code"]): list(r["csub"])
+         for r in similarity.trained_pq_codebook(spark, sf_dir).collect()}
+    assert a == b
+
+    def ivf_distortion(cents):
+        emb = load_table(spark, sf_dir, "embeddings")
+        quant = emb.select(
+            "vec_id", similarity.quantized(F.col("embedding")).alias("v"))
+        d2 = (similarity._norm_sq(F.col("v"))
+              - F.lit(2) * similarity._dot(F.col("cv"), F.col("v"))
+              + similarity._norm_sq(F.col("cv")))
+        return (quant.crossJoin(F.broadcast(cents))
+                .groupBy("vec_id").agg(F.min(d2).alias("d2"))
+                .agg(F.sum("d2")).collect()[0][0])
+
+    t1 = similarity.train_centroids(spark, sf_dir, steps=1)
+    t2 = similarity.train_centroids(spark, sf_dir, steps=2)
+    assert ivf_distortion(t2) <= ivf_distortion(t1)
+    with pytest.raises(ValueError):
+        similarity.train_pq_codebook(spark, sf_dir, steps=0)
