@@ -612,3 +612,75 @@ def test_compact_policy_caps_append_chains(spark, tmp_path):
         [("S", 1, 99, 1)], "graph string, src int, dst int, w int"),
         txn_app="sink", txn_version=3)
     assert eng.snapshot().edges("S").count() == 8
+
+
+def test_mor_chain_semantics_match_reference_model(spark, tmp_path):
+    """Model-based check of the chain-order merge-on-read semantics:
+    seeded random sequences of append / delta-upsert / delta-delete /
+    compact against a tiny key space, read-back compared after every
+    op to a pure-Python reference model implementing the documented
+    rule — per key, the LATEST delta replaces all base rows at lower
+    chain positions (w=0 marker deletes), base rows after it survive,
+    no-delta keys keep multiset append semantics, compact materializes
+    the merged view."""
+    import random
+
+    KEYS = [(1, 2), (1, 3), (2, 3)]
+
+    def model_read(chain):
+        # chain: list of (kind, payload); base payload = [(key, w)]
+        # multiset, delta/delete payload = {key: w}
+        out = []
+        for key in KEYS:
+            dp = dw = None
+            for pos, (kind, rows) in enumerate(chain):
+                if kind in ("delta", "delete") and key in rows:
+                    dp = pos
+                    dw = 0 if kind == "delete" else rows[key]
+            for pos, (kind, rows) in enumerate(chain):
+                if kind == "base" and (dp is None or pos > dp):
+                    out.extend((*key, w) for (k, w) in rows if k == key)
+            if dp is not None and dw != 0:
+                out.append((*key, dw))
+        return sorted(out)
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        eng = GraphEngine(spark, str(tmp_path / f"m{seed}"))
+        chain = []
+        for step in range(7):
+            op = rng.choice(["base", "base", "delta", "delete", "compact"])
+            if op == "compact":
+                eng.compact()
+                if chain:
+                    chain = [("base",
+                              [((s, d), w)
+                               for (s, d, w) in model_read(chain)])]
+            elif op == "delete" and not chain:
+                continue            # delete on an unknown graph no-ops
+            else:
+                ks = rng.sample(KEYS, rng.randint(1, len(KEYS)))
+                w = step + 1
+                if op == "base":
+                    eng.append_edges(spark.createDataFrame(
+                        [("G", s, d, w) for (s, d) in ks],
+                        "graph string, src int, dst int, w int"))
+                    chain.append(("base", [((s, d), w) for (s, d) in ks]))
+                elif op == "delta":
+                    eng.merge_edges(spark.createDataFrame(
+                        [("G", s, d, w) for (s, d) in ks],
+                        "graph string, src int, dst int, w int"),
+                        mode="delta")
+                    chain.append(("delta", {k: w for k in ks}))
+                else:
+                    eng.merge_edges(spark.createDataFrame(
+                        [("G", s, d) for (s, d) in ks],
+                        "graph string, src int, dst int"),
+                        delete=True, mode="delta")
+                    chain.append(("delete", {k: 0 for k in ks}))
+            got = sorted((r["src"], r["dst"], r["w"]) for r in
+                         eng.snapshot().weighted_edges("G").collect()) \
+                if chain else []
+            assert got == model_read(chain), \
+                f"seed {seed} step {step} op {op}: " \
+                f"{got} != {model_read(chain)}"
