@@ -1194,8 +1194,11 @@ class GraphEngine:
                 body["props"] = props_doc
             return _carry_vdeltas(prev, body)
 
-        self.manifests.commit(update)
-        self._auto_compact(touched)
+        # gate compaction on the publish actually landing (mirrors
+        # append_edges): commit() returning None means nothing was
+        # published, and compacting then would be work on a no-op
+        if self.manifests.commit(update) is not None:
+            self._auto_compact(touched)
         return frozenset(touched), frozenset()
 
     def _set_vertex_props_delta(self, snap: GraphSnapshot,
@@ -1242,8 +1245,11 @@ class GraphEngine:
                 body["props"] = props_doc
             return _carry_vdeltas(prev, body)
 
-        self.manifests.commit(update)
-        self._auto_compact(touched)
+        # gate compaction on the publish actually landing (mirrors
+        # append_edges): commit() returning None means nothing was
+        # published, and compacting then would be work on a no-op
+        if self.manifests.commit(update) is not None:
+            self._auto_compact(touched)
         return frozenset(touched), frozenset()
 
     def declare_prop(self, table: str, name: str, ddl_type: str) -> bool:
@@ -1697,13 +1703,30 @@ class GraphEngine:
         rule: a timestamp earlier than the oldest retained commit
         raises instead of silently pinning something newer). Manifests
         predating timestamp stamping are skipped (their publish time
-        is unknown)."""
+        is unknown). Same IO shape as :meth:`history` — one blob get
+        per retained seq — so the gets fan out on the same driver
+        thread pool (remote stores pay latency × history depth if
+        serial, and every SQL TIMESTAMP AS OF occurrence lands here);
+        no early stop because clock skew across writers makes
+        ts-ordering advisory (seq is the total order, ts is not
+        guaranteed monotone in it)."""
         import json
+        from concurrent.futures import ThreadPoolExecutor
 
+        names = self.manifests.names()
+
+        def fetch(item):
+            seq, name = item
+            return seq, json.loads(
+                self.manifests.store.get(name)).get("ts")
+
+        if len(names) > 1:
+            with ThreadPoolExecutor(max_workers=min(16, len(names))) as ex:
+                stamped = list(ex.map(fetch, names))
+        else:
+            stamped = [fetch(i) for i in names]
         best = None
-        for seq, name in self.manifests.names():
-            doc = json.loads(self.manifests.store.get(name))
-            mts = doc.get("ts")
+        for seq, mts in stamped:
             if mts is not None and mts <= ts and \
                     (best is None or seq > best):
                 best = seq

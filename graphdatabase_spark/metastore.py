@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import abc
 import json
+import math
 import os
 import re
 import threading
@@ -498,7 +499,11 @@ class ManifestLog:
             # prev): what DESCRIBE HISTORY shows and TIMESTAMP AS OF
             # time travel resolves against. Clock skew across writers
             # makes ts-ordering advisory; seq stays the total order.
-            body = {**body, "ts": round(time.time(), 3)}
+            # Truncated, not rounded, to the millisecond: round() can
+            # round UP, making the stored ts postdate the publish
+            # instant, so seq_at(t) with t sampled right after the
+            # commit could miss it.
+            body = {**body, "ts": math.floor(time.time() * 1000) / 1000}
             doc = self._encode(prev, seq, body)
             data = json.dumps(doc).encode()
             if self.store.put_if_absent(manifest_name(seq), data):

@@ -66,6 +66,7 @@ failing loudly beats silently writing the wrong rows. ``SELECT`` /
 from __future__ import annotations
 
 import re
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -121,7 +122,8 @@ def _parse_ts_literal(lit: str) -> float:
     return float(lit)
 
 
-def _bind_time_travel(engine, stmt: str, prefix: str) -> str:
+def _bind_time_travel(engine, stmt: str, prefix: str
+                      ) -> tuple[str, list[str]]:
     """Delta's ``<table> VERSION AS OF <seq>`` / ``<table> TIMESTAMP
     AS OF <ts>`` spellings for the store views (round-12 verdict item
     5 — the SQL-only user could maintain the store but not query the
@@ -139,12 +141,21 @@ def _bind_time_travel(engine, stmt: str, prefix: str) -> str:
     thin-grammar caveat as the statement heads: the pattern is matched
     textually, so the (pathological) string literal containing
     ``<prefix>_edges VERSION AS OF 3`` would be rewritten too — keep
-    version clauses out of literals."""
+    version clauses out of literals. Returns the rewritten statement
+    plus the bound view names: the views exist only to let ONE
+    ``spark.sql`` call resolve (analysis is eager, so the returned
+    DataFrame keeps the analyzed plan) — the caller drops them right
+    after, so repeated historical queries don't accumulate catalog
+    entries and no stale view outlives a vacuumed seq. Names carry a
+    per-call nonce so concurrent historical queries in one session
+    can't drop each other's bindings."""
+    nonce = uuid.uuid4().hex[:6]
     pat = re.compile(
         rf"(?is)\b{re.escape(prefix)}_(edges|vertices|meta)"
         rf"\s+(?:VERSION\s+AS\s+OF\s+(\d+)"
         rf"|TIMESTAMP\s+AS\s+OF\s+{_TS_OPERAND})")
     snaps: dict[int, object] = {}
+    views: list[str] = []
 
     def bind(m: re.Match) -> str:
         table = m.group(1).lower()
@@ -152,7 +163,7 @@ def _bind_time_travel(engine, stmt: str, prefix: str) -> str:
             seq = int(m.group(2))
         else:
             seq = engine.seq_at(_parse_ts_literal(m.group(3)))
-        view = f"{prefix}_{table}_v{seq}"
+        view = f"{prefix}_{table}_v{seq}_{nonce}"
         snap = snaps.get(seq)
         if snap is None:
             snap = snaps[seq] = engine.snapshot(seq)
@@ -160,9 +171,10 @@ def _bind_time_travel(engine, stmt: str, prefix: str) -> str:
               else snap.vertices(props=True) if table == "vertices"
               else snap.meta())
         df.createOrReplaceTempView(view)
+        views.append(view)
         return view
 
-    return pat.sub(bind, stmt)
+    return pat.sub(bind, stmt), views
 
 
 def _strip_alias(rest: str) -> tuple[str | None, str]:
@@ -255,9 +267,16 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
     edges_p = re.escape(edges_t)
 
     if re.match(r"(?is)^(SELECT|WITH)\b", stmt):
-        stmt = _bind_time_travel(engine, stmt, prefix)
+        stmt, tt_views = _bind_time_travel(engine, stmt, prefix)
         engine.create_views(prefix)
-        return spark.sql(stmt)
+        try:
+            return spark.sql(stmt)
+        finally:
+            # sql() analyzed eagerly, so the returned DataFrame no
+            # longer needs the catalog entries (advice: don't leak one
+            # temp view per historical query into the session catalog)
+            for v in tt_views:
+                spark.catalog.dropTempView(v)
 
     m = re.match(rf"(?is)^INSERT\s+INTO\s+{edges_p}\s+(.*)$", stmt)
     if m:
