@@ -39,68 +39,44 @@ _MODULES = [relational, graph_queries, text, dedup, similarity, streamops, multi
 # i.e. ids whose first driver row is still pending — are fronted in
 # ``_CHECK_FIRST``.  When rotating for round N+1: copy ``_CHECK_FIRST``
 # into ``_PREV_WINDOW`` first.
-# Round-13 window: the round-12 deferral (the 40 ids below, fronted
-# FIRST — their r10 rows hit the three-window horizon, the one
-# mechanical MUST of the round-12 verdict), then the ids MODIFIED
-# this round (``store_merge_edges_mor``: the merge-on-read edge read
-# became chain-ORDER-aware — a delta now only overrides commits
-# earlier in the chain, so its r12 row predates the semantics fix),
-# then oldest-r11-window fillers for the remaining slots.  With >100
-# registered ids and a fixed 50-row driver window a two-window cover
-# stays arithmetically impossible (2 × 50 < N): the ids squeezed out
-# (``_DEFERRED_R13`` below — r11 greens) keep their r11 row until
-# round 14, where they MUST be fronted.
+# Round-14 window: the round-13 deferral (the 43 ids below, fronted
+# FIRST — their r11 rows hit the three-window horizon, the one
+# mechanical MUST of the round-13 verdict), then the ids NEW or
+# MODIFIED this round, then oldest-r12-window fillers for the
+# remaining slots.  With >100 registered ids and a fixed 50-row
+# driver window a two-window cover stays arithmetically impossible
+# (2 × 50 < N): the ids squeezed out (``_DEFERRED_R14`` below — r12
+# greens) keep their r12 row until round 15, where they MUST be
+# fronted.
 # tests/test_registry.py enforces the three-window cover and that
 # deferral beyond two rounds happens only because the registry
 # outgrew two windows — never silently.  Local full-registry parity
 # evidence stays per-round in PARITY_LOCAL.json
 # (tools/harness_replica.py).
-_DEFERRED_R13 = [
-    # r11-window ids squeezed out of the round-13 window (the 50-slot
-    # driver window must front the 40 _DEFERRED_R12 ids whose r10 rows
+_DEFERRED_R14 = [
+    # r12-window ids squeezed out of the round-14 window (the 50-slot
+    # driver window must front the 43 _DEFERRED_R13 ids whose r11 rows
     # hit the three-window horizon, plus this round's new/modified
-    # ids; >130 ids > 2 x 50 slots). Their latest driver row is r11,
+    # ids; 144 ids > 2 x 50 slots). Their latest driver row is r12,
     # inside the three-window horizon, and tests/test_registry.py
-    # keeps this list explicit. Round 14 MUST front these.
-    "chunk_dedup", "clustering_coefficient", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_near_guarded", "dedup_simhash",
-    "dfs_leaves", "dfs_leaves_tree", "disjunctive_revenue",
-    "doc_fingerprint", "domain_mix", "embedding_cosine_topk",
-    "embedding_pq_topk", "events_quantiles_approx", "file_search",
-    "graph_degree", "label_propagation", "lang_id",
-    "large_volume_customers", "local_supplier_volume",
-    "multimodal_features", "multimodal_frames",
-    "multimodal_resize", "personalized_pagerank", "pii_scrub",
-    "pregel_max_prop", "promo_revenue", "quality_score", "reachability",
-    "running_revenue",
-    "sales_opportunity", "scalar_functions",
-    "segment_distinct_customers", "set_ops",
-    "shortest_path_hops", "small_qty_revenue", "store_triangle_all",
-    "summary_stats", "text_stats", "token_count",
-    "top_expensive_orders", "top_supplier", "wordcount_docs",
+    # keeps this list explicit. Round 15 MUST front these.
+    "asof_join_events", "asof_join_events_salted", "bfs_levels",
+    "corpus_funnel", "dedup_clusters", "dedup_embedding", "dedup_near",
+    "embedding_ivf_trained_topk", "events_gap_fill", "events_quantiles",
+    "events_stream_dedup", "events_stream_join", "graph_ingest_matrix",
+    "hybrid_search_rrf", "ivf_recenter", "kcore", "motif_find",
+    "multimodal_meta", "pagerank", "pq_recenter", "pricing_summary",
+    "revenue_by_nation", "scc", "shortest_paths_landmarks",
+    "similarity_topk", "sql_recursive_reachability", "sssp_weighted",
+    "store_bfs_all", "store_cc_all", "store_clustering_all",
+    "store_kcore_all", "store_label_propagation_all", "store_merge_edges",
+    "store_pagerank_all", "store_props_mor", "store_scc_all",
+    "store_snapshot_diff", "store_sql_degree", "store_sssp_all",
+    "store_stats", "store_stream_ingest", "triangle_count",
+    "window_showcase",
 ]
 
 _PREV_WINDOW2 = [
-    # round-11 window (CORRECTNESS_r11.json's 50 rows, in order)
-    "shipping_priority", "customers_without_orders",
-    "order_priority_rollup", "returns_cube", "top_orders_per_customer",
-    "running_revenue", "segment_distinct_customers",
-    "local_supplier_volume", "promo_revenue", "top_supplier",
-    "large_volume_customers", "sales_opportunity", "personalized_pagerank",
-    "label_propagation", "graph_degree", "reachability",
-    "shortest_path_hops", "clustering_coefficient", "dfs_leaves_tree",
-    "dfs_leaves", "dedup_near_guarded", "embedding_cosine_topk",
-    "events_quantiles_approx", "chunk_dedup", "domain_mix",
-    "multimodal_features", "multimodal_frames", "multimodal_resize",
-    "store_sql_dml", "pregel_max_prop", "embedding_pq_topk",
-    "events_gap_fill", "store_triangle_all", "scalar_functions", "set_ops",
-    "summary_stats", "top_expensive_orders", "small_qty_revenue",
-    "disjunctive_revenue", "text_stats", "token_count", "file_search",
-    "wordcount_docs", "lang_id", "quality_score", "doc_fingerprint",
-    "dedup_exact", "dedup_simhash", "pii_scrub", "dedup_minhash_lsh",
-]
-
-_PREV_WINDOW = [
     # round-12 window (CORRECTNESS_r12.json's 50 rows, in order)
     "running_user_stats", "search_bm25", "semdedup_ivf", "knn_join",
     "connected_components", "dedup_clusters", "corpus_funnel",
@@ -111,61 +87,61 @@ _PREV_WINDOW = [
     "asof_join_events_salted", "hybrid_search_rrf",
     "sql_recursive_reachability", "multimodal_meta", "events_stream_dedup",
     "events_stream_join", "bfs_levels", "pagerank", "kcore",
-    "triangle_count", "similarity_topk",
-    "pq_recenter", "store_kcore_all", "store_label_propagation_all",
-    "store_clustering_all", "embedding_ivf_trained_topk",
-    "store_props_mor", "store_merge_edges_mor",
-    "store_sql_dml", "events_gap_fill",
-    "sssp_weighted", "window_showcase", "pricing_summary",
-    "revenue_by_nation", "asof_join_events", "events_quantiles", "scc",
-    "graph_ingest_matrix",
+    "triangle_count", "similarity_topk", "pq_recenter", "store_kcore_all",
+    "store_label_propagation_all", "store_clustering_all",
+    "embedding_ivf_trained_topk", "store_props_mor", "store_merge_edges_mor",
+    "store_sql_dml", "events_gap_fill", "sssp_weighted", "window_showcase",
+    "pricing_summary", "revenue_by_nation", "asof_join_events",
+    "events_quantiles", "scc", "graph_ingest_matrix",
     "shortest_paths_landmarks",
 ]
 
-_CHECK_FIRST = [
-    # -- the round-12 deferral (40 ids, r10 rows at the three-round
-    # horizon): MUST front per the rotation invariant --
-    "contamination_check", "corpus_histogram", "corpus_prep",
-    "bfs_expr", "customer_distribution", "embedding_ann_lsh",
-    "embedding_ivf_topk", "events_anomaly", "events_enriched",
-    "events_funnel", "events_retention", "events_rollup_daily",
-    "events_sessionization", "events_sliding_avg", "events_trending",
-    "events_tumbling_counts", "excess_stock_suppliers", "graph_stats",
-    "important_parts", "market_share", "min_cost_supplier",
-    "motif_weighted",
-    "parts_supplier_counts", "pivot_returns", "product_profit",
-    "quality_repetition", "range_join_events", "returned_item_revenue",
-    "salted_join_orders", "sample_split",
+_PREV_WINDOW = [
+    # round-13 window (CORRECTNESS_r13.json's 50 rows, in order)
+    "contamination_check", "corpus_histogram", "corpus_prep", "bfs_expr",
+    "customer_distribution", "embedding_ann_lsh", "embedding_ivf_topk",
+    "events_anomaly", "events_enriched", "events_funnel", "events_retention",
+    "events_rollup_daily", "events_sessionization", "events_sliding_avg",
+    "events_trending", "events_tumbling_counts", "excess_stock_suppliers",
+    "graph_stats", "important_parts", "market_share", "min_cost_supplier",
+    "motif_weighted", "parts_supplier_counts", "pivot_returns",
+    "product_profit", "quality_repetition", "range_join_events",
+    "returned_item_revenue", "salted_join_orders", "sample_split",
     "segment_distinct_customers_approx", "sequence_pack",
     "shipmode_priority", "sql_forecast_revenue", "sql_grouping_sets",
     "tfidf_top_terms", "top_ngrams", "vertex_jaccard", "volume_shipping",
-    "waiting_suppliers",
-    # -- MODIFIED this round: the merge-on-read edge read became
-    # chain-ORDER-aware (a delta only overrides commits earlier in
-    # the chain — round-12 advice, high), so its r12 row predates the
-    # fix --
-    "store_merge_edges_mor",
-    # -- NEW this round: PQ served from the TRAINED codebooks (the
-    # pq_recenter Lloyd step looped into the serving index — the
-    # round-12 verdict's remaining train→serve asymmetry, item 2),
-    # and the maintenance/schema/time-travel SQL grammar split into
-    # its own oracle-checked id incl. VERSION AS OF (items 5+6) --
-    "embedding_pq_trained_topk", "store_sql_maintenance",
-    # (and the recall-report id: recall@k of all five ANN paths vs
-    # brute force, itself value-checked — the index family's quality
-    # metric measured, not claimed)
-    "ann_recall",
-    # -- MODIFIED this round: store_sql_dml ceded ALTER TABLE + the
-    # declared-property UPDATE to the maintenance id (its statement
-    # list changed, so its r12 row predates the split) --
-    "store_sql_dml",
-    # -- oldest r11-window fillers for the remaining slots (these
-    # would otherwise head next round's deferral) --
-    "shipping_priority", "customers_without_orders",
+    "waiting_suppliers", "store_merge_edges_mor",
+    "embedding_pq_trained_topk", "store_sql_maintenance", "ann_recall",
+    "store_sql_dml", "shipping_priority", "customers_without_orders",
     "order_priority_rollup", "returns_cube", "top_orders_per_customer",
 ]
-# (the remaining r11-window ids are _DEFERRED_R13 above — their r11
-# rows stay within the three-window horizon; round 14 fronts them.)
+
+_CHECK_FIRST = [
+    # -- the round-13 deferral (43 ids, r11 rows at the three-round
+    # horizon): MUST front per the rotation invariant --
+    "chunk_dedup", "clustering_coefficient", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_near_guarded", "dedup_simhash", "dfs_leaves",
+    "dfs_leaves_tree", "disjunctive_revenue", "doc_fingerprint",
+    "domain_mix", "embedding_cosine_topk", "embedding_pq_topk",
+    "events_quantiles_approx", "file_search", "graph_degree",
+    "label_propagation", "lang_id", "large_volume_customers",
+    "local_supplier_volume", "multimodal_features", "multimodal_frames",
+    "multimodal_resize", "personalized_pagerank", "pii_scrub",
+    "pregel_max_prop", "promo_revenue", "quality_score", "reachability",
+    "running_revenue", "sales_opportunity", "scalar_functions",
+    "segment_distinct_customers", "set_ops", "shortest_path_hops",
+    "small_qty_revenue", "store_triangle_all", "summary_stats", "text_stats",
+    "token_count", "top_expensive_orders", "top_supplier", "wordcount_docs",
+    # -- MODIFIED this round (round-14 slots; each swap below replaces
+    # an r12 filler as new ids land) --
+    "ann_recall", "store_sql_maintenance",
+    # -- oldest r12-window fillers for the remaining slots (these
+    # would otherwise head next round's deferral) --
+    "running_user_stats", "search_bm25", "semdedup_ivf", "knn_join",
+    "connected_components",
+]
+# (the remaining r12-window ids are _DEFERRED_R14 above — their r12
+# rows stay within the three-window horizon; round 15 fronts them.)
 
 # Query ids registered WITHOUT a DuckDB oracle (the driver records a
 # weaker rows-only check): approximate/sketch outputs whose exact values
