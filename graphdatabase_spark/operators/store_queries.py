@@ -124,6 +124,7 @@ def release_stores() -> int:
     _PROPS_STORE.clear()
     _MOR_STORE.clear()
     _EMOR_STORE.clear()
+    _ANN_STORE.clear()
     return n
 
 
@@ -1225,6 +1226,123 @@ def _oracle_store_lpa_all(rounds: int = 4) -> str:
 ORACLE_STORE_LPA_ALL = _oracle_store_lpa_all()
 
 
+# --- the stored ANN index: trained quantizer artifacts as committed,
+# --- versioned store tables (round-13 verdict item 2) ----------------------
+
+_ANN_STORE: dict[str, str] = {}
+
+
+def _ann_store_engine(spark: SparkSession, sf_dir: str):
+    """The committed-quantizer fixture store, built ONCE per (process,
+    sf_dir): the trained ANN artifacts written as versioned store
+    tables instead of living only in session caches — at 100 TB the
+    quantizer is a scheduled training job whose output is a committed
+    table the serving path READS (train-once / serve-many), and an
+    index rollback is ``RESTORE``, not a retrain. Three commits:
+
+    - seq 1: the SEED IVF codebook — graph ``ivf_codebook``, one
+      vertex per cell, prop ``cv`` = the quantized centroid vector
+      (cells × 1 rows, trivially small);
+    - seq 2: the TRAINED codebook (one Lloyd step,
+      :func:`similarity.trained_centroids`) upserted over the same
+      vids — the scheduled-retrain shape: history keeps the seed
+      codebook readable at ``VERSION AS OF 1``;
+    - seq 3: the TRAINED PQ codebooks
+      (:func:`similarity.trained_pq_codebook`) — graph
+      ``pq_codebook``, vid = m·PQ_CODES + code, prop ``csub``.
+
+    Both artifacts are broadcast-sized at ANY corpus size (cells ≈
+    √N and PQ_M × PQ_CODES rows), so the commits are metadata-cheap
+    while the store gives them what the session cache can't:
+    durability across sessions, time travel, and CAS-safe concurrent
+    publish."""
+    from graphdatabase_spark.engine import GraphEngine
+    from graphdatabase_spark.functions import similarity as sim
+
+    path = _ANN_STORE.get(sf_dir)
+    if path is None:
+        path = os.path.join(
+            _track_store(tempfile.mkdtemp(prefix="gdb_ann_store_")), "store")
+        eng = GraphEngine(spark, path, buckets=2)
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        seeds = (emb.filter(F.col("vec_id") < sim.IVF_CELLS)
+                 .select(F.lit("ivf_codebook").alias("graph"),
+                         F.col("vec_id").cast("int").alias("vid"),
+                         sim.quantized(F.col("embedding")).alias("cv")))
+        eng.set_vertex_props(seeds)                                 # seq 1
+        tc = sim.trained_centroids(spark, sf_dir)
+        eng.set_vertex_props(tc.select(
+            F.lit("ivf_codebook").alias("graph"),
+            F.col("cell").cast("int").alias("vid"), "cv"))          # seq 2
+        pcb = sim.trained_pq_codebook(spark, sf_dir)
+        eng.set_vertex_props(pcb.select(
+            F.lit("pq_codebook").alias("graph"),
+            (F.col("m") * sim.PQ_CODES + F.col("code"))
+            .cast("int").alias("vid"), "csub"))                     # seq 3
+        _ANN_STORE[sf_dir] = path
+        return eng
+    return GraphEngine(spark, path)
+
+
+def stored_ivf_codebook(spark: SparkSession, sf_dir: str,
+                        seq: int | None = None) -> DataFrame:
+    """``(cell, cv)`` read from the COMMITTED codebook table (graph
+    ``ivf_codebook`` of the ANN fixture store) at manifest ``seq`` —
+    the serve-time artifact read that replaces the training subplan:
+    one broadcast-sized store scan. ``seq=1`` is the seed codebook,
+    the latest is the trained one; a rollback is a ``RESTORE``."""
+    eng = _ann_store_engine(spark, sf_dir)
+    return (eng.snapshot(seq).vertices("ivf_codebook", props=True)
+            .select(F.col("vid").cast("long").alias("cell"),
+                    F.col("cv")))
+
+
+def q_embedding_ivf_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k served from the STORED codebook: identical probe
+    shape to ``embedding_ivf_trained_topk`` (similarity.py), but the
+    centroids are READ from the committed ``ivf_codebook`` store table
+    instead of recomputed — the train-once / serve-many production
+    shape (round-13 verdict item 2). The plan's training subplan is
+    replaced by one broadcast-sized snapshot read; everything
+    downstream (assign → probe → exact cosine) is unchanged exact
+    integer math, so the id is value-checked against the SAME oracle
+    as the trained path: the oracle recomputes the codebook
+    relationally, and a hash match proves the STORED artifact equals
+    the recomputation — storage round-trip correctness, not just row
+    counts. Stored-serve ≡ cache-serve and the VERSION AS OF 1
+    seed-codebook rollback are pinned by tests/test_store_ann.py."""
+    from graphdatabase_spark.cache import shared_persist
+    from graphdatabase_spark.functions import similarity as sim
+
+    cb = stored_ivf_codebook(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    quant = emb.select("vec_id", sim.quantized(F.col("embedding")).alias("v"))
+    quantn = quant.select("vec_id", "v",
+                          sim._norm_sq(F.col("v")).alias("nsq"))
+    n_part = spark.sparkContext.defaultParallelism
+    cells = shared_persist(
+        spark, ("ivf_cells_stored", sf_dir),
+        lambda: sim._cell_assign(quantn, cb, 1).repartition(n_part, "cell"))
+    qcells = (sim._cell_assign(
+                  quant.filter(F.col("vec_id") == sim.QUERY_VEC_ID),
+                  cb, sim.IVF_NPROBE)
+              .select(F.col("v").alias("qv"),
+                      sim._norm_sq(F.col("v")).alias("qnsq"),
+                      F.col("cell").alias("qcell")))
+    cands = (cells.filter(F.col("vec_id") != sim.QUERY_VEC_ID)
+             .join(F.broadcast(qcells), F.col("cell") == F.col("qcell")))
+    scored = cands.join(emb.select("vec_id", "label"), "vec_id").select(
+        "vec_id", "label", "cell",
+        (sim._dot(F.col("qv"), F.col("v")).cast("double")
+         / (F.sqrt(F.col("qnsq").cast("double"))
+            * F.sqrt(F.col("nsq").cast("double")))).alias("cos_sim"))
+    return (scored.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(sim.TOPK))
+
+
+from graphdatabase_spark.functions.similarity import \
+    ORACLE_TRAINED_IVF as _TRAINED_IVF_ORACLE_REF  # noqa: E402 (see ORACLES note)
+
 QUERIES = {
     "store_stats": q_store_stats,
     "store_bfs_all": q_store_bfs_all,
@@ -1249,6 +1367,7 @@ QUERIES = {
     "store_clustering_all": q_store_clustering_all,
     "store_props_mor": q_store_props_mor,
     "store_merge_edges_mor": q_store_merge_edges_mor,
+    "embedding_ivf_stored_topk": q_embedding_ivf_stored_topk,
 }
 
 ORACLES = {
@@ -1275,4 +1394,9 @@ ORACLES = {
     "store_clustering_all": ORACLE_STORE_CLUSTERING_ALL,
     "store_props_mor": ORACLE_STORE_PROPS_MOR,
     "store_merge_edges_mor": ORACLE_STORE_MERGE_EDGES_MOR,
+    # same oracle as the trained path ON PURPOSE: the oracle
+    # recomputes the codebook relationally while the Spark plan READS
+    # the committed artifact — a hash match proves the storage
+    # round-trip preserved the trained quantizer exactly
+    "embedding_ivf_stored_topk": _TRAINED_IVF_ORACLE_REF,
 }

@@ -61,7 +61,7 @@ _DEFERRED_R14 = [
     # inside the three-window horizon, and tests/test_registry.py
     # keeps this list explicit. Round 15 MUST front these.
     "asof_join_events", "asof_join_events_salted", "bfs_levels",
-    "corpus_funnel", "dedup_clusters", "dedup_embedding", "dedup_near",
+    "connected_components", "corpus_funnel", "dedup_clusters", "dedup_embedding", "dedup_near",
     "embedding_ivf_trained_topk", "events_gap_fill", "events_quantiles",
     "events_stream_dedup", "events_stream_join", "graph_ingest_matrix",
     "hybrid_search_rrf", "ivf_recenter", "kcore", "motif_find",
@@ -135,10 +135,15 @@ _CHECK_FIRST = [
     # -- MODIFIED this round (round-14 slots; each swap below replaces
     # an r12 filler as new ids land) --
     "ann_recall", "store_sql_maintenance",
+    # -- NEW this round: IVF top-k served from the COMMITTED codebook
+    # store table (trained quantizer as a versioned artifact — the
+    # train-once/serve-many production shape, round-13 verdict
+    # item 2) --
+    "embedding_ivf_stored_topk",
     # -- oldest r12-window fillers for the remaining slots (these
     # would otherwise head next round's deferral) --
-    "running_user_stats", "search_bm25", "semdedup_ivf", "knn_join",
-    "connected_components",
+    "running_user_stats", "search_bm25", "semdedup_ivf",
+    "knn_join",
 ]
 # (the remaining r12-window ids are _DEFERRED_R14 above — their r12
 # rows stay within the three-window horizon; round 15 fronts them.)
