@@ -347,12 +347,34 @@ def test_ann_recall_parity_and_sanity(spark, sf_dir):
                   similarity.ORACLE_ANN_RECALL, sf_dir)
     rows = {r["method"]: r["recall"]
             for r in similarity.q_ann_recall(spark, sf_dir).collect()}
-    assert set(rows) == {"ann_lsh", "ivf", "ivf_trained", "pq",
-                         "pq_trained"}
+    assert set(rows) == {"ann_lsh", "ivf", "ivf_trained", "ivf_trained2",
+                         "pq", "pq_trained", "pq_trained2"}
     assert all(0.0 <= v <= 1.0 for v in rows.values())
     # the exact-re-rank PQ paths can only miss via the ADC cut; at the
     # fixture's rerank depth they must stay strong
     assert rows["pq"] >= 0.5 and rows["pq_trained"] >= 0.5
+    # the measured training-depth facts (deterministic — exact int
+    # math end-to-end): the second Lloyd step RAISES IVF recall at
+    # fixture scale; PQ recall is NOT monotone in depth (distortion
+    # is, recall isn't — the tighter codebook reshapes the ADC
+    # candidate cut)
+    assert rows["ivf_trained2"] >= rows["ivf_trained"]
+
+
+def test_steps_serving_matches_trained_at_steps_one(spark, sf_dir):
+    """The multi-step serving paths at steps=1 are EXACTLY the
+    single-step trained paths — the depth knob deepens the same
+    pipeline, it doesn't fork a second one."""
+    a = [tuple(r) for r in similarity.q_embedding_ivf_steps_topk(
+        spark, sf_dir, steps=1).collect()]
+    b = [tuple(r) for r in similarity.q_embedding_ivf_trained_topk(
+        spark, sf_dir).collect()]
+    assert a == b
+    c = [tuple(r) for r in similarity.q_embedding_pq_steps_topk(
+        spark, sf_dir, steps=1).collect()]
+    d = [tuple(r) for r in similarity.q_embedding_pq_trained_topk(
+        spark, sf_dir).collect()]
+    assert c == d
 
 
 def test_multi_step_training_monotone(spark, sf_dir):
