@@ -173,14 +173,18 @@ def _canon_props(df: DataFrame, props: dict[str, str], declared: dict,
     return df, out
 
 
-def _merge_props(declared: dict, batch: dict, op: str) -> dict:
+def _merge_props(declared: dict, batch: dict, op: str,
+                 blocked: set[str] | frozenset[str] = frozenset()) -> dict:
     """Store-wide property schema after a write: new names EXTEND it
     (schema evolution — commits written before a column existed read
     as NULL through the explicit-schema scan, the same backfill rule
     as the legacy-``w`` migration), known names must keep their type
     (reads resolve parquet columns by name under ONE schema across
     commits, so a per-write type flip would corrupt older commits'
-    values instead of failing)."""
+    values instead of failing). ``blocked`` is the table's
+    :func:`_blocked_physicals` set: a NEW name landing on a retired
+    physical column would silently read that column's stale values
+    from old data files — refuse loudly instead."""
     out = dict(declared)
     low = {n.lower(): n for n in out}
     for name, typ in batch.items():
@@ -195,6 +199,12 @@ def _merge_props(declared: dict, batch: dict, op: str) -> dict:
                 f"{op}: property column {canon!r} is declared {old} in "
                 f"the store but this batch carries {typ}; property "
                 f"types are store-wide — cast the batch")
+        if old is None and canon in blocked:
+            raise ValueError(
+                f"{op}: property name {canon!r} belongs to a DROPPED or "
+                f"RENAMED-away column whose values still sit in old "
+                f"data files; re-declaring it would resurrect them — "
+                f"pick a different name")
         out[canon] = typ
         low[canon.lower()] = canon
     return out
@@ -210,12 +220,36 @@ def _carry_vdeltas(prev: dict | None, body: dict) -> dict:
     resurface, delete markers become w=0 junk). Stale ids (deltas no
     longer referenced by any chain after a COW flip or compaction) are
     harmless — the sets only classify commit ids that DO appear in
-    chains; compact() prunes them."""
-    for k in ("vdeltas", "edeltas"):
+    chains; compact() prunes them.
+
+    Also carries the COLUMN-MAPPING documents — ``colmap``
+    ({table: {logical: physical}}, written by RENAME COLUMN) and
+    ``ptomb`` ({table: [tombstoned physical, ...]}, written by DROP
+    COLUMN) — under the same rule: losing colmap would make every
+    post-rename read scan the logical name (absent from the data
+    files → silent NULLs), losing ptomb would let a dropped column's
+    stale values resurrect under a re-declared name."""
+    for k in ("vdeltas", "edeltas", "colmap", "ptomb"):
         v = (prev or {}).get(k)
         if v and k not in body:
             body[k] = v
     return body
+
+
+def _blocked_physicals(manifest: dict | None, table: str) -> set[str]:
+    """Physical column names a NEW logical property may not claim:
+    tombstones of DROPPED columns (their stale values still sit in
+    old data files and would silently resurrect under a re-declared
+    logical of the same name) plus physicals serving a RENAMED
+    logical (a new logical of the old spelling would read the renamed
+    column's values). Enforced loudly at declaration time — the
+    stricter-than-Delta convention this store chooses over UUID
+    physical names: re-using a retired column name requires a
+    different name (or a full-store rewrite)."""
+    m = manifest or {}
+    tomb = set(m.get("ptomb", {}).get(table, []))
+    cmap = m.get("colmap", {}).get(table, {})
+    return tomb | {p for l, p in cmap.items() if p != l}
 
 
 def _cids(ptr) -> list[str]:
@@ -278,12 +312,32 @@ class GraphSnapshot:
         store the partition column is ``gb`` (crc32(graph) % buckets)
         and graph is a plain data column; the gb column is kept through
         the caller's filters (so partition pruning applies) and dropped
-        by the caller's final select."""
+        by the caller's final select.
+
+        COLUMN MAPPING applies here — the one place data files are
+        opened: a RENAMEd property reads its PHYSICAL column (the
+        name at first declaration, fixed forever — Delta's
+        column-mapping rule) and surfaces under the LOGICAL name, so
+        a rename is metadata-only and every commit written before it
+        reads correctly through the mapping."""
         full_schema = row_schema + ", graph string"
         if self.buckets:
             full_schema += ", gb int"
-        return self._read_or_empty(
-            os.path.join(self.store, "data", table, f"c={cid}"), full_schema)
+        path = os.path.join(self.store, "data", table, f"c={cid}")
+        cmap = {l: p for l, p in (self.manifest or {}).get(
+                    "colmap", {}).get(table, {}).items() if p != l}
+        if not cmap:
+            return self._read_or_empty(path, full_schema)
+        from pyspark.sql.types import StructType
+        fields = StructType.fromDDL(full_schema).fields
+        phys_schema = ", ".join(
+            f"{cmap.get(f.name, f.name)} {f.dataType.simpleString()}"
+            for f in fields)
+        df = self._read_or_empty(path, phys_schema)
+        for f in fields:
+            if f.name in cmap:
+                df = df.withColumnRenamed(cmap[f.name], f.name)
+        return df
 
     def _graph_filter(self, df: DataFrame, names: list[str]) -> DataFrame:
         """Restrict a commit read to ``names``. Bucketed stores get a
@@ -684,7 +738,23 @@ class GraphEngine:
                      buckets: int | None) -> None:
         """Land one table's rows under the immutable ``c=<cid>`` dir:
         graph-partitioned (legacy) or bucket-partitioned (``gb``
-        column, graph kept as a data column for row-group pruning)."""
+        column, graph kept as a data column for row-group pruning).
+
+        Writes go out under PHYSICAL column names: a batch carrying a
+        RENAMEd property (logical name) lands under the original
+        physical column, so one schema per table spans every commit —
+        the write-side half of the column mapping ``_commit_df``
+        applies at read. The mapping is resolved from the CURRENT
+        manifest (one metadata get, negligible next to the parquet
+        write); a rename racing this write can strand a file under
+        the old logical name — the same advisory window Delta has,
+        and renames are rare maintenance ops."""
+        if table in ("edges", "vertices"):
+            cmap = ((self.manifests.load() or {})
+                    .get("colmap", {}).get(table, {}))
+            for logical, phys in cmap.items():
+                if logical != phys and logical in df.columns:
+                    df = df.withColumnRenamed(logical, phys)
         out = df.select(*[c for c in df.columns if c != "graph"], "graph")
         path = os.path.join(self.store, "data", table, f"c={cid}")
         if buckets:
@@ -804,7 +874,8 @@ class GraphEngine:
         # loud type-conflict check BEFORE any files land (re-checked
         # inside the CAS closure against the then-current manifest)
         _merge_props(prev0.get("props", {}).get("edges", {}),
-                     batch_props, "append_edges")
+                     batch_props, "append_edges",
+                     _blocked_physicals(prev0, "edges"))
         # graph NAMES of this batch (metadata-sized collect, same
         # envelope note as _write) — also prunes the anti-join reads
         write_graphs = [r["graph"]
@@ -853,7 +924,8 @@ class GraphEngine:
             props_doc = dict((prev or {}).get("props", {}))
             if batch_props:
                 props_doc["edges"] = _merge_props(
-                    props_doc.get("edges", {}), batch_props, "append_edges")
+                    props_doc.get("edges", {}), batch_props, "append_edges",
+                    _blocked_physicals(prev, "edges"))
             if props_doc:
                 body["props"] = props_doc
             return _carry_vdeltas(prev, body)
@@ -937,7 +1009,8 @@ class GraphEngine:
                 updates, batch_props, snap.props.get("edges", {}),
                 "merge_edges")
             _merge_props(snap.props.get("edges", {}), batch_props,
-                         "merge_edges")
+                         "merge_edges",
+                         _blocked_physicals(snap.manifest, "edges"))
         touched = [r["graph"]
                    for r in updates.select("graph").distinct().collect()]
         if delete:
@@ -1008,7 +1081,8 @@ class GraphEngine:
             props_doc = dict((prev or {}).get("props", {}))
             if batch_props:
                 props_doc["edges"] = _merge_props(
-                    props_doc.get("edges", {}), batch_props, "merge_edges")
+                    props_doc.get("edges", {}), batch_props, "merge_edges",
+                    _blocked_physicals(prev, "edges"))
             if props_doc:
                 body["props"] = props_doc
             return _carry_vdeltas(prev, body)
@@ -1074,7 +1148,8 @@ class GraphEngine:
             verts, batch_props, snap.props.get("vertices", {}),
             "set_vertex_props")
         _merge_props(snap.props.get("vertices", {}), batch_props,
-                     "set_vertex_props")
+                     "set_vertex_props",
+                     _blocked_physicals(snap.manifest, "vertices"))
         verts = verts.select(F.col("vid").cast("int"),
                              F.col("graph").cast("string"), *batch_props)
         touched = [r["graph"]
@@ -1133,7 +1208,8 @@ class GraphEngine:
             if batch_props:
                 props_doc["vertices"] = _merge_props(
                     props_doc.get("vertices", {}), batch_props,
-                    "set_vertex_props")
+                    "set_vertex_props",
+                    _blocked_physicals(prev, "vertices"))
             if props_doc:
                 body["props"] = props_doc
             return _carry_vdeltas(prev, body)
@@ -1189,7 +1265,8 @@ class GraphEngine:
             props_doc = dict((prev or {}).get("props", {}))
             if batch_props:
                 props_doc["edges"] = _merge_props(
-                    props_doc.get("edges", {}), batch_props, "merge_edges")
+                    props_doc.get("edges", {}), batch_props, "merge_edges",
+                    _blocked_physicals(prev, "edges"))
             if props_doc:
                 body["props"] = props_doc
             return _carry_vdeltas(prev, body)
@@ -1236,7 +1313,8 @@ class GraphEngine:
             if batch_props:
                 props_doc["vertices"] = _merge_props(
                     props_doc.get("vertices", {}), batch_props,
-                    "set_vertex_props")
+                    "set_vertex_props",
+                    _blocked_physicals(prev, "vertices"))
                 body["vdeltas"] = sorted(
                     set((prev or {}).get("vdeltas", [])) | {cid})
             elif (prev or {}).get("vdeltas"):
@@ -1300,7 +1378,8 @@ class GraphEngine:
             props_doc = dict((prev or {}).get("props", {}))
             declared = props_doc.get(table, {})
             merged = _merge_props(declared, {name: canon_type},
-                                  "ALTER TABLE ADD COLUMN")
+                                  "ALTER TABLE ADD COLUMN",
+                                  _blocked_physicals(prev, table))
             if merged == declared:
                 return None   # already declared at this type: no-op
             props_doc[table] = merged
@@ -1308,6 +1387,112 @@ class GraphEngine:
                     "graphs": dict((prev or {}).get("graphs", {})),
                     "txns": (prev or {}).get("txns", {}),
                     "props": props_doc}
+            return _carry_vdeltas(prev, body)
+
+        return self.manifests.commit(update) is not None
+
+    def rename_prop(self, table: str, old: str, new: str) -> bool:
+        """Rename a declared edge/vertex property — the ``ALTER TABLE
+        … RENAME COLUMN`` path, METADATA-ONLY via column mapping
+        (Delta's rule): no data file moves; the manifest's ``colmap``
+        records logical→physical (physical = the name at first
+        declaration, fixed forever), reads scan the physical column
+        and surface the logical name (``_commit_df``), writes land
+        logical batches under the physical name (``_store_write``).
+        Time travel shows the HISTORICAL schema: a snapshot pinned
+        before the rename reads the old name — the Delta convention,
+        pinned by tests. Returns True when a manifest published,
+        False for a no-op (old == new). Raises on an unknown column
+        or a collision with a declared/reserved name."""
+        if table not in ("edges", "vertices"):
+            raise ValueError(
+                f"rename_prop: table must be 'edges' or 'vertices', "
+                f"got {table!r}")
+        if old == new:
+            return False
+        if new.lower() in _RESERVED_COLS or not new.isidentifier():
+            raise ValueError(
+                f"rename_prop: new name {new!r} collides with a "
+                f"reserved store column {sorted(_RESERVED_COLS)} or is "
+                f"not a plain identifier")
+
+        def update(prev: dict | None) -> dict | None:
+            props_doc = {t: dict(m)
+                         for t, m in (prev or {}).get("props", {}).items()}
+            declared = props_doc.get(table, {})
+            if old not in declared:
+                raise ValueError(
+                    f"RENAME COLUMN: {table} has no declared property "
+                    f"{old!r} (declared: {sorted(declared)})")
+            if any(n.lower() == new.lower() for n in declared if n != old):
+                raise ValueError(
+                    f"RENAME COLUMN: {table} already declares a "
+                    f"property named {new!r}")
+            # rename in place, preserving declaration order
+            props_doc[table] = {(new if n == old else n): t
+                                for n, t in declared.items()}
+            cmap_doc = {t: dict(m)
+                        for t, m in (prev or {}).get("colmap", {}).items()}
+            tmap = cmap_doc.setdefault(table, {})
+            phys = tmap.pop(old, old)   # physical name survives renames
+            if phys != new:
+                tmap[new] = phys
+            cmap_doc = {t: m for t, m in cmap_doc.items() if m}
+            body = {"commit": (prev or {}).get("commit"),
+                    "graphs": dict((prev or {}).get("graphs", {})),
+                    "txns": (prev or {}).get("txns", {}),
+                    "props": props_doc}
+            if cmap_doc:
+                body["colmap"] = cmap_doc
+            else:
+                body["colmap"] = {}   # overrides _carry_vdeltas
+            return _carry_vdeltas(prev, body)
+
+        return self.manifests.commit(update) is not None
+
+    def drop_prop(self, table: str, name: str) -> bool:
+        """Drop a declared edge/vertex property — ``ALTER TABLE …
+        DROP COLUMN``, METADATA-ONLY: the column leaves the manifest's
+        props (every current read stops selecting it; the explicit-
+        schema scans never touch the orphaned parquet column again),
+        its PHYSICAL name is tombstoned in ``ptomb`` so a later
+        re-declaration of the same name fails loudly instead of
+        resurrecting stale values from old data files (the stricter-
+        than-Delta convention — no UUID physical names, so retired
+        names stay retired). Time travel still reads the column:
+        snapshots pinned before the drop carry the old props doc.
+        Returns True when a manifest published. Raises on an unknown
+        column."""
+        if table not in ("edges", "vertices"):
+            raise ValueError(
+                f"drop_prop: table must be 'edges' or 'vertices', "
+                f"got {table!r}")
+
+        def update(prev: dict | None) -> dict | None:
+            props_doc = {t: dict(m)
+                         for t, m in (prev or {}).get("props", {}).items()}
+            declared = props_doc.get(table, {})
+            if name not in declared:
+                raise ValueError(
+                    f"DROP COLUMN: {table} has no declared property "
+                    f"{name!r} (declared: {sorted(declared)})")
+            declared.pop(name)
+            props_doc = {t: m for t, m in props_doc.items() if m}
+            cmap_doc = {t: dict(m)
+                        for t, m in (prev or {}).get("colmap", {}).items()}
+            phys = cmap_doc.get(table, {}).pop(name, name)
+            cmap_doc = {t: m for t, m in cmap_doc.items() if m}
+            tomb_doc = {t: list(v)
+                        for t, v in (prev or {}).get("ptomb", {}).items()}
+            tomb_doc.setdefault(table, [])
+            if phys not in tomb_doc[table]:
+                tomb_doc[table] = sorted(tomb_doc[table] + [phys])
+            body = {"commit": (prev or {}).get("commit"),
+                    "graphs": dict((prev or {}).get("graphs", {})),
+                    "txns": (prev or {}).get("txns", {}),
+                    "colmap": cmap_doc, "ptomb": tomb_doc}
+            if props_doc:
+                body["props"] = props_doc
             return _carry_vdeltas(prev, body)
 
         return self.manifests.commit(update) is not None
@@ -1576,14 +1761,19 @@ class GraphEngine:
             body = {"commit": old.get("commit"),
                     "graphs": dict(old.get("graphs", {})),
                     "txns": (prev or {}).get("txns", {})}
-            for k in ("props", "vdeltas", "edeltas"):
+            # colmap/ptomb restore WITH the props doc they qualify: a
+            # restore to before a RENAME must read the old name again
+            # (and losing colmap would NULL every renamed column)
+            for k in ("props", "vdeltas", "edeltas", "colmap", "ptomb"):
                 if old.get(k):
                     body[k] = old[k]
             return body
 
         self.manifests.commit(update)
 
-    def vacuum(self, keep_last: int = 1, *, orphan_retention_s: float = 600.0,
+    def vacuum(self, keep_last: int = 1, *,
+               retain_hours: float | None = None,
+               orphan_retention_s: float = 600.0,
                force: bool = False) -> int:
         """Delete manifests outside the newest-``keep_last`` retention
         window and every commit directory no retained manifest
@@ -1607,7 +1797,30 @@ class GraphEngine:
         than ``orphan_retention_s`` (default 10 min — same contract as
         Delta's VACUUM retention floor) are left alone. ``force=True``
         overrides the age gate when the caller KNOWS no write is in
-        flight (tests, single-writer maintenance windows)."""
+        flight (tests, single-writer maintenance windows).
+
+        ``retain_hours`` is Delta's TIME-BASED retention spelling
+        (``VACUUM … RETAIN n HOURS``), possible since every manifest
+        carries a publish ``ts`` (round 13): the retained window
+        becomes the TRAILING manifests committed within the last ``n``
+        hours (the newest always survives, so the store never loses
+        its head; pre-stamping manifests — no ts — never extend the
+        window). It overrides ``keep_last`` when given. Same
+        in-flight-write safety as the version form — the choice only
+        changes WHICH manifests are retained."""
+        if retain_hours is not None:
+            if retain_hours < 0:
+                raise ValueError(
+                    f"vacuum: retain_hours must be >= 0, got {retain_hours}")
+            import json
+            cutoff = time.time() - retain_hours * 3600
+            k = 0
+            for seq, name in reversed(self.manifests.names()):
+                ts = json.loads(self.manifests.store.get(name)).get("ts")
+                if ts is None or ts < cutoff:
+                    break
+                k += 1
+            keep_last = max(1, k)
         live = self.manifests.vacuum(keep_last=keep_last)
         if force:
             # orphaned chunk blobs (CAS-race losers, writers that died

@@ -36,9 +36,10 @@ anchored grammar, not a SQL parser — and every embedded QUERY
 
 - maintenance from SQL text: ``OPTIMIZE <prefix> [WHERE graph IN
   ('A', …)]`` (whole-store or selective compaction —
-  ``engine.compact``), ``VACUUM <prefix> [RETAIN k VERSIONS]``
-  (retention-windowed manifest + dead-commit-dir reclamation,
-  ``engine.vacuum``), ``DESCRIBE HISTORY <prefix>`` (the retained
+  ``engine.compact``), ``VACUUM <prefix> [RETAIN k VERSIONS | RETAIN
+  n HOURS]`` (retention-windowed manifest + dead-commit-dir
+  reclamation, ``engine.vacuum`` — version-count or time-based via
+  the manifests' publish ts), ``DESCRIBE HISTORY <prefix>`` (the retained
   commit log ``(seq, commit, n_graphs, ts)`` — ``engine.history``),
   and ``RESTORE <prefix> TO VERSION AS OF <seq> | TO TIMESTAMP AS OF
   <ts>`` (metadata-only rollback published as a new commit —
@@ -51,12 +52,26 @@ anchored grammar, not a SQL parser — and every embedded QUERY
   timestamp resolves to the newest commit at-or-before it), so
   historical and current state join in one query; a vacuumed seq or a
   timestamp predating retained history raises FileNotFoundError.
+  ``table_changes(<prefix>, <seq1>, <seq2>)`` (Delta's CDC spelling)
+  binds the row-level state diff between two retained versions
+  (``engine.diff``) as a relation the statement joins/aggregates like
+  any other.
 - schema evolution from SQL text:
   ``ALTER TABLE <prefix>_edges|_vertices ADD COLUMN [IF NOT EXISTS]
   <name> <spark-sql-type>`` — declares a typed property via a
   metadata-only manifest commit (``engine.declare_prop``); stored rows
   read it as NULL until a write carries it, and the declared type then
   binds every later INSERT/UPDATE/MERGE batch.
+  ``ALTER TABLE … RENAME COLUMN <old> TO <new>`` — metadata-only via
+  COLUMN MAPPING (``engine.rename_prop``): the manifest maps
+  logical→physical, reads scan the original physical column under the
+  new name, writes land under it, and snapshots pinned before the
+  rename keep the historical name (Delta's convention).
+  ``ALTER TABLE … DROP COLUMN <name>`` — metadata-only
+  (``engine.drop_prop``): the column leaves the current schema
+  everywhere at once, its physical name is tombstoned so a later
+  re-declaration fails loudly instead of resurrecting stale values;
+  time travel still reads it.
 
 Anything else raises ValueError naming the unsupported clause —
 failing loudly beats silently writing the wrong rows. ``SELECT`` /
@@ -177,6 +192,37 @@ def _bind_time_travel(engine, stmt: str, prefix: str
     return pat.sub(bind, stmt), views
 
 
+def _bind_table_changes(engine, stmt: str, prefix: str
+                        ) -> tuple[str, list[str]]:
+    """Delta's ``table_changes`` CDC spelling for the store: every
+    ``table_changes(<prefix>, <seq1>, <seq2>)`` occurrence in a
+    SELECT/WITH statement binds a temp view over ``engine.diff(seq1,
+    seq2)`` — the row-level changes between the two RETAINED versions
+    (``(graph, src, dst, old_w, new_w, change)``, change ∈
+    {'added','removed','updated'}), answered entirely from the two
+    immutable manifests. State-diff semantics, not per-commit CDF
+    rows: intermediate versions' churn that nets out reads as no
+    change (document the difference from Delta, which emits each
+    commit's rows separately). Same lifecycle contract as
+    :func:`_bind_time_travel`: views carry a per-call nonce and the
+    caller drops them after ``spark.sql`` analyzes; a vacuumed seq
+    raises FileNotFoundError."""
+    nonce = uuid.uuid4().hex[:6]
+    pat = re.compile(
+        rf"(?is)\btable_changes\s*\(\s*{re.escape(prefix)}\s*,"
+        rf"\s*(\d+)\s*,\s*(\d+)\s*\)")
+    views: list[str] = []
+
+    def bind(m: re.Match) -> str:
+        s1, s2 = int(m.group(1)), int(m.group(2))
+        view = f"{prefix}_changes_{s1}_{s2}_{nonce}"
+        engine.diff(s1, s2).createOrReplaceTempView(view)
+        views.append(view)
+        return view
+
+    return pat.sub(bind, stmt), views
+
+
 def _strip_alias(rest: str) -> tuple[str | None, str]:
     """Consume an optional ``[AS] name`` prefix; returns (alias, tail)."""
     m = re.match(r"(?is)^(?:AS\s+)?(\w+)\s+(.*)$", rest)
@@ -268,6 +314,7 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
 
     if re.match(r"(?is)^(SELECT|WITH)\b", stmt):
         stmt, tt_views = _bind_time_travel(engine, stmt, prefix)
+        stmt, tc_views = _bind_table_changes(engine, stmt, prefix)
         engine.create_views(prefix)
         try:
             return spark.sql(stmt)
@@ -275,7 +322,7 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
             # sql() analyzed eagerly, so the returned DataFrame no
             # longer needs the catalog entries (advice: don't leak one
             # temp view per historical query into the session catalog)
-            for v in tt_views:
+            for v in tt_views + tc_views:
                 spark.catalog.dropTempView(v)
 
     m = re.match(rf"(?is)^INSERT\s+INTO\s+{edges_p}\s+(.*)$", stmt)
@@ -551,12 +598,19 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
         return None
 
     m = re.match(rf"(?is)^VACUUM\s+{re.escape(prefix)}"
-                 rf"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?$", stmt)
+                 rf"(?:\s+RETAIN\s+(\d+)\s+VERSIONS"
+                 rf"|\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?$", stmt)
     if m:
-        # Delta's VACUUM spelling: drop manifests outside the newest-K
-        # retention window and unreferenced commit dirs (default K=1,
-        # the compact-then-vacuum lifecycle)
-        engine.vacuum(keep_last=int(m.group(1)) if m.group(1) else 1)
+        # Delta's VACUUM spellings: version-count retention (drop
+        # manifests outside the newest-K window; default K=1, the
+        # compact-then-vacuum lifecycle) or TIME-BASED retention
+        # (RETAIN n HOURS — keep the trailing manifests committed
+        # within the last n hours, newest always survives; resolves
+        # through the publish ts every manifest carries)
+        if m.group(2) is not None:
+            engine.vacuum(retain_hours=float(m.group(2)))
+        else:
+            engine.vacuum(keep_last=int(m.group(1)) if m.group(1) else 1)
         return None
 
     m = re.match(rf"(?is)^ALTER\s+TABLE\s+({edges_p}|{verts_p})\s+"
@@ -572,6 +626,26 @@ def execute_sql(engine, text: str, prefix: str = "gdb") -> DataFrame | None:
         # way (a type conflict always raises).
         table = "edges" if m.group(1).lower() == edges_t else "vertices"
         engine.declare_prop(table, m.group(2), m.group(3).strip())
+        return None
+
+    m = re.match(rf"(?is)^ALTER\s+TABLE\s+({edges_p}|{verts_p})\s+"
+                 rf"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$", stmt)
+    if m:
+        # metadata-only rename via column mapping (engine.rename_prop):
+        # reads scan the original PHYSICAL column and surface the new
+        # logical name; historical snapshots keep the historical name
+        table = "edges" if m.group(1).lower() == edges_t else "vertices"
+        engine.rename_prop(table, m.group(2), m.group(3))
+        return None
+
+    m = re.match(rf"(?is)^ALTER\s+TABLE\s+({edges_p}|{verts_p})\s+"
+                 rf"DROP\s+COLUMN\s+(\w+)\s*$", stmt)
+    if m:
+        # metadata-only drop (engine.drop_prop): the column leaves the
+        # current schema everywhere at once, its physical name is
+        # tombstoned against re-declaration, time travel still reads it
+        table = "edges" if m.group(1).lower() == edges_t else "vertices"
+        engine.drop_prop(table, m.group(2))
         return None
 
     raise ValueError(f"unsupported statement for the {prefix}_* store "

@@ -26,6 +26,7 @@ from __future__ import annotations
 import atexit
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -125,6 +126,7 @@ def release_stores() -> int:
     _MOR_STORE.clear()
     _EMOR_STORE.clear()
     _ANN_STORE.clear()
+    _TAIL_STORE.clear()
     return n
 
 
@@ -511,6 +513,138 @@ WHERE b.w IS NULL OR b.w <> u.w
 """
 
 
+def q_store_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC read as a pure SQL surface (round-13 verdict item 5):
+    ``table_changes(gdb, 1, 2)`` binds the same two-manifest state
+    diff ``store_snapshot_diff`` reads through the Python API, and the
+    statement AGGREGATES over it like any relation — per (change,
+    graph) counts plus net and new weight mass, i.e. the change-audit
+    rollup a downstream consumer actually materializes. Scale shape:
+    the diff is one full-outer join of two snapshot reads (change-
+    sized output), the rollup a map-side-combinable agg over it.
+    Reads the shared two-commit store (see _merge_fixture_engine);
+    the oracle recomputes both states from events and aggregates the
+    same classification."""
+    eng = _merge_fixture_engine(spark, sf_dir)
+    return eng.sql("""
+        SELECT c.change, c.graph,
+               COUNT(*) AS n_changes,
+               CAST(SUM(c.new_w - c.old_w) AS BIGINT) AS w_delta,
+               CAST(SUM(c.new_w) AS BIGINT) AS w_new
+        FROM table_changes(gdb, 1, 2) c
+        GROUP BY c.change, c.graph""")
+
+
+ORACLE_STORE_TABLE_CHANGES = """
+WITH m AS (
+  SELECT event_type AS graph,
+         CAST(user_id % 25 AS INT) AS src,
+         CAST((event_id // 2) % 50 + 1 AS INT) AS dst,
+         CAST(event_id % 2 AS INT) AS par,
+         event_id % 5 + 1 AS w1
+  FROM events),
+base AS (SELECT graph, src, dst, CAST(SUM(w1) AS INT) AS w
+         FROM m WHERE par = 0 GROUP BY 1, 2, 3),
+upd AS (SELECT graph, src, dst, CAST(SUM(w1) AS INT) AS w
+        FROM m WHERE par = 1 GROUP BY 1, 2, 3),
+chg AS (
+  SELECT u.graph,
+         CAST(COALESCE(b.w, 0) AS INT) AS old_w,
+         CAST(u.w AS INT) AS new_w,
+         CASE WHEN b.w IS NULL THEN 'added' ELSE 'updated' END AS change
+  FROM upd u LEFT JOIN base b
+    ON u.graph = b.graph AND u.src = b.src AND u.dst = b.dst
+  WHERE b.w IS NULL OR b.w <> u.w)
+SELECT change, graph, COUNT(*) AS n_changes,
+       CAST(SUM(new_w - old_w) AS BIGINT) AS w_delta,
+       CAST(SUM(new_w) AS BIGINT) AS w_new
+FROM chg GROUP BY change, graph
+"""
+
+
+_TAIL_STORE: dict[str, str] = {}
+
+
+def _tail_store_engine(spark: SparkSession, sf_dir: str):
+    """The commit-chain TAILING fixture store, built ONCE per
+    (process, sf_dir) — four commits covering every planner rule of
+    the ``gdb_commits`` streaming source: two APPENDS (seqs 1-2,
+    emitted), one MERGE-ON-READ delta (seq 3, a chain extension —
+    emitted raw), one COW MERGE (seq 4 — pointer replacement, SKIPPED
+    per the skipChangeCommits rule: a rewrite re-states old data)."""
+    from graphdatabase_spark.engine import GraphEngine
+
+    path = _TAIL_STORE.get(sf_dir)
+    if path is None:
+        path = os.path.join(
+            _track_store(tempfile.mkdtemp(prefix="gdb_tail_store_")), "store")
+        eng = GraphEngine(spark, path, buckets=4)
+        half0 = _events_half(spark, sf_dir, 0)
+        eng.append_edges(half0)                                    # seq 1
+        eng.append_edges(_events_half(spark, sf_dir, 1)
+                         .withColumn("src", (F.col("src") + 30)
+                                     .cast("int")))                # seq 2
+        eng.merge_edges(half0.filter(F.col("src") < 5)
+                        .withColumn("w", F.lit(7)), mode="delta")  # seq 3
+        eng.merge_edges(half0.filter(F.col("src") >= 20)
+                        .withColumn("w", F.lit(9)))                # seq 4: COW
+        _TAIL_STORE[sf_dir] = path
+        return eng
+    return GraphEngine(spark, path)
+
+
+def q_store_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit chain consumed AS A STREAM (round-13 verdict item
+    6 — the read half of the Delta streaming economics): the
+    ``gdb_commits`` Python data source (streaming/store_source.py)
+    tails the fixture store's manifest log under
+    ``trigger(availableNow=True)``, offsets (= last consumed manifest
+    seq) in the consumer's checkpoint. The value check covers the
+    planner's whole rule set: both append commits and the
+    merge-on-read delta are emitted exactly once each, stamped with
+    their publishing seq, while the COW merge at seq 4 — a pointer
+    REPLACEMENT — is skipped (re-emitting a rewrite would
+    double-count; Delta's skipChangeCommits). Exactly-once across
+    RESTARTS is pinned by tests/test_store_source.py (a second
+    availableNow run emits only commits after the checkpointed seq)."""
+    from graphdatabase_spark.streaming.store_source import \
+        GraphStoreDataSource
+
+    eng = _tail_store_engine(spark, sf_dir)
+    spark.dataSource.register(GraphStoreDataSource)
+    name = f"tail_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="gdb_tail_ckpt_")
+    _track_store(ckpt)
+    q = (spark.readStream.format("gdb_commits")
+         .option("path", eng.store).load()
+         .writeStream.trigger(availableNow=True).format("memory")
+         .queryName(name).option("checkpointLocation", ckpt).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STORE_STREAM_SOURCE = """
+WITH m AS (
+  SELECT event_type AS graph,
+         CAST(user_id % 25 AS INT) AS src,
+         CAST((event_id // 2) % 50 + 1 AS INT) AS dst,
+         CAST(event_id % 2 AS INT) AS par,
+         event_id % 5 + 1 AS w1
+  FROM events),
+half0 AS (SELECT graph, src, dst, CAST(SUM(w1) AS INT) AS w
+          FROM m WHERE par = 0 GROUP BY 1, 2, 3),
+half1 AS (SELECT graph, CAST(src + 30 AS INT) AS src, dst,
+                 CAST(SUM(w1) AS INT) AS w
+          FROM m WHERE par = 1 GROUP BY 1, 2, 3)
+SELECT graph, src, dst, w, CAST(1 AS INT) AS seq FROM half0
+UNION ALL
+SELECT graph, src, dst, w, CAST(2 AS INT) AS seq FROM half1
+UNION ALL
+SELECT graph, src, dst, CAST(7 AS INT) AS w, CAST(3 AS INT) AS seq
+FROM half0 WHERE src < 5
+"""
+
+
 def q_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph pattern matching (the GraphFrames ``find`` surface) over
     EVERY stored graph in one call: open wedges — a→b→c paths whose
@@ -637,21 +771,32 @@ def q_store_sql_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ``store_sql_dml`` — round-12 verdict items 5 and 6): after an
     INSERT seeds the store (seq 1), ALTER TABLE ADD COLUMN declares a
     typed edge property as a metadata-only commit (seq 2), UPDATE
-    assigns it for a key range (the schema-evolution write, seq 3), a
-    second INSERT with a DISJOINT key range chains a commit (seq 4),
-    OPTIMIZE … WHERE graph IN compacts two named graphs' chains
-    selectively (seq 5), OPTIMIZE compacts the rest (seq 6), DELETE
-    trims a key range so history differs from the present (seq 7), and
-    VACUUM RETAIN 4 VERSIONS drops the oldest manifests while KEEPING
-    seq 4 alive. The final SELECT then time-travels — ``gdb_edges
-    VERSION AS OF 4`` — and left-joins the current view, so the result
-    value-checks (a) the declared property through ALTER + UPDATE +
-    two compactions, (b) that OPTIMIZE/VACUUM preserved every
-    pre-delete row, and (c) the VERSION AS OF binding itself (deleted
-    rows appear with present = 0). Every maintenance statement's
-    effect lands in the checked values; the DML features exercised
-    along the way (INSERT/UPDATE/DELETE) are owned and independently
-    checked by ``store_sql_dml``."""
+    assigns it for a key range (the schema-evolution write, seq 3),
+    a second ADD COLUMN + UPDATE writes a string property ``note``
+    (seqs 4-5), a second INSERT with a DISJOINT key range chains a
+    commit (seq 6), RENAME COLUMN flag→tag and DROP COLUMN note land
+    as METADATA-ONLY commits (seqs 7-8 — column mapping: no data file
+    moves), OPTIMIZE … WHERE graph IN compacts two named graphs'
+    chains selectively (seq 9), OPTIMIZE compacts the rest (seq 10 —
+    the compaction REWRITES data through the mapping, so post-rename
+    physical layout is exercised too), DELETE trims a key range so
+    history differs from the present (seq 11), VACUUM RETAIN 720
+    HOURS exercises the TIME-BASED retention spelling (every manifest
+    is seconds old — retains all), and VACUUM RETAIN 6 VERSIONS drops
+    the oldest manifests while KEEPING seq 6 alive.
+    The final SELECT then time-travels — ``gdb_edges VERSION AS OF
+    6`` — and left-joins the current view, so the result value-checks
+    (a) the declared property through ALTER + UPDATE + two
+    compactions, (b) that OPTIMIZE/VACUUM preserved every pre-delete
+    row, (c) the VERSION AS OF binding itself (deleted rows appear
+    with present = 0), and (d) BOTH schema-evolution conventions
+    externally: the historical view reads the HISTORICAL names
+    (``flag``, ``note``) while the current view serves the renamed
+    ``tag`` (values surviving rename + compaction) and the dropped
+    ``note`` is gone from it. Every maintenance statement's effect
+    lands in the checked values; the DML features exercised along the
+    way (INSERT/UPDATE/DELETE) are owned and independently checked by
+    ``store_sql_dml``."""
     from graphdatabase_spark.engine import GraphEngine
 
     root = _track_store(tempfile.mkdtemp(prefix="gdb_maint_store_"))
@@ -661,17 +806,27 @@ def q_store_sql_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.sql("INSERT INTO gdb_edges " + _MAINT_HALF_SQL.format(off=0, par=0))
     eng.sql("ALTER TABLE gdb_edges ADD COLUMN flag INT")
     eng.sql("UPDATE gdb_edges SET flag = src * 100 + dst WHERE src < 10")
+    eng.sql("ALTER TABLE gdb_edges ADD COLUMN note STRING")
+    eng.sql("UPDATE gdb_edges SET note = 'x' WHERE src < 5")
     eng.sql("INSERT INTO gdb_edges " + _MAINT_HALF_SQL.format(off=30, par=1))
+    eng.sql("ALTER TABLE gdb_edges RENAME COLUMN flag TO tag")
+    eng.sql("ALTER TABLE gdb_edges DROP COLUMN note")
     eng.sql("OPTIMIZE gdb WHERE graph IN ('click', 'view')")
     eng.sql("OPTIMIZE gdb")
     eng.sql("DELETE FROM gdb_edges WHERE src >= 40")
-    eng.sql("VACUUM gdb RETAIN 4 VERSIONS")
+    # both retention spellings: the time-based window (720 h spans
+    # every just-written manifest — retains all, the scheduled-job
+    # no-op case) then the version window that actually trims
+    eng.sql("VACUUM gdb RETAIN 720 HOURS")
+    eng.sql("VACUUM gdb RETAIN 6 VERSIONS")
     return eng.sql("""
         SELECT o.graph, o.src, o.dst, o.w,
-               COALESCE(o.flag, -1) AS flag,
+               COALESCE(o.flag, -1) AS flag_hist,
+               COALESCE(o.note, '') AS note_hist,
+               COALESCE(c.tag, -1) AS tag_now,
                CASE WHEN c.src IS NULL THEN 0 ELSE 1 END AS present
-        FROM (SELECT graph, src, dst, w, flag
-              FROM gdb_edges VERSION AS OF 4) o
+        FROM (SELECT graph, src, dst, w, flag, note
+              FROM gdb_edges VERSION AS OF 6) o
         LEFT JOIN gdb_edges c
           ON c.graph = o.graph AND c.src = o.src AND c.dst = o.dst""")
 
@@ -691,9 +846,13 @@ half1 AS (SELECT graph, src0 + 30 AS src, dst, CAST(SUM(w1) AS INT) AS w
 hist AS (
   SELECT graph, src, dst, w,
          CAST(CASE WHEN src < 10 THEN src * 100 + dst ELSE -1 END AS INT)
-           AS flag
+           AS flag_hist,
+         CASE WHEN src < 5 THEN 'x' ELSE '' END AS note_hist
   FROM (SELECT * FROM half0 UNION ALL SELECT * FROM half1))
-SELECT graph, CAST(src AS INT) AS src, dst, w, flag,
+SELECT graph, CAST(src AS INT) AS src, dst, w, flag_hist, note_hist,
+       CAST(CASE WHEN src >= 40 THEN -1
+                 WHEN src < 10 THEN src * 100 + dst
+                 ELSE -1 END AS INT) AS tag_now,
        CAST(CASE WHEN src >= 40 THEN 0 ELSE 1 END AS INT) AS present
 FROM hist
 """
@@ -1368,6 +1527,8 @@ QUERIES = {
     "store_props_mor": q_store_props_mor,
     "store_merge_edges_mor": q_store_merge_edges_mor,
     "embedding_ivf_stored_topk": q_embedding_ivf_stored_topk,
+    "store_table_changes": q_store_table_changes,
+    "store_stream_source": q_store_stream_source,
 }
 
 ORACLES = {
@@ -1399,4 +1560,6 @@ ORACLES = {
     # the committed artifact — a hash match proves the storage
     # round-trip preserved the trained quantizer exactly
     "embedding_ivf_stored_topk": _TRAINED_IVF_ORACLE_REF,
+    "store_table_changes": ORACLE_STORE_TABLE_CHANGES,
+    "store_stream_source": ORACLE_STORE_STREAM_SOURCE,
 }

@@ -64,9 +64,9 @@ _DEFERRED_R14 = [
     "connected_components", "corpus_funnel", "dedup_clusters", "dedup_embedding", "dedup_near",
     "embedding_ivf_trained_topk", "events_gap_fill", "events_quantiles",
     "events_stream_dedup", "events_stream_join", "graph_ingest_matrix",
-    "hybrid_search_rrf", "ivf_recenter", "kcore", "motif_find",
+    "hybrid_search_rrf", "ivf_recenter", "kcore", "knn_join", "motif_find",
     "multimodal_meta", "pagerank", "pq_recenter", "pricing_summary",
-    "revenue_by_nation", "scc", "shortest_paths_landmarks",
+    "revenue_by_nation", "scc", "semdedup_ivf", "shortest_paths_landmarks",
     "similarity_topk", "sql_recursive_reachability", "sssp_weighted",
     "store_bfs_all", "store_cc_all", "store_clustering_all",
     "store_kcore_all", "store_label_propagation_all", "store_merge_edges",
@@ -140,10 +140,16 @@ _CHECK_FIRST = [
     # train-once/serve-many production shape, round-13 verdict
     # item 2) --
     "embedding_ivf_stored_topk",
+    # -- NEW this round: the CDC state diff as a pure SQL surface
+    # (table_changes(gdb, s1, s2) binding — round-13 verdict item 5) --
+    "store_table_changes",
+    # -- NEW this round: the commit chain consumed as a STREAM (the
+    # gdb_commits Python data source; offsets = manifest seq in the
+    # consumer checkpoint — round-13 verdict item 6) --
+    "store_stream_source",
     # -- oldest r12-window fillers for the remaining slots (these
     # would otherwise head next round's deferral) --
-    "running_user_stats", "search_bm25", "semdedup_ivf",
-    "knn_join",
+    "running_user_stats", "search_bm25",
 ]
 # (the remaining r12-window ids are _DEFERRED_R14 above — their r12
 # rows stay within the three-window horizon; round 15 fronts them.)

@@ -575,3 +575,26 @@ def test_restore_preserves_props_and_deltas(spark, tmp_path):
     rows = eng.snapshot().weighted_edges("G", props=True).collect()
     assert [(r["src"], r["dst"], r["w"], r["kind"]) for r in rows] \
         == [(1, 2, 9, "y")]
+
+
+def test_vacuum_retain_hours(engine, spark):
+    """Time-based retention (RETAIN n HOURS): a seq committed before
+    the cutoff raises on time travel after the vacuum, a seq inside
+    the window survives — and the newest always survives even at
+    RETAIN 0 HOURS."""
+    engine.sql("INSERT INTO gdb_edges VALUES ('A', 1, 2, 5)")   # seq 1
+    engine.sql("INSERT INTO gdb_edges VALUES ('A', 2, 3, 1)")   # seq 2
+    engine.sql("INSERT INTO gdb_edges VALUES ('A', 3, 4, 2)")   # seq 3
+    # a generous window retains everything: seq 1 stays pinnable
+    engine.sql("VACUUM gdb RETAIN 1000000 HOURS")
+    assert engine.snapshot(1).weighted_edges("A").count() == 1
+    # zero-hour window: only the newest manifest survives — the
+    # pre-cutoff seqs raise, the head still reads
+    engine.sql("VACUUM gdb RETAIN 0 HOURS")
+    with pytest.raises(FileNotFoundError):
+        engine.snapshot(1)
+    with pytest.raises(FileNotFoundError):
+        engine.snapshot(2)
+    assert engine.snapshot(3).weighted_edges("A").count() == 3
+    with pytest.raises(ValueError, match="retain_hours"):
+        engine.vacuum(retain_hours=-1)

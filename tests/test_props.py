@@ -684,3 +684,124 @@ def test_mor_chain_semantics_match_reference_model(spark, tmp_path):
             assert got == model_read(chain), \
                 f"seed {seed} step {step} op {op}: " \
                 f"{got} != {model_read(chain)}"
+
+
+# --- RENAME COLUMN / DROP COLUMN (round-14: column-mapping schema
+# --- evolution beyond ADD COLUMN) --------------------------------------
+
+
+def test_rename_column_is_metadata_only_and_maps_reads(engine, spark):
+    engine.append_edges(_prop_edges(spark))
+    assert engine.rename_prop("edges", "kind", "category") is True
+    snap = engine.snapshot()
+    assert snap.props == {"edges": {"category": "string",
+                                    "score": "double"}}
+    # pre-rename rows read through the mapping under the NEW name
+    assert _rows(snap.weighted_edges(props=True)) == [
+        (1, 2, 2, "follows", 0.1, "B"), (1, 2, 3, "follows", 0.5, "A"),
+        (2, 3, 1, "likes", 0.9, "A")]
+    # a post-rename write carries the LOGICAL name and lands under the
+    # original physical column — one schema spans both commits
+    engine.append_edges(spark.createDataFrame(
+        [("C", 7, 8, 1, "mentions", 0.3)],
+        "graph string, src int, dst int, w int, category string, "
+        "score double"))
+    got = _rows(engine.snapshot().weighted_edges(props=True))
+    assert (7, 8, 1, "mentions", 0.3, "C") in got and len(got) == 4
+    # the data file really holds the PHYSICAL column (kind, not
+    # category): raw parquet read of the new commit
+    import os
+    cid = engine.snapshot().manifest["commit"]
+    raw = spark.read.parquet(
+        os.path.join(engine.store, "data", "edges", f"c={cid}"))
+    assert "kind" in raw.columns and "category" not in raw.columns
+
+
+def test_rename_column_time_travel_shows_historical_name(engine, spark):
+    engine.append_edges(_prop_edges(spark))
+    seq_before = engine.snapshot().manifest["seq"]
+    engine.rename_prop("edges", "kind", "category")
+    old = engine.snapshot(seq_before)
+    # the Delta convention: a snapshot pinned before the rename reads
+    # the HISTORICAL schema
+    assert "kind" in old.props["edges"]
+    assert _rows(old.weighted_edges(props=True)) == [
+        (1, 2, 2, "follows", 0.1, "B"), (1, 2, 3, "follows", 0.5, "A"),
+        (2, 3, 1, "likes", 0.9, "A")]
+    # and RESTORE to before the rename brings the old name back
+    engine.restore(seq_before)
+    assert "kind" in engine.snapshot().props["edges"]
+    assert _rows(engine.snapshot().weighted_edges(props=True)) == [
+        (1, 2, 2, "follows", 0.1, "B"), (1, 2, 3, "follows", 0.5, "A"),
+        (2, 3, 1, "likes", 0.9, "A")]
+
+
+def test_rename_column_guards(engine, spark):
+    import pytest
+    engine.append_edges(_prop_edges(spark))
+    with pytest.raises(ValueError, match="no declared property"):
+        engine.rename_prop("edges", "nope", "x")
+    with pytest.raises(ValueError, match="already declares"):
+        engine.rename_prop("edges", "kind", "score")
+    with pytest.raises(ValueError, match="reserved"):
+        engine.rename_prop("edges", "kind", "graph")
+    assert engine.rename_prop("edges", "kind", "kind") is False
+    # a NEW property may not claim the physical name a renamed column
+    # still reads from (old rows would surface under the new logical)
+    engine.rename_prop("edges", "kind", "category")
+    with pytest.raises(ValueError, match="DROPPED or RENAMED"):
+        engine.append_edges(spark.createDataFrame(
+            [("D", 1, 2, 1, "oops")],
+            "graph string, src int, dst int, w int, kind string"))
+    # rename BACK clears the mapping: kind usable again as itself
+    engine.rename_prop("edges", "category", "kind")
+    assert engine.snapshot().manifest.get("colmap", {}).get("edges", {}) \
+        == {}
+    engine.append_edges(spark.createDataFrame(
+        [("D", 1, 2, 1, "fine")],
+        "graph string, src int, dst int, w int, kind string"))
+
+
+def test_drop_column_everywhere_and_tombstoned(engine, spark):
+    import pytest
+    engine.append_edges(_prop_edges(spark))
+    seq_before = engine.snapshot().manifest["seq"]
+    assert engine.drop_prop("edges", "score") is True
+    snap = engine.snapshot()
+    assert snap.props == {"edges": {"kind": "string"}}
+    assert _rows(snap.weighted_edges(props=True)) == [
+        (1, 2, 2, "follows", "B"), (1, 2, 3, "follows", "A"),
+        (2, 3, 1, "likes", "A")]
+    # time travel still reads the dropped column
+    assert _rows(engine.snapshot(seq_before).weighted_edges(props=True)) == [
+        (1, 2, 2, "follows", 0.1, "B"), (1, 2, 3, "follows", 0.5, "A"),
+        (2, 3, 1, "likes", 0.9, "A")]
+    # re-declaring the dropped name fails loudly (stale values in old
+    # files would resurrect) — via write AND via declare_prop
+    with pytest.raises(ValueError, match="DROPPED or RENAMED"):
+        engine.append_edges(spark.createDataFrame(
+            [("D", 1, 2, 1, 0.7)],
+            "graph string, src int, dst int, w int, score double"))
+    with pytest.raises(ValueError, match="DROPPED or RENAMED"):
+        engine.declare_prop("edges", "score", "double")
+    with pytest.raises(ValueError, match="no declared property"):
+        engine.drop_prop("edges", "nope")
+    # a fresh name is fine
+    assert engine.declare_prop("edges", "score2", "double") is True
+
+
+def test_rename_drop_sql_spellings_and_vertex_mor(engine, spark):
+    """The SQL grammar drives the same paths, and the vertex
+    merge-on-read window keeps working through a rename."""
+    engine.append_edges(_prop_edges(spark))
+    engine.set_vertex_props(spark.createDataFrame(
+        [("A", 1, "x"), ("A", 2, "y")],
+        "graph string, vid int, tag string"), mode="delta")
+    engine.sql("ALTER TABLE gdb_vertices RENAME COLUMN tag TO label2")
+    got = sorted((r["vid"], r["label2"]) for r in
+                 engine.snapshot().vertices("A", props=True).collect())
+    assert got == [(1, "x"), (2, "y"), (3, None)]
+    engine.sql("ALTER TABLE gdb_edges DROP COLUMN score")
+    assert engine.snapshot().props["edges"] == {"kind": "string"}
+    engine.sql("ALTER TABLE gdb_edges RENAME COLUMN kind TO category")
+    assert engine.snapshot().props["edges"] == {"category": "string"}
