@@ -160,6 +160,13 @@ AUDIT = [
      "compacted scan; the audit join keys (graph,src,dst) with AQE "
      "picking the strategy — time travel costs a second pruned scan, "
      "never a log replay"),
+    ("embedding_ivf_stored_topk", "stored-codebook ANN serving: the training "
+     "subplan is REPLACED by one broadcast-sized parquet scan of the "
+     "committed ivf_codebook store table (train-once/serve-many); the "
+     "probe downstream is byte-identical to the trained path"),
+    ("store_table_changes", "SQL CDC rollup: table_changes binds the "
+     "two-snapshot full-outer diff (change-sized output) and the "
+     "statement aggregates it map-side-combined; no second fact scan"),
 ]
 
 
