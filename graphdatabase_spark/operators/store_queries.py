@@ -562,6 +562,40 @@ FROM chg GROUP BY change, graph
 """
 
 
+def stored_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(m, code, csub)`` read from the COMMITTED PQ codebook table
+    (graph ``pq_codebook`` of the ANN fixture store, vid = m·PQ_CODES
+    + code) — the PQ twin of :func:`stored_ivf_codebook`."""
+    from graphdatabase_spark.functions import similarity as sim
+
+    eng = _ann_store_engine(spark, sf_dir)
+    return (eng.snapshot().vertices("pq_codebook", props=True)
+            .select((F.col("vid") / sim.PQ_CODES).cast("int").alias("m"),
+                    (F.col("vid") % sim.PQ_CODES).cast("int").alias("code"),
+                    F.col("csub")))
+
+
+def q_embedding_pq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN top-k served from the STORED codebooks — completing the
+    train-once/serve-many symmetry (`embedding_ivf_stored_topk` is the
+    IVF twin): vectors are encoded and the query LUT built against the
+    COMMITTED ``pq_codebook`` table instead of the session-recomputed
+    one; the probe (`_pq_adc_probe`) is byte-identical to the trained
+    path. Shares the trained-PQ oracle on purpose: the oracle
+    recomputes the codebooks relationally while Spark reads the stored
+    rows, so a hash match proves the storage round-trip preserved the
+    trained quantizer exactly."""
+    from graphdatabase_spark.cache import shared_persist
+    from graphdatabase_spark.functions import similarity as sim
+
+    cb = stored_pq_codebook(spark, sf_dir)
+    quant, subs, _ = sim._pq_sub_frames(spark, sf_dir)
+    pq = shared_persist(
+        spark, ("pq_codes_stored", sf_dir),
+        lambda: sim._pq_encode(quant, subs, cb))
+    return sim._pq_adc_probe(spark, sf_dir, pq, subs, cb, sim.PQ_RERANK)
+
+
 _TAIL_STORE: dict[str, str] = {}
 
 
@@ -1500,6 +1534,8 @@ def q_embedding_ivf_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from graphdatabase_spark.functions.similarity import \
+    ORACLE_EMBEDDING_PQ_TRAINED_TOPK as _TRAINED_PQ_ORACLE_REF  # noqa: E402
+from graphdatabase_spark.functions.similarity import \
     ORACLE_TRAINED_IVF as _TRAINED_IVF_ORACLE_REF  # noqa: E402 (see ORACLES note)
 
 QUERIES = {
@@ -1529,6 +1565,7 @@ QUERIES = {
     "embedding_ivf_stored_topk": q_embedding_ivf_stored_topk,
     "store_table_changes": q_store_table_changes,
     "store_stream_source": q_store_stream_source,
+    "embedding_pq_stored_topk": q_embedding_pq_stored_topk,
 }
 
 ORACLES = {
@@ -1562,4 +1599,6 @@ ORACLES = {
     "embedding_ivf_stored_topk": _TRAINED_IVF_ORACLE_REF,
     "store_table_changes": ORACLE_STORE_TABLE_CHANGES,
     "store_stream_source": ORACLE_STORE_STREAM_SOURCE,
+    # same storage-round-trip argument as the IVF stored id
+    "embedding_pq_stored_topk": _TRAINED_PQ_ORACLE_REF,
 }

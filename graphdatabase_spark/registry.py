@@ -66,7 +66,8 @@ _DEFERRED_R14 = [
     "events_stream_dedup", "events_stream_join", "graph_ingest_matrix",
     "hybrid_search_rrf", "ivf_recenter", "kcore", "knn_join", "motif_find",
     "multimodal_meta", "pagerank", "pq_recenter", "pricing_summary",
-    "revenue_by_nation", "scc", "semdedup_ivf", "shortest_paths_landmarks",
+    "revenue_by_nation", "scc", "search_bm25", "semdedup_ivf",
+    "shortest_paths_landmarks",
     "similarity_topk", "sql_recursive_reachability", "sssp_weighted",
     "store_bfs_all", "store_cc_all", "store_clustering_all",
     "store_kcore_all", "store_label_propagation_all", "store_merge_edges",
@@ -147,9 +148,12 @@ _CHECK_FIRST = [
     # gdb_commits Python data source; offsets = manifest seq in the
     # consumer checkpoint — round-13 verdict item 6) --
     "store_stream_source",
+    # -- NEW this round: PQ served from the COMMITTED codebook table
+    # (the IVF stored id's twin — train-once/serve-many symmetry) --
+    "embedding_pq_stored_topk",
     # -- oldest r12-window fillers for the remaining slots (these
     # would otherwise head next round's deferral) --
-    "running_user_stats", "search_bm25",
+    "running_user_stats",
 ]
 # (the remaining r12-window ids are _DEFERRED_R14 above — their r12
 # rows stay within the three-window horizon; round 15 fronts them.)

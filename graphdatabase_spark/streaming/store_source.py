@@ -53,8 +53,8 @@ import json
 import os
 from urllib.parse import unquote
 
-from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
-                                    InputPartition)
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader, InputPartition)
 
 SCHEMA = "graph string, src int, dst int, w int, seq int"
 
@@ -173,10 +173,30 @@ class GraphStoreStreamReader(DataSourceStreamReader):
                            partition.seq)
 
 
+class GraphStoreBatchReader(DataSourceReader):
+    """The BATCH form of the same planner — ``spark.read.format(
+    "gdb_commits")`` replays the whole retained chain history
+    (``starting_seq`` .. latest) in one read: the backfill that seeds
+    a consumer before it switches to tailing, with identical
+    per-commit rows and the identical skip-rewrites rule, so
+    backfill-then-tail composes without gaps or double counts."""
+
+    def __init__(self, options: dict):
+        self._stream = GraphStoreStreamReader(options)
+
+    def partitions(self):
+        return self._stream.partitions(self._stream.initialOffset(),
+                                       self._stream.latestOffset())
+
+    def read(self, partition: CommitPartition):
+        return self._stream.read(partition)
+
+
 class GraphStoreDataSource(DataSource):
     """``spark.dataSource.register(GraphStoreDataSource)`` then
     ``spark.readStream.format("gdb_commits").option("path", store)``
-    — see the module docstring for semantics."""
+    to tail, or ``spark.read.format("gdb_commits")`` to backfill the
+    retained history — see the module docstring for semantics."""
 
     @classmethod
     def name(cls) -> str:
@@ -187,3 +207,6 @@ class GraphStoreDataSource(DataSource):
 
     def streamReader(self, schema) -> GraphStoreStreamReader:
         return GraphStoreStreamReader(self.options)
+
+    def reader(self, schema) -> GraphStoreBatchReader:
+        return GraphStoreBatchReader(self.options)

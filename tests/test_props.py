@@ -805,3 +805,93 @@ def test_rename_drop_sql_spellings_and_vertex_mor(engine, spark):
     assert engine.snapshot().props["edges"] == {"kind": "string"}
     engine.sql("ALTER TABLE gdb_edges RENAME COLUMN kind TO category")
     assert engine.snapshot().props["edges"] == {"category": "string"}
+
+
+def test_model_schema_evolution_random_interleaving(spark, tmp_path):
+    """Model-based check of the COLUMN-MAPPING layer: random
+    interleavings of COW merges (wholesale-row upserts, sometimes
+    introducing a fresh property column), RENAME COLUMN, DROP COLUMN,
+    ALTER ADD, and compaction, against a driver-side dict model that
+    only ever speaks LOGICAL names — so any leak of a physical name
+    through a read, any lost mapping through a write or a compaction
+    rewrite, and any declaration-order drift shows up as a mismatch.
+    Two randomly chosen HISTORICAL states are re-read at the end via
+    time travel (the historical schema must be the historical one)."""
+    import copy
+    import random
+
+    from graphdatabase_spark.engine import GraphEngine
+
+    KEYS = [("G", s, d) for s in (1, 2) for d in (1, 2, 3)]
+    for seed in (7, 23, 61):
+        rng = random.Random(seed)
+        eng = GraphEngine(spark, str(tmp_path / f"m{seed}" / "store"),
+                          buckets=2)
+        model: dict[tuple, dict] = {}     # key -> {"w": int, "p": {col: val}}
+        schema: list[str] = []            # declared order, logical names
+        counter = 0
+        history: list[tuple[int, list, dict]] = []
+        for step in range(12):
+            op = rng.choice(["merge", "merge", "merge", "rename",
+                             "drop", "declare", "compact"])
+            if op == "merge":
+                keys = rng.sample(KEYS, rng.randint(1, 3))
+                cols = [c for c in schema if rng.random() < 0.5]
+                if rng.random() < 0.4:
+                    counter += 1
+                    cols.append(f"c{counter}")
+                w = step + 1
+                vals = {c: rng.randint(0, 99) for c in cols}
+                rows = [(g, s, d, w, *[vals[c] for c in cols])
+                        for (g, s, d) in keys]
+                ddl = ("graph string, src int, dst int, w int"
+                       + "".join(f", {c} int" for c in cols))
+                eng.merge_edges(spark.createDataFrame(rows, ddl))
+                for c in cols:
+                    if c not in schema:
+                        schema.append(c)
+                for k in keys:
+                    model[k] = {"w": w, "p": dict(vals)}
+            elif op == "rename" and schema:
+                old = rng.choice(schema)
+                counter += 1
+                new = f"c{counter}"
+                assert eng.rename_prop("edges", old, new) is True
+                schema[schema.index(old)] = new
+                for row in model.values():
+                    if old in row["p"]:
+                        row["p"][new] = row["p"].pop(old)
+            elif op == "drop" and schema:
+                gone = rng.choice(schema)
+                assert eng.drop_prop("edges", gone) is True
+                schema.remove(gone)
+                for row in model.values():
+                    row["p"].pop(gone, None)
+            elif op == "declare":
+                counter += 1
+                assert eng.declare_prop("edges", f"c{counter}", "int")
+                schema.append(f"c{counter}")
+            elif op == "compact" and model:
+                eng.compact()
+            else:
+                continue   # rename/drop with empty schema: no-op step
+            got = sorted(tuple(r) for r in
+                         eng.snapshot().weighted_edges(props=True).collect())
+            want = sorted(
+                (s, d, row["w"],
+                 *[row["p"].get(c) for c in schema], g)
+                for (g, s, d), row in model.items())
+            assert got == want, f"seed {seed} step {step} op {op}"
+            history.append((eng.snapshot().manifest["seq"],
+                            list(schema), copy.deepcopy(model)))
+        # time travel reads the HISTORICAL schema and values
+        for seq, h_schema, h_model in rng.sample(history,
+                                                 min(2, len(history))):
+            snap = eng.snapshot(seq)
+            got = sorted(tuple(r) for r in
+                         snap.weighted_edges(props=True).collect())
+            want = sorted(
+                (s, d, row["w"],
+                 *[row["p"].get(c) for c in h_schema], g)
+                for (g, s, d), row in h_model.items())
+            assert got == want, f"seed {seed} time travel to seq {seq}"

@@ -71,3 +71,9 @@ def test_index_rollback_is_restore(spark, sf_dir):
     assert _rows(sq.stored_ivf_codebook(spark, sf_dir)) == _rows(
         sim.trained_centroids(spark, sf_dir)
         .select(F.col("cell").cast("long"), "cv"))
+
+
+def test_stored_pq_serve_equals_cache_serve(spark, sf_dir):
+    stored = sq.q_embedding_pq_stored_topk(spark, sf_dir).collect()
+    cached = sim.q_embedding_pq_trained_topk(spark, sf_dir).collect()
+    assert [tuple(r) for r in stored] == [tuple(r) for r in cached]

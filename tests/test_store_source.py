@@ -93,3 +93,20 @@ def test_vertex_only_and_metadata_commits_emit_nothing(engine, spark,
     engine.declare_prop("edges", "note", "string")
     got = _run(spark, engine.store, str(tmp_path / "ck"), str(tmp_path / "o"))
     assert got == [("A", 1, 2, 5, 1)]
+
+
+def test_batch_read_equals_stream_backfill(engine, spark, tmp_path):
+    """spark.read.format('gdb_commits') — the backfill form — returns
+    exactly what an availableNow tail from seq 0 would emit."""
+    spark.dataSource.register(GraphStoreDataSource)
+    engine.append_edges(_edges(spark, [("A", 1, 2, 5), ("B", 1, 2, 2)]))
+    engine.merge_edges(_edges(spark, [("A", 1, 2, 0)]), delete=True,
+                       mode="delta")   # delete marker: emitted raw (w=0)
+    engine.merge_edges(_edges(spark, [("B", 5, 6, 3)]))   # COW: skipped
+    batch = sorted(tuple(r) for r in
+                   spark.read.format("gdb_commits")
+                   .option("path", engine.store).load().collect())
+    stream = _run(spark, engine.store, str(tmp_path / "ck"),
+                  str(tmp_path / "o"))
+    assert batch == stream
+    assert ("A", 1, 2, 0, 2) in batch   # the delete marker, raw
