@@ -31,9 +31,20 @@ consumer's own checkpoint:
 - **Rows**: the core edge columns stamped with the publishing seq —
   ``(graph, src, dst, w, seq)``. Merge-on-read delta commits emit
   their rows RAW, so a ``w = 0`` row is the store's delete marker —
-  the change-feed consumer sees deletes as deletes. Typed property
-  columns are not carried (a streaming schema must be stable across
-  schema evolution; core columns are).
+  the change-feed consumer sees deletes as deletes. Typed edge
+  property columns are not carried (a streaming schema must be
+  stable for a run; core columns are).
+- **``option("table", "vertices")``** switches to the VERTEX change
+  feed: ``(graph, vid, *declared vertex props, seq)`` — membership
+  rows from edge appends (props None), ``set_vertex_props`` delta
+  rows raw. The prop schema is pinned per run from the manifest at
+  query start (a consumer restarted after schema evolution picks up
+  the evolved schema), and a RENAMEd column is served under its
+  logical name: the colmap rides into every partition and executors
+  read the physical parquet column.
+- **Batch form**: ``spark.read.format("gdb_commits")`` replays the
+  retained history with the identical planner and skip rule, so
+  backfill-then-tail composes without gaps or double counts.
 
 Scope: the planner opens the manifest log directly (POSIX path — the
 local/NFS store layout; the S3 store would swap in
@@ -65,12 +76,28 @@ def _cids(ptr) -> list[str]:
 
 class CommitPartition(InputPartition):
     def __init__(self, store: str, cid: str, seq: int,
-                 graphs: list[str], gb: int | None):
+                 graphs: list[str], gb: int | None,
+                 table: str = "edges",
+                 prop_cols: list[tuple[str, str]] | None = None):
         self.store = store
         self.cid = cid
         self.seq = seq
         self.graphs = graphs
         self.gb = gb
+        self.table = table
+        # vertices only: declared props as (logical, physical) pairs
+        # in declaration order — the colmap applied executor-side
+        self.prop_cols = prop_cols or []
+
+
+def _vertex_props(doc: dict) -> list[tuple[str, str]]:
+    """Declared vertex props of manifest ``doc`` as (logical,
+    physical) pairs in declaration order — RENAMEd columns read their
+    original physical parquet column (the same colmap rule as
+    GraphSnapshot reads)."""
+    props = doc.get("props", {}).get("vertices", {})
+    cmap = doc.get("colmap", {}).get("vertices", {})
+    return [(n, cmap.get(n, n)) for n in props]
 
 
 class GraphStoreStreamReader(DataSourceStreamReader):
@@ -81,6 +108,11 @@ class GraphStoreStreamReader(DataSourceStreamReader):
                 "gdb_commits: .option('path', <store dir>) is required")
         self._store = path
         self._start = int(options.get("starting_seq", 0))
+        self._table = options.get("table", "edges")
+        if self._table not in ("edges", "vertices"):
+            raise ValueError(
+                f"gdb_commits: table must be 'edges' or 'vertices', "
+                f"got {self._table!r}")
         # driver-side manifest access without a SparkSession: the
         # POSIX metadata store (same blobs the engine writes)
         from graphdatabase_spark.metastore import (ManifestLog,
@@ -112,6 +144,13 @@ class GraphStoreStreamReader(DataSourceStreamReader):
         s0, s1 = int(start["seq"]), int(end["seq"])
         parts: list[CommitPartition] = []
         prev = self._doc(s0)
+        # vertices: the prop columns are pinned ONCE per run from the
+        # newest manifest in range (a streaming schema is stable for
+        # the query's lifetime; a consumer restarted after schema
+        # evolution picks up the evolved schema) — the colmap rides
+        # into every partition so executors read physical columns
+        pcols = (_vertex_props(self._doc(s1))
+                 if self._table == "vertices" and s1 > 0 else [])
         for seq in range(s0 + 1, s1 + 1):
             cur = self._doc(seq)
             pg, cg = prev.get("graphs", {}), cur.get("graphs", {})
@@ -131,11 +170,13 @@ class GraphStoreStreamReader(DataSourceStreamReader):
                         by_gb.setdefault(
                             graph_bucket(g, buckets), []).append(g)
                     parts.extend(
-                        CommitPartition(self._store, cid, seq, gs, gb)
+                        CommitPartition(self._store, cid, seq, gs, gb,
+                                        self._table, pcols)
                         for gb, gs in sorted(by_gb.items()))
                 else:
                     parts.append(
-                        CommitPartition(self._store, cid, seq, graphs, None))
+                        CommitPartition(self._store, cid, seq, graphs, None,
+                                        self._table, pcols))
             prev = cur
         return parts
 
@@ -144,16 +185,23 @@ class GraphStoreStreamReader(DataSourceStreamReader):
     def read(self, partition: CommitPartition):
         import pyarrow.dataset as pads
 
-        path = os.path.join(partition.store, "data", "edges",
+        path = os.path.join(partition.store, "data", partition.table,
                             f"c={partition.cid}")
         if partition.gb is not None:
             path = os.path.join(path, f"gb={partition.gb}")
         if not os.path.isdir(path):
-            return   # this commit wrote no edge rows (vertex-only)
+            return   # this commit wrote no rows for this table
         dset = pads.dataset(path, format="parquet", partitioning="hive")
         names = set(dset.schema.names)
         want = set(partition.graphs)
-        cols = [c for c in ("graph", "src", "dst", "w") if c in names]
+        if partition.table == "vertices":
+            # physical prop columns present in THIS commit's files;
+            # absent ones (commits predating the column) read None —
+            # the same NULL-backfill rule as the snapshot scan
+            phys = [p for _, p in partition.prop_cols]
+            cols = ["graph", "vid"] + [p for p in phys if p in names]
+        else:
+            cols = [c for c in ("graph", "src", "dst", "w") if c in names]
         for batch in dset.to_table(columns=cols).to_batches():
             d = batch.to_pydict()
             n = len(d[cols[0]])
@@ -165,12 +213,20 @@ class GraphStoreStreamReader(DataSourceStreamReader):
             graphs = ([unquote(str(g)) for g in d["graph"]]
                       if partition.gb is None
                       else [str(g) for g in d["graph"]])
-            ws = d.get("w", [1] * n)
-            for i in range(n):
-                if graphs[i] in want:
-                    yield (graphs[i], d["src"][i], d["dst"][i],
-                           int(ws[i] if ws[i] is not None else 1),
-                           partition.seq)
+            if partition.table == "vertices":
+                for i in range(n):
+                    if graphs[i] in want:
+                        yield (graphs[i], d["vid"][i],
+                               *[d[p][i] if p in d else None
+                                 for _, p in partition.prop_cols],
+                               partition.seq)
+            else:
+                ws = d.get("w", [1] * n)
+                for i in range(n):
+                    if graphs[i] in want:
+                        yield (graphs[i], d["src"][i], d["dst"][i],
+                               int(ws[i] if ws[i] is not None else 1),
+                               partition.seq)
 
 
 class GraphStoreBatchReader(DataSourceReader):
@@ -203,7 +259,21 @@ class GraphStoreDataSource(DataSource):
         return "gdb_commits"
 
     def schema(self) -> str:
-        return SCHEMA
+        if self.options.get("table", "edges") != "vertices":
+            return SCHEMA
+        # the VERTEX change feed: core key + the store's declared
+        # vertex props (logical names) at query-start, + seq. Schema
+        # is pinned per run — a consumer restarted after schema
+        # evolution picks up the evolved schema; executors read
+        # physical columns through the colmap carried per partition.
+        from graphdatabase_spark.metastore import (ManifestLog,
+                                                   PosixManifestStore)
+        doc = ManifestLog(PosixManifestStore(
+            os.path.join(self.options["path"], "manifests"))).load() or {}
+        props = doc.get("props", {}).get("vertices", {})
+        return ("graph string, vid int"
+                + "".join(f", {n} {t}" for n, t in props.items())
+                + ", seq int")
 
     def streamReader(self, schema) -> GraphStoreStreamReader:
         return GraphStoreStreamReader(self.options)

@@ -110,3 +110,24 @@ def test_batch_read_equals_stream_backfill(engine, spark, tmp_path):
                   str(tmp_path / "o"))
     assert batch == stream
     assert ("A", 1, 2, 0, 2) in batch   # the delete marker, raw
+
+
+def test_vertex_change_feed_with_rename_mapping(engine, spark, tmp_path):
+    """option('table', 'vertices'): the vertex-side change feed —
+    membership rows from edge appends (props None), MoR prop-delta
+    rows raw, and a RENAMEd column served under its logical name via
+    the colmap (executors read the physical parquet column)."""
+    spark.dataSource.register(GraphStoreDataSource)
+    engine.append_edges(_edges(spark, [("A", 1, 2, 5)]))        # seq 1
+    engine.set_vertex_props(spark.createDataFrame(
+        [("A", 1, "x", 3), ("A", 9, "y", 4)],
+        "graph string, vid int, tag string, hits int"),
+        mode="delta")                                           # seq 2
+    engine.sql("ALTER TABLE gdb_vertices RENAME COLUMN tag TO label2")
+    df = (spark.read.format("gdb_commits")
+          .option("path", engine.store).option("table", "vertices").load())
+    assert df.columns == ["graph", "vid", "label2", "hits", "seq"]
+    got = sorted((tuple(r) for r in df.collect()), key=str)
+    assert got == sorted([
+        ("A", 1, None, None, 1), ("A", 2, None, None, 1),   # membership
+        ("A", 1, "x", 3, 2), ("A", 9, "y", 4, 2)], key=str)
