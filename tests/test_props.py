@@ -895,3 +895,23 @@ def test_model_schema_evolution_random_interleaving(spark, tmp_path):
                  *[row["p"].get(c) for c in h_schema], g)
                 for (g, s, d), row in h_model.items())
             assert got == want, f"seed {seed} time travel to seq {seq}"
+
+
+def test_write_racing_rename_fails_loudly(engine, spark):
+    """A writer whose batch still carries the OLD logical name after a
+    concurrent RENAME landed must fail loudly at publish (its CAS
+    closure re-applies against the renamed manifest, where the old
+    name is a retired physical) — never silently re-declare the old
+    spelling as a fresh column over the renamed column's data."""
+    import pytest
+    engine.append_edges(_prop_edges(spark))
+    snap = engine.snapshot()
+    engine.rename_prop("edges", "kind", "category")
+    with pytest.raises(ValueError, match="DROPPED or RENAMED"):
+        engine.merge_edges(spark.createDataFrame(
+            [("A", 1, 2, 3, "stale")],
+            "graph string, src int, dst int, w int, kind string"),
+            pinned_snapshot=snap)
+    # the store is untouched by the failed publish
+    assert engine.snapshot().props["edges"] == {"category": "string",
+                                                "score": "double"}
