@@ -106,6 +106,15 @@ class GraphStoreStreamReader(DataSourceStreamReader):
         if not path:
             raise ValueError(
                 "gdb_commits: .option('path', <store dir>) is required")
+        if "://" in path or path.startswith("file:"):
+            # planning runs without a SparkSession, so only the POSIX
+            # metadata store is wired here; an S3 store would swap in
+            # S3ManifestStore + pyarrow's S3 filesystem the same way.
+            # Loud beats a confusing downstream listing error.
+            raise NotImplementedError(
+                f"gdb_commits: scheme store paths are not wired into the "
+                f"Python-data-source planner yet (got {path!r}); use a "
+                f"local/NFS store path")
         self._store = path
         self._start = int(options.get("starting_seq", 0))
         self._table = options.get("table", "edges")

@@ -131,3 +131,83 @@ def test_vertex_change_feed_with_rename_mapping(engine, spark, tmp_path):
     assert got == sorted([
         ("A", 1, None, None, 1), ("A", 2, None, None, 1),   # membership
         ("A", 1, "x", 3, 2), ("A", 9, "y", 4, 2)], key=str)
+
+
+def test_model_planner_prefix_rule(spark, tmp_path):
+    """Model-based check of the emission planner: random
+    interleavings of appends, MoR deltas (upserts + delete markers),
+    COW merges (on new AND existing graphs), compaction, and RESTORE,
+    against a driver-side chain mirror that applies the same
+    prefix-extension rule — any double count from a rewrite, a missed
+    append after a restore, or a mis-grouped commit shows up as a set
+    mismatch on the batch read."""
+    import random
+
+    spark.dataSource.register(GraphStoreDataSource)
+    KEYS = [(g, s, d) for g in ("A", "B") for s in (1, 2) for d in (1, 2)]
+    for seed in (5, 29):
+        rng = random.Random(seed)
+        eng = GraphEngine(spark, str(tmp_path / f"s{seed}" / "store"),
+                          buckets=2)
+        chains: dict[str, list[int]] = {}       # model chain mirror
+        snaps: dict[int, dict[str, list[int]]] = {}   # seq -> chains copy
+        expected: set[tuple] = set()
+        opid = 0
+        for step in range(10):
+            op = rng.choice(["append", "append", "delta", "delete",
+                             "cow", "compact", "restore"])
+            keys = rng.sample(KEYS, rng.randint(1, 3))
+            w = step + 1
+            opid += 1
+            by_graph: dict[str, list[tuple]] = {}
+            for (g, s, d) in keys:
+                by_graph.setdefault(g, []).append((g, s, d))
+            if op in ("append", "delta", "delete"):
+                rows = [(g, s, d, 0 if op == "delete" else w)
+                        for (g, s, d) in keys]
+                batch = _edges(spark, rows)
+                if op == "append":
+                    eng.append_edges(_edges(spark,
+                                            [(g, s, d, w)
+                                             for (g, s, d) in keys]))
+                elif op == "delta":
+                    eng.merge_edges(_edges(spark,
+                                           [(g, s, d, w)
+                                            for (g, s, d) in keys]),
+                                    mode="delta")
+                else:
+                    eng.merge_edges(batch.select("graph", "src", "dst"),
+                                    delete=True, mode="delta")
+                seq = eng.snapshot().manifest["seq"]
+                for g, ks in by_graph.items():
+                    chains.setdefault(g, []).append(opid)
+                    expected.update(
+                        (g, s, d, 0 if op == "delete" else w, seq)
+                        for (g, s, d) in ks)
+            elif op == "cow":
+                eng.merge_edges(_edges(spark, [(g, s, d, w)
+                                               for (g, s, d) in keys]))
+                seq = eng.snapshot().manifest["seq"]
+                for g, ks in by_graph.items():
+                    if g not in chains:          # new graph: emitted
+                        chains[g] = [opid]
+                        expected.update((g, s, d, w, seq)
+                                        for (g, s, d) in ks)
+                    else:                        # rewrite: skipped
+                        chains[g] = [opid]
+            elif op == "compact" and chains:
+                eng.compact()
+                chains = {g: (c if len(c) == 1 else [opid])
+                          for g, c in chains.items()}
+            elif op == "restore" and snaps:
+                back = rng.choice(sorted(snaps))
+                eng.restore(back)
+                chains = {g: list(c) for g, c in snaps[back].items()}
+            else:
+                continue
+            snaps[eng.snapshot().manifest["seq"]] = \
+                {g: list(c) for g, c in chains.items()}
+        got = {tuple(r) for r in
+               spark.read.format("gdb_commits")
+               .option("path", eng.store).load().collect()}
+        assert got == expected, f"seed {seed}"
