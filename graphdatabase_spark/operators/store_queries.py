@@ -613,11 +613,14 @@ def _tail_store_engine(spark: SparkSession, sf_dir: str):
         path = os.path.join(
             _track_store(tempfile.mkdtemp(prefix="gdb_tail_store_")), "store")
         eng = GraphEngine(spark, path, buckets=4)
-        half0 = _events_half(spark, sf_dir, 0)
+        # fixture batches are <= 6250 aggregated rows at every SF —
+        # coalesce before the commit writes so each of the four
+        # commits costs 4 write tasks, not 32 (pure harness cost)
+        half0 = _events_half(spark, sf_dir, 0).coalesce(4)
         eng.append_edges(half0)                                    # seq 1
         eng.append_edges(_events_half(spark, sf_dir, 1)
                          .withColumn("src", (F.col("src") + 30)
-                                     .cast("int")))                # seq 2
+                                     .cast("int")).coalesce(4))    # seq 2
         eng.merge_edges(half0.filter(F.col("src") < 5)
                         .withColumn("w", F.lit(7)), mode="delta")  # seq 3
         eng.merge_edges(half0.filter(F.col("src") >= 20)

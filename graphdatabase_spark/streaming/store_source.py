@@ -60,7 +60,6 @@ engine-native capability in Delta/Iceberg's direction.
 
 from __future__ import annotations
 
-import json
 import os
 from urllib.parse import unquote
 
