@@ -127,6 +127,14 @@ class GraphStoreStreamReader(DataSourceStreamReader):
                                                    PosixManifestStore)
         self._log = ManifestLog(
             PosixManifestStore(os.path.join(path, "manifests")))
+        # vertices: the prop columns are pinned ONCE at reader
+        # construction (query start), matching the DataSource schema
+        # pinned at the same moment — NOT per micro-batch: a column
+        # declared mid-stream must not widen later batches' rows
+        # beyond the query's schema (restart the consumer to pick up
+        # evolved schema, the Delta convention)
+        self._pcols = (_vertex_props(self._log.load() or {})
+                       if self._table == "vertices" else [])
 
     # -- offsets ------------------------------------------------------
 
@@ -152,13 +160,10 @@ class GraphStoreStreamReader(DataSourceStreamReader):
         s0, s1 = int(start["seq"]), int(end["seq"])
         parts: list[CommitPartition] = []
         prev = self._doc(s0)
-        # vertices: the prop columns are pinned ONCE per run from the
-        # newest manifest in range (a streaming schema is stable for
-        # the query's lifetime; a consumer restarted after schema
-        # evolution picks up the evolved schema) — the colmap rides
-        # into every partition so executors read physical columns
-        pcols = (_vertex_props(self._doc(s1))
-                 if self._table == "vertices" and s1 > 0 else [])
+        # the construction-time prop schema (see __init__) — the
+        # colmap rides into every partition so executors read the
+        # physical parquet columns
+        pcols = self._pcols
         for seq in range(s0 + 1, s1 + 1):
             cur = self._doc(seq)
             pg, cg = prev.get("graphs", {}), cur.get("graphs", {})

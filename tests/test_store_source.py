@@ -211,3 +211,28 @@ def test_model_planner_prefix_rule(spark, tmp_path):
                spark.read.format("gdb_commits")
                .option("path", eng.store).load().collect()}
         assert got == expected, f"seed {seed}"
+
+
+def test_vertex_feed_schema_pinned_at_query_start(engine, spark):
+    """A column declared AFTER the reader is constructed must not
+    widen later micro-batches' rows beyond the query-start schema —
+    the prop plan is pinned at construction, not per batch."""
+    from graphdatabase_spark.streaming.store_source import \
+        GraphStoreStreamReader
+
+    engine.set_vertex_props(spark.createDataFrame(
+        [("A", 1, "x")], "graph string, vid int, tag string"), mode="delta")
+    reader = GraphStoreStreamReader({"path": engine.store,
+                                     "table": "vertices"})
+    engine.declare_prop("vertices", "late", "int")
+    engine.set_vertex_props(spark.createDataFrame(
+        [("A", 2, "y", 7)],
+        "graph string, vid int, tag string, late int"), mode="delta")
+    parts = reader.partitions(reader.initialOffset(),
+                              reader.latestOffset())
+    assert parts and all(p.prop_cols == [("tag", "tag")] for p in parts)
+    rows = [r for p in parts for r in reader.read(p)]
+    # every row is exactly (graph, vid, tag, seq) wide — the late
+    # column never leaks into this run
+    assert rows and all(len(r) == 4 for r in rows)
+    assert ("A", 2, "y", 3) in rows
