@@ -187,6 +187,11 @@ def _merge_props(declared: dict, batch: dict, op: str,
     from old data files — refuse loudly instead."""
     out = dict(declared)
     low = {n.lower(): n for n in out}
+    # case-INSENSITIVE like every other name rule here: Spark resolves
+    # parquet fields case-insensitively, so 'Note' after DROP COLUMN
+    # 'note' would surface the dropped column's stale values — exactly
+    # the resurrection the tombstone exists to prevent
+    blocked_low = {b.lower() for b in blocked}
     for name, typ in batch.items():
         # case-INSENSITIVE key match, declared spelling wins: Spark
         # resolves columns case-insensitively, so 'Kind' and 'kind'
@@ -199,7 +204,7 @@ def _merge_props(declared: dict, batch: dict, op: str,
                 f"{op}: property column {canon!r} is declared {old} in "
                 f"the store but this batch carries {typ}; property "
                 f"types are store-wide — cast the batch")
-        if old is None and canon in blocked:
+        if old is None and canon.lower() in blocked_low:
             raise ValueError(
                 f"{op}: property name {canon!r} belongs to a DROPPED or "
                 f"RENAMED-away column whose values still sit in old "
@@ -334,10 +339,17 @@ class GraphSnapshot:
             f"{cmap.get(f.name, f.name)} {f.dataType.simpleString()}"
             for f in fields)
         df = self._read_or_empty(path, phys_schema)
-        for f in fields:
-            if f.name in cmap:
-                df = df.withColumnRenamed(cmap[f.name], f.name)
-        return df
+        # ONE select-with-aliases projection, never sequential
+        # withColumnRenamed: renaming one column at a time can pass
+        # through a state where a logical name equals another live
+        # column's physical name (colmap {tmp:b, b:a} renames a→b
+        # while physical b still exists → duplicate column), and the
+        # duplicate poisons every downstream reference. An atomic
+        # projection maps physical→logical in a single step, so no
+        # intermediate state exists.
+        return df.select(
+            *[F.col(cmap.get(f.name, f.name)).alias(f.name)
+              for f in fields])
 
     def _graph_filter(self, df: DataFrame, names: list[str]) -> DataFrame:
         """Restrict a commit read to ``names``. Bucketed stores get a
@@ -750,11 +762,18 @@ class GraphEngine:
         the old logical name — the same advisory window Delta has,
         and renames are rare maintenance ops."""
         if table in ("edges", "vertices"):
-            cmap = ((self.manifests.load() or {})
-                    .get("colmap", {}).get(table, {}))
-            for logical, phys in cmap.items():
-                if logical != phys and logical in df.columns:
-                    df = df.withColumnRenamed(logical, phys)
+            cmap = {l: p for l, p in ((self.manifests.load() or {})
+                    .get("colmap", {}).get(table, {})).items() if l != p}
+            if cmap and any(c in cmap for c in df.columns):
+                # ONE select-with-aliases projection (the write-side
+                # mirror of _commit_df's read projection): sequential
+                # withColumnRenamed depends on dict order when one
+                # column's PHYSICAL name equals another's LOGICAL name
+                # (colmap {tmp:b, b:a} on a batch carrying b and tmp:
+                # renaming tmp→b first duplicates b); the atomic
+                # projection has no intermediate state.
+                df = df.select(
+                    *[F.col(c).alias(cmap.get(c, c)) for c in df.columns])
         out = df.select(*[c for c in df.columns if c != "graph"], "graph")
         path = os.path.join(self.store, "data", table, f"c={cid}")
         if buckets:
@@ -1428,6 +1447,28 @@ class GraphEngine:
                 raise ValueError(
                     f"RENAME COLUMN: {table} already declares a "
                     f"property named {new!r}")
+            # the new LOGICAL spelling must not land on a live or
+            # retired PHYSICAL column either: reads resolve the
+            # logical→physical map onto one flat parquet namespace,
+            # so a logical 'b' whose physical is 'a' next to another
+            # column whose physical is 'b' (colmap {tmp:b, b:a} after
+            # RENAME b→tmp; RENAME a→b) would alias two live columns
+            # onto one physical spelling — duplicate/ambiguous reads
+            # and corrupted writes. Refuse loudly, the same rule
+            # _merge_props applies to ADD COLUMN. The column's OWN
+            # physical is exempt (renaming a column back to its
+            # original name un-renames it).
+            cmap_cur = (prev or {}).get("colmap", {}).get(table, {})
+            own_phys = cmap_cur.get(old, old)
+            taken = {p.lower() for p in _blocked_physicals(prev, table)}
+            taken |= {cmap_cur.get(n, n).lower()
+                      for n in declared if n != old}
+            if new.lower() in taken - {own_phys.lower()}:
+                raise ValueError(
+                    f"RENAME COLUMN: {new!r} is the physical name of "
+                    f"another live column or of a DROPPED/RENAMED-away "
+                    f"column whose values still sit in old data files; "
+                    f"pick a different name")
             # rename in place, preserving declaration order
             props_doc[table] = {(new if n == old else n): t
                                 for n, t in declared.items()}

@@ -39,65 +39,45 @@ _MODULES = [relational, graph_queries, text, dedup, similarity, streamops, multi
 # i.e. ids whose first driver row is still pending — are fronted in
 # ``_CHECK_FIRST``.  When rotating for round N+1: copy ``_CHECK_FIRST``
 # into ``_PREV_WINDOW`` first.
-# Round-14 window: the round-13 deferral (the 43 ids below, fronted
-# FIRST — their r11 rows hit the three-window horizon, the one
-# mechanical MUST of the round-13 verdict), then the ids NEW or
-# MODIFIED this round, then oldest-r12-window fillers for the
-# remaining slots.  With >100 registered ids and a fixed 50-row
+# Round-15 window: the round-14 deferral (the 47 ids below, fronted
+# FIRST — their r12 rows hit the three-window horizon, the one
+# mechanical MUST of the round-14 verdict), then the ids NEW or
+# MODIFIED this round.  With >100 registered ids and a fixed 50-row
 # driver window a two-window cover stays arithmetically impossible
-# (2 × 50 < N): the ids squeezed out (``_DEFERRED_R14`` below — r12
-# greens) keep their r12 row until round 15, where they MUST be
+# (2 × 50 < N): the ids squeezed out (``_DEFERRED_R15`` below — r13
+# greens) keep their r13 row until round 16, where they MUST be
 # fronted.
 # tests/test_registry.py enforces the three-window cover and that
 # deferral beyond two rounds happens only because the registry
 # outgrew two windows — never silently.  Local full-registry parity
 # evidence stays per-round in PARITY_LOCAL.json
 # (tools/harness_replica.py).
-_DEFERRED_R14 = [
-    # r12-window ids squeezed out of the round-14 window (the 50-slot
-    # driver window must front the 43 _DEFERRED_R13 ids whose r11 rows
+_DEFERRED_R15 = [
+    # r13-window ids squeezed out of the round-15 window (the 50-slot
+    # driver window must front the 47 _DEFERRED_R14 ids whose r12 rows
     # hit the three-window horizon, plus this round's new/modified
-    # ids; 144 ids > 2 x 50 slots). Their latest driver row is r12,
+    # ids; 146 ids > 2 x 50 slots). Their latest driver row is r13,
     # inside the three-window horizon, and tests/test_registry.py
-    # keeps this list explicit. Round 15 MUST front these.
-    "asof_join_events", "asof_join_events_salted", "bfs_levels",
-    "connected_components", "corpus_funnel", "dedup_clusters", "dedup_embedding", "dedup_near",
-    "embedding_ivf_trained_topk", "events_gap_fill", "events_quantiles",
-    "events_stream_dedup", "events_stream_join", "graph_ingest_matrix",
-    "hybrid_search_rrf", "ivf_recenter", "kcore", "knn_join", "motif_find",
-    "multimodal_meta", "pagerank", "pq_recenter", "pricing_summary",
-    "revenue_by_nation", "scc", "search_bm25", "semdedup_ivf",
-    "shortest_paths_landmarks",
-    "similarity_topk", "sql_recursive_reachability", "sssp_weighted",
-    "store_bfs_all", "store_cc_all", "store_clustering_all",
-    "store_kcore_all", "store_label_propagation_all", "store_merge_edges",
-    "store_pagerank_all", "store_props_mor", "store_scc_all",
-    "store_snapshot_diff", "store_sql_degree", "store_sssp_all",
-    "store_stats", "store_stream_ingest", "triangle_count",
-    "window_showcase",
+    # keeps this list explicit. Round 16 MUST front these.
+    "bfs_expr", "contamination_check", "corpus_histogram", "corpus_prep",
+    "customer_distribution", "customers_without_orders",
+    "embedding_pq_trained_topk", "events_anomaly",
+    "events_enriched", "events_funnel", "events_retention",
+    "events_rollup_daily", "events_sessionization", "events_sliding_avg",
+    "events_trending", "events_tumbling_counts", "excess_stock_suppliers",
+    "graph_stats", "important_parts", "market_share", "min_cost_supplier",
+    "motif_weighted", "order_priority_rollup", "parts_supplier_counts",
+    "pivot_returns", "product_profit", "quality_repetition",
+    "range_join_events", "returned_item_revenue", "returns_cube",
+    "salted_join_orders", "sample_split",
+    "segment_distinct_customers_approx", "sequence_pack",
+    "shipmode_priority", "shipping_priority", "sql_forecast_revenue",
+    "sql_grouping_sets", "store_merge_edges_mor", "store_sql_dml",
+    "tfidf_top_terms", "top_ngrams", "top_orders_per_customer",
+    "vertex_jaccard", "volume_shipping", "waiting_suppliers",
 ]
 
 _PREV_WINDOW2 = [
-    # round-12 window (CORRECTNESS_r12.json's 50 rows, in order)
-    "running_user_stats", "search_bm25", "semdedup_ivf", "knn_join",
-    "connected_components", "dedup_clusters", "corpus_funnel",
-    "ivf_recenter", "store_stream_ingest", "store_merge_edges",
-    "store_snapshot_diff", "store_stats", "store_bfs_all", "store_cc_all",
-    "store_scc_all", "store_sssp_all", "store_pagerank_all",
-    "store_sql_degree", "motif_find", "dedup_embedding", "dedup_near",
-    "asof_join_events_salted", "hybrid_search_rrf",
-    "sql_recursive_reachability", "multimodal_meta", "events_stream_dedup",
-    "events_stream_join", "bfs_levels", "pagerank", "kcore",
-    "triangle_count", "similarity_topk", "pq_recenter", "store_kcore_all",
-    "store_label_propagation_all", "store_clustering_all",
-    "embedding_ivf_trained_topk", "store_props_mor", "store_merge_edges_mor",
-    "store_sql_dml", "events_gap_fill", "sssp_weighted", "window_showcase",
-    "pricing_summary", "revenue_by_nation", "asof_join_events",
-    "events_quantiles", "scc", "graph_ingest_matrix",
-    "shortest_paths_landmarks",
-]
-
-_PREV_WINDOW = [
     # round-13 window (CORRECTNESS_r13.json's 50 rows, in order)
     "contamination_check", "corpus_histogram", "corpus_prep", "bfs_expr",
     "customer_distribution", "embedding_ann_lsh", "embedding_ivf_topk",
@@ -117,9 +97,8 @@ _PREV_WINDOW = [
     "order_priority_rollup", "returns_cube", "top_orders_per_customer",
 ]
 
-_CHECK_FIRST = [
-    # -- the round-13 deferral (43 ids, r11 rows at the three-round
-    # horizon): MUST front per the rotation invariant --
+_PREV_WINDOW = [
+    # round-14 window (CORRECTNESS_r14.json's 50 rows, in order)
     "chunk_dedup", "clustering_coefficient", "dedup_exact",
     "dedup_minhash_lsh", "dedup_near_guarded", "dedup_simhash", "dfs_leaves",
     "dfs_leaves_tree", "disjunctive_revenue", "doc_fingerprint",
@@ -133,30 +112,44 @@ _CHECK_FIRST = [
     "segment_distinct_customers", "set_ops", "shortest_path_hops",
     "small_qty_revenue", "store_triangle_all", "summary_stats", "text_stats",
     "token_count", "top_expensive_orders", "top_supplier", "wordcount_docs",
-    # -- MODIFIED this round (round-14 slots; each swap below replaces
-    # an r12 filler as new ids land) --
-    "ann_recall", "store_sql_maintenance",
-    # -- NEW this round: IVF top-k served from the COMMITTED codebook
-    # store table (trained quantizer as a versioned artifact — the
-    # train-once/serve-many production shape, round-13 verdict
-    # item 2) --
-    "embedding_ivf_stored_topk",
-    # -- NEW this round: the CDC state diff as a pure SQL surface
-    # (table_changes(gdb, s1, s2) binding — round-13 verdict item 5) --
-    "store_table_changes",
-    # -- NEW this round: the commit chain consumed as a STREAM (the
-    # gdb_commits Python data source; offsets = manifest seq in the
-    # consumer checkpoint — round-13 verdict item 6) --
-    "store_stream_source",
-    # -- NEW this round: PQ served from the COMMITTED codebook table
-    # (the IVF stored id's twin — train-once/serve-many symmetry) --
-    "embedding_pq_stored_topk",
-    # -- oldest r12-window fillers for the remaining slots (these
-    # would otherwise head next round's deferral) --
+    "ann_recall", "store_sql_maintenance", "embedding_ivf_stored_topk",
+    "store_table_changes", "store_stream_source", "embedding_pq_stored_topk",
     "running_user_stats",
 ]
-# (the remaining r12-window ids are _DEFERRED_R14 above — their r12
-# rows stay within the three-window horizon; round 15 fronts them.)
+
+_CHECK_FIRST = [
+    # -- the round-14 deferral (47 ids, r12 rows at the three-round
+    # horizon): MUST front per the rotation invariant --
+    "asof_join_events", "asof_join_events_salted", "bfs_levels",
+    "connected_components", "corpus_funnel", "dedup_clusters",
+    "dedup_embedding", "dedup_near",
+    "embedding_ivf_trained_topk", "events_gap_fill", "events_quantiles",
+    "events_stream_dedup", "events_stream_join", "graph_ingest_matrix",
+    "hybrid_search_rrf", "ivf_recenter", "kcore", "knn_join", "motif_find",
+    "multimodal_meta", "pagerank", "pq_recenter", "pricing_summary",
+    "revenue_by_nation", "scc", "search_bm25", "semdedup_ivf",
+    "shortest_paths_landmarks",
+    "similarity_topk", "sql_recursive_reachability", "sssp_weighted",
+    "store_bfs_all", "store_cc_all", "store_clustering_all",
+    "store_kcore_all", "store_label_propagation_all", "store_merge_edges",
+    "store_pagerank_all", "store_props_mor", "store_scc_all",
+    "store_snapshot_diff", "store_sql_degree", "store_sssp_all",
+    "store_stats", "store_stream_ingest", "triangle_count",
+    "window_showcase",
+    # -- MODIFIED this round: ann_recall gains the 8th (IVFADC)
+    # method; embedding_ann_lsh gains Hamming-radius multi-probe
+    # (closing the measured recall-0.0 defect, round-14 verdict
+    # item 4) --
+    "ann_recall", "embedding_ann_lsh",
+    # -- placeholder slot: swapped for the NEW composed
+    # IVF + PQ-on-residuals id (embedding_ivfpq_topk, the FAISS
+    # IVFADC shape — round-14 verdict item 3) when it lands this
+    # round; until then the oldest r13-window filler keeps the
+    # 50-slot window full --
+    "embedding_ivf_topk",
+]
+# (the remaining r13-window ids are _DEFERRED_R15 above — their r13
+# rows stay within the three-window horizon; round 16 fronts them.)
 
 # Query ids registered WITHOUT a DuckDB oracle (the driver records a
 # weaker rows-only check): approximate/sketch outputs whose exact values

@@ -915,3 +915,69 @@ def test_write_racing_rename_fails_loudly(engine, spark):
     # the store is untouched by the failed publish
     assert engine.snapshot().props["edges"] == {"category": "string",
                                                 "score": "double"}
+
+
+def test_rename_cannot_claim_another_columns_physical(engine, spark):
+    """The round-14 advice scenario: declare a,b; RENAME b TO tmp;
+    RENAME a TO b would build colmap {tmp:b, b:a} — logical 'b' and
+    logical 'tmp' then both resolve through physical 'b' territory
+    and reads/writes collide. The rename must refuse the spelling
+    loudly (same rule ADD COLUMN applies via _blocked_physicals)."""
+    import pytest
+    engine.append_edges(_prop_edges(spark))              # kind, score
+    engine.rename_prop("edges", "kind", "tmp")           # colmap {tmp: kind}
+    with pytest.raises(ValueError, match="physical name"):
+        engine.rename_prop("edges", "score", "kind")     # kind = tmp's phys
+    with pytest.raises(ValueError, match="physical name"):
+        engine.rename_prop("edges", "score", "KIND")     # case-insensitive
+    # renaming a column BACK to its own physical stays legal
+    assert engine.rename_prop("edges", "tmp", "kind") is True
+    assert engine.snapshot().manifest.get("colmap", {}).get("edges", {}) \
+        == {}
+    # a DROPPED column's tombstoned physical is equally untouchable
+    engine.drop_prop("edges", "kind")
+    with pytest.raises(ValueError, match="physical name"):
+        engine.rename_prop("edges", "score", "kind")
+    # reads through the surviving mapping-free schema stay intact
+    assert _rows(engine.snapshot().weighted_edges(props=True)) == [
+        (1, 2, 2, 0.1, "B"), (1, 2, 3, 0.5, "A"), (2, 3, 1, 0.9, "A")]
+
+
+def test_dropped_column_tombstone_is_case_insensitive(engine, spark):
+    """ADD COLUMN 'Note' after DROP COLUMN 'note' must fail: Spark
+    resolves parquet fields case-insensitively, so the new spelling
+    would surface the dropped column's stale values — the exact
+    resurrection the tombstone exists to prevent."""
+    import pytest
+    engine.append_edges(spark.createDataFrame(
+        [("A", 1, 2, 1, "x")],
+        "graph string, src int, dst int, w int, note string"))
+    engine.drop_prop("edges", "note")
+    with pytest.raises(ValueError, match="DROPPED or RENAMED"):
+        engine.declare_prop("edges", "Note", "string")
+    with pytest.raises(ValueError, match="DROPPED or RENAMED"):
+        engine.append_edges(spark.createDataFrame(
+            [("A", 2, 3, 1, "y")],
+            "graph string, src int, dst int, w int, Note string"))
+
+
+def test_multi_rename_colmap_reads_and_writes_atomically(engine, spark):
+    """Two simultaneously-mapped columns exercise the single-
+    projection colmap application on BOTH paths (read: _commit_df,
+    write: _store_write) — the shape where sequential per-column
+    renames could pass through a duplicate-name intermediate."""
+    engine.append_edges(_prop_edges(spark))              # kind, score
+    engine.rename_prop("edges", "kind", "relation")      # {relation: kind}
+    engine.rename_prop("edges", "score", "conf")         # {conf: score}
+    snap = engine.snapshot()
+    assert snap.props["edges"] == {"relation": "string", "conf": "double"}
+    assert _rows(snap.weighted_edges(props=True)) == [
+        (1, 2, 2, "follows", 0.1, "B"), (1, 2, 3, "follows", 0.5, "A"),
+        (2, 3, 1, "likes", 0.9, "A")]
+    # a write carrying BOTH logical names lands under BOTH physicals
+    engine.append_edges(spark.createDataFrame(
+        [("C", 7, 8, 1, "mentions", 0.3)],
+        "graph string, src int, dst int, w int, relation string, "
+        "conf double"))
+    got = _rows(engine.snapshot().weighted_edges(props=True))
+    assert (7, 8, 1, "mentions", 0.3, "C") in got and len(got) == 4
