@@ -28,30 +28,45 @@ consumer's own checkpoint:
   store gets one partition per (seq, commit). At scale an append
   commit is one micro-batch's worth of files, so a tailing consumer
   reads O(batch) regardless of store size.
-- **Rows**: the core edge columns stamped with the publishing seq —
-  ``(graph, src, dst, w, seq)``. Merge-on-read delta commits emit
+- **Rows**: the core edge columns PLUS the store's declared edge
+  properties, stamped with the publishing seq — ``(graph, src, dst,
+  w, *declared edge props, seq)``. Merge-on-read delta commits emit
   their rows RAW, so a ``w = 0`` row is the store's delete marker —
-  the change-feed consumer sees deletes as deletes. Typed edge
-  property columns are not carried (a streaming schema must be
-  stable for a run; core columns are).
+  the change-feed consumer sees deletes as deletes. The prop schema
+  is pinned per run from the manifest at query start (commits
+  written before a column existed read it as None — the same
+  NULL-backfill rule as the snapshot scan), and a RENAMEd column is
+  served under its logical name via the colmap, exactly like the
+  vertex feed below.
 - **``option("table", "vertices")``** switches to the VERTEX change
   feed: ``(graph, vid, *declared vertex props, seq)`` — membership
   rows from edge appends (props None), ``set_vertex_props`` delta
-  rows raw. The prop schema is pinned per run from the manifest at
-  query start (a consumer restarted after schema evolution picks up
-  the evolved schema), and a RENAMEd column is served under its
-  logical name: the colmap rides into every partition and executors
-  read the physical parquet column.
+  rows raw. Same query-start schema pinning and colmap rule as the
+  edge feed (a consumer restarted after schema evolution picks up
+  the evolved schema — the Delta convention).
 - **Batch form**: ``spark.read.format("gdb_commits")`` replays the
   retained history with the identical planner and skip rule, so
   backfill-then-tail composes without gaps or double counts.
 
-Scope: the planner opens the manifest log directly (POSIX path — the
-local/NFS store layout; the S3 store would swap in
-``S3ManifestStore`` the same way), because Python data source
-planning runs without a SparkSession. A consumed-then-vacuumed range
-raises FileNotFoundError instead of silently skipping data —
-``starting_seq`` lets a new consumer start past vacuumed history.
+Store path schemes (planning runs WITHOUT a SparkSession, so the
+JVM-gateway HadoopFsManifestStore is out of reach here):
+
+- plain POSIX path or ``file://…`` — :class:`PosixManifestStore` for
+  manifests, local filesystem for data (the ``file://`` spelling
+  exercises the exact scheme-resolution code path an object store
+  uses, end-to-end in tests);
+- ``s3://…`` / ``s3a://…`` — :class:`S3ManifestStore` (real
+  conditional-put commit log) for manifests; executors open the data
+  parquet through ``pyarrow.fs.FileSystem.from_uri`` (needs a
+  pyarrow S3 build + credentials at the executors). Tests drive the
+  planner against a fake S3 client (``S3_CLIENT_FACTORY`` below);
+- other schemes (``hdfs://``, ``abfs://``) still raise loudly: their
+  Python-side filesystem needs the JVM gateway the planner doesn't
+  have — loud beats a confusing downstream listing error.
+
+A consumed-then-vacuumed range raises FileNotFoundError instead of
+silently skipping data — ``starting_seq`` lets a new consumer start
+past vacuumed history.
 
 Reference parity note: the reference has no streaming surface at all
 (its server loop is request/response, ``primary_server.c``); this is
@@ -61,12 +76,51 @@ engine-native capability in Delta/Iceberg's direction.
 from __future__ import annotations
 
 import os
-from urllib.parse import unquote
+from collections.abc import Callable
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     DataSourceStreamReader, InputPartition)
 
-SCHEMA = "graph string, src int, dst int, w int, seq int"
+_CORE = {"edges": "graph string, src int, dst int, w int",
+         "vertices": "graph string, vid int"}
+
+# Injection point for the S3 planner: a zero-arg callable returning a
+# boto3-shaped client (put_object/get_object/delete_object/
+# get_paginator). Production leaves it None (S3ManifestStore builds a
+# real boto3 client); tests and custom endpoints (MinIO) set it.
+S3_CLIENT_FACTORY: Callable[[], object] | None = None
+
+
+def _open_manifest_log(path: str):
+    """The store's manifest log, resolved from the path scheme — the
+    ONE place the planner touches metadata, shared by schema
+    resolution and both readers (so a concurrent schema change cannot
+    make the pinned prop plan disagree with the query schema)."""
+    from graphdatabase_spark.metastore import (ManifestLog,
+                                               PosixManifestStore,
+                                               S3ManifestStore)
+    if path.startswith("file:"):
+        path = urlparse(path).path or path[len("file:"):]
+        return ManifestLog(
+            PosixManifestStore(os.path.join(path, "manifests")))
+    if path.startswith(("s3://", "s3a://")):
+        u = urlparse(path)
+        prefix = u.path.strip("/")
+        key = (prefix + "/manifests") if prefix else "manifests"
+        client = S3_CLIENT_FACTORY() if S3_CLIENT_FACTORY else None
+        return ManifestLog(
+            S3ManifestStore(u.netloc, prefix=key, client=client))
+    if "://" in path:
+        # hdfs:// / abfs:// reach their filesystem only through the
+        # JVM gateway (HadoopFsManifestStore), which the Python data
+        # source planner does not have. Loud beats a confusing
+        # downstream listing error.
+        raise NotImplementedError(
+            f"gdb_commits: only local, file://, and s3:// store paths "
+            f"are wired into the Python-data-source planner (got "
+            f"{path!r}); hdfs://-family schemes need the JVM gateway")
+    return ManifestLog(PosixManifestStore(os.path.join(path, "manifests")))
 
 
 def _cids(ptr) -> list[str]:
@@ -84,36 +138,62 @@ class CommitPartition(InputPartition):
         self.graphs = graphs
         self.gb = gb
         self.table = table
-        # vertices only: declared props as (logical, physical) pairs
-        # in declaration order — the colmap applied executor-side
+        # declared props as (logical, physical) pairs in declaration
+        # order — the colmap applied executor-side
         self.prop_cols = prop_cols or []
 
 
-def _vertex_props(doc: dict) -> list[tuple[str, str]]:
-    """Declared vertex props of manifest ``doc`` as (logical,
+def _table_props(doc: dict, table: str) -> list[tuple[str, str]]:
+    """Declared props of ``table`` in manifest ``doc`` as (logical,
     physical) pairs in declaration order — RENAMEd columns read their
     original physical parquet column (the same colmap rule as
     GraphSnapshot reads)."""
-    props = doc.get("props", {}).get("vertices", {})
-    cmap = doc.get("colmap", {}).get("vertices", {})
+    props = doc.get("props", {}).get(table, {})
+    cmap = doc.get("colmap", {}).get(table, {})
     return [(n, cmap.get(n, n)) for n in props]
 
 
+def _feed_schema(table: str, pcols: list[tuple[str, str]],
+                 props: dict) -> str:
+    """The change feed's DDL schema: core key columns + the declared
+    props (logical names, declared types) + the publishing seq."""
+    return (_CORE[table]
+            + "".join(f", {n} {props[n]}" for n, _ in pcols)
+            + ", seq int")
+
+
+def _open_commit_dataset(store: str, table: str, cid: str,
+                         gb: int | None):
+    """The pyarrow dataset of one commit dir, scheme-aware: POSIX
+    paths use the local filesystem directly; scheme paths resolve
+    their filesystem via ``pyarrow.fs.FileSystem.from_uri`` (s3a://
+    normalized to s3://, which pyarrow understands). Returns None
+    when this commit wrote no rows for this table."""
+    import pyarrow.dataset as pads
+
+    rel = f"data/{table}/c={cid}" + (f"/gb={gb}" if gb is not None else "")
+    if "://" not in store and not store.startswith("file:"):
+        path = os.path.join(store, *rel.split("/"))
+        if not os.path.isdir(path):
+            return None
+        return pads.dataset(path, format="parquet", partitioning="hive")
+    from pyarrow import fs as pafs
+    uri = store[2:] if store.startswith("s3a://") else store
+    fs, base = pafs.FileSystem.from_uri(uri)
+    path = base.rstrip("/") + "/" + rel
+    if fs.get_file_info(path).type == pafs.FileType.NotFound:
+        return None
+    return pads.dataset(path, format="parquet", partitioning="hive",
+                        filesystem=fs)
+
+
 class GraphStoreStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, log=None,
+                 pcols: list[tuple[str, str]] | None = None):
         path = options.get("path")
         if not path:
             raise ValueError(
                 "gdb_commits: .option('path', <store dir>) is required")
-        if "://" in path or path.startswith("file:"):
-            # planning runs without a SparkSession, so only the POSIX
-            # metadata store is wired here; an S3 store would swap in
-            # S3ManifestStore + pyarrow's S3 filesystem the same way.
-            # Loud beats a confusing downstream listing error.
-            raise NotImplementedError(
-                f"gdb_commits: scheme store paths are not wired into the "
-                f"Python-data-source planner yet (got {path!r}); use a "
-                f"local/NFS store path")
         self._store = path
         self._start = int(options.get("starting_seq", 0))
         self._table = options.get("table", "edges")
@@ -121,20 +201,19 @@ class GraphStoreStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"gdb_commits: table must be 'edges' or 'vertices', "
                 f"got {self._table!r}")
-        # driver-side manifest access without a SparkSession: the
-        # POSIX metadata store (same blobs the engine writes)
-        from graphdatabase_spark.metastore import (ManifestLog,
-                                                   PosixManifestStore)
-        self._log = ManifestLog(
-            PosixManifestStore(os.path.join(path, "manifests")))
-        # vertices: the prop columns are pinned ONCE at reader
-        # construction (query start), matching the DataSource schema
-        # pinned at the same moment — NOT per micro-batch: a column
-        # declared mid-stream must not widen later batches' rows
-        # beyond the query's schema (restart the consumer to pick up
-        # evolved schema, the Delta convention)
-        self._pcols = (_vertex_props(self._log.load() or {})
-                       if self._table == "vertices" else [])
+        # driver-side manifest access without a SparkSession — injected
+        # by GraphStoreDataSource (ONE resolution shared with schema())
+        # or resolved here for direct construction
+        self._log = log if log is not None else _open_manifest_log(path)
+        # the prop columns are pinned ONCE at query start, matching
+        # the DataSource schema pinned at the same moment from the
+        # SAME manifest load — NOT per micro-batch: a column declared
+        # mid-stream must not widen later batches' rows beyond the
+        # query's schema (restart the consumer to pick up evolved
+        # schema, the Delta convention)
+        self._pcols = (pcols if pcols is not None
+                       else _table_props(self._log.load() or {},
+                                         self._table))
 
     # -- offsets ------------------------------------------------------
 
@@ -196,25 +275,20 @@ class GraphStoreStreamReader(DataSourceStreamReader):
     # -- executor read (no SparkSession: pyarrow over the commit dir) --
 
     def read(self, partition: CommitPartition):
-        import pyarrow.dataset as pads
-
-        path = os.path.join(partition.store, "data", partition.table,
-                            f"c={partition.cid}")
-        if partition.gb is not None:
-            path = os.path.join(path, f"gb={partition.gb}")
-        if not os.path.isdir(path):
+        dset = _open_commit_dataset(partition.store, partition.table,
+                                    partition.cid, partition.gb)
+        if dset is None:
             return   # this commit wrote no rows for this table
-        dset = pads.dataset(path, format="parquet", partitioning="hive")
         names = set(dset.schema.names)
         want = set(partition.graphs)
-        if partition.table == "vertices":
-            # physical prop columns present in THIS commit's files;
-            # absent ones (commits predating the column) read None —
-            # the same NULL-backfill rule as the snapshot scan
-            phys = [p for _, p in partition.prop_cols]
-            cols = ["graph", "vid"] + [p for p in phys if p in names]
-        else:
-            cols = [c for c in ("graph", "src", "dst", "w") if c in names]
+        # physical prop columns present in THIS commit's files; absent
+        # ones (commits predating the column) read None — the same
+        # NULL-backfill rule as the snapshot scan
+        phys = [p for _, p in partition.prop_cols]
+        core = ["graph", "vid"] if partition.table == "vertices" \
+            else ["graph", "src", "dst", "w"]
+        cols = [c for c in core if c in names] + \
+            [p for p in phys if p in names]
         for batch in dset.to_table(columns=cols).to_batches():
             d = batch.to_pydict()
             n = len(d[cols[0]])
@@ -239,6 +313,8 @@ class GraphStoreStreamReader(DataSourceStreamReader):
                     if graphs[i] in want:
                         yield (graphs[i], d["src"][i], d["dst"][i],
                                int(ws[i] if ws[i] is not None else 1),
+                               *[d[p][i] if p in d else None
+                                 for _, p in partition.prop_cols],
                                partition.seq)
 
 
@@ -250,8 +326,9 @@ class GraphStoreBatchReader(DataSourceReader):
     per-commit rows and the identical skip-rewrites rule, so
     backfill-then-tail composes without gaps or double counts."""
 
-    def __init__(self, options: dict):
-        self._stream = GraphStoreStreamReader(options)
+    def __init__(self, options: dict, log=None,
+                 pcols: list[tuple[str, str]] | None = None):
+        self._stream = GraphStoreStreamReader(options, log, pcols)
 
     def partitions(self):
         return self._stream.partitions(self._stream.initialOffset(),
@@ -271,25 +348,42 @@ class GraphStoreDataSource(DataSource):
     def name(cls) -> str:
         return "gdb_commits"
 
+    def _resolved(self):
+        """Manifest log + query-start prop plan, resolved ONCE per
+        data source instance and shared by schema() and both readers:
+        a declare_prop landing between two independent loads would
+        otherwise let the pinned prop plan disagree with the query
+        schema (wrong row arity for the whole run)."""
+        if not hasattr(self, "_log"):
+            path = self.options.get("path")
+            if not path:
+                raise ValueError(
+                    "gdb_commits: .option('path', <store dir>) is "
+                    "required")
+            table = self.options.get("table", "edges")
+            if table not in ("edges", "vertices"):
+                raise ValueError(
+                    f"gdb_commits: table must be 'edges' or "
+                    f"'vertices', got {table!r}")
+            self._log = _open_manifest_log(path)
+            doc = self._log.load() or {}
+            self._pcols = _table_props(doc, table)
+            self._props = doc.get("props", {}).get(table, {})
+            self._table = table
+        return self._log, self._pcols
+
     def schema(self) -> str:
-        if self.options.get("table", "edges") != "vertices":
-            return SCHEMA
-        # the VERTEX change feed: core key + the store's declared
-        # vertex props (logical names) at query-start, + seq. Schema
-        # is pinned per run — a consumer restarted after schema
-        # evolution picks up the evolved schema; executors read
-        # physical columns through the colmap carried per partition.
-        from graphdatabase_spark.metastore import (ManifestLog,
-                                                   PosixManifestStore)
-        doc = ManifestLog(PosixManifestStore(
-            os.path.join(self.options["path"], "manifests"))).load() or {}
-        props = doc.get("props", {}).get("vertices", {})
-        return ("graph string, vid int"
-                + "".join(f", {n} {t}" for n, t in props.items())
-                + ", seq int")
+        # core key + the store's declared props (logical names) at
+        # query start, + seq — pinned per run from the SAME manifest
+        # load the readers use; a consumer restarted after schema
+        # evolution picks up the evolved schema
+        _, pcols = self._resolved()
+        return _feed_schema(self._table, pcols, self._props)
 
     def streamReader(self, schema) -> GraphStoreStreamReader:
-        return GraphStoreStreamReader(self.options)
+        log, pcols = self._resolved()
+        return GraphStoreStreamReader(self.options, log, pcols)
 
     def reader(self, schema) -> GraphStoreBatchReader:
-        return GraphStoreBatchReader(self.options)
+        log, pcols = self._resolved()
+        return GraphStoreBatchReader(self.options, log, pcols)

@@ -92,7 +92,10 @@ def test_vertex_only_and_metadata_commits_emit_nothing(engine, spark,
         [("A", 1, "x")], "graph string, vid int, tag string"), mode="delta")
     engine.declare_prop("edges", "note", "string")
     got = _run(spark, engine.store, str(tmp_path / "ck"), str(tmp_path / "o"))
-    assert got == [("A", 1, 2, 5, 1)]
+    # the declared edge prop is part of the feed schema (None for the
+    # pre-declaration commit); the vertex-delta and metadata commits
+    # still emit NO rows
+    assert got == [("A", 1, 2, 5, None, 1)]
 
 
 def test_batch_read_equals_stream_backfill(engine, spark, tmp_path):
@@ -236,3 +239,119 @@ def test_vertex_feed_schema_pinned_at_query_start(engine, spark):
     # column never leaks into this run
     assert rows and all(len(r) == 4 for r in rows)
     assert ("A", 2, "y", 3) in rows
+
+
+def test_edge_feed_props_rename_and_query_start_pinning(engine, spark,
+                                                        tmp_path):
+    """The EDGE change feed carries the store's declared edge props —
+    colmap-aware and pinned at query start, exactly like the vertex
+    feed (round-14 verdict item 6): prop batches emit raw, commits
+    predating a column NULL-backfill it, a RENAMEd column serves
+    under its logical name, and a column declared after the reader is
+    constructed never widens this run's rows."""
+    from graphdatabase_spark.streaming.store_source import \
+        GraphStoreStreamReader
+
+    spark.dataSource.register(GraphStoreDataSource)
+    engine.append_edges(_edges(spark, [("A", 1, 2, 5)]))        # seq 1
+    engine.append_edges(spark.createDataFrame(
+        [("A", 3, 4, 7, "follows", 2)],
+        "graph string, src int, dst int, w int, kind string, "
+        "rank int"))                                            # seq 2
+    engine.sql("ALTER TABLE gdb_edges RENAME COLUMN kind TO category")
+    df = (spark.read.format("gdb_commits")
+          .option("path", engine.store).load())
+    assert df.columns == ["graph", "src", "dst", "w", "category",
+                          "rank", "seq"]
+    got = sorted((tuple(r) for r in df.collect()), key=str)
+    assert got == sorted([
+        ("A", 1, 2, 5, None, None, 1),      # pre-declaration backfill
+        ("A", 3, 4, 7, "follows", 2, 2)], key=str)
+    # pinning: a prop declared after reader construction stays out
+    reader = GraphStoreStreamReader({"path": engine.store})
+    engine.declare_prop("edges", "late", "int")
+    engine.append_edges(spark.createDataFrame(
+        [("A", 5, 6, 1, "x", 9, 4)],
+        "graph string, src int, dst int, w int, category string, "
+        "rank int, late int"))
+    parts = reader.partitions(reader.initialOffset(),
+                              reader.latestOffset())
+    assert parts and all(
+        p.prop_cols == [("category", "kind"), ("rank", "rank")]
+        for p in parts)
+    rows = [r for p in parts for r in reader.read(p)]
+    assert rows and all(len(r) == 7 for r in rows)
+    # category via physical 'kind'; the late column (value 4) dropped;
+    # seq 5 = append after rename (3) and declare (4) manifests
+    assert ("A", 5, 6, 1, "x", 9, 5) in rows
+
+
+def test_file_scheme_store_path_streams_end_to_end(engine, spark,
+                                                   tmp_path):
+    """A ``file://`` store path drives the SAME scheme-resolution code
+    an object store uses (manifest store from the URI, data through
+    pyarrow's FileSystem.from_uri) — end-to-end through a real
+    availableNow stream."""
+    spark.dataSource.register(GraphStoreDataSource)
+    engine.append_edges(_edges(spark, [("A", 1, 2, 5)]))
+    engine.append_edges(_edges(spark, [("B", 3, 4, 7)]))
+    got = _run(spark, "file://" + engine.store,
+               str(tmp_path / "ckf"), str(tmp_path / "of"))
+    assert got == [("A", 1, 2, 5, 1), ("B", 3, 4, 7, 2)]
+
+
+def test_s3_scheme_planner_matches_posix_plan(engine, spark, tmp_path):
+    """The ``s3://`` planner half (round-14 verdict item 2): manifests
+    resolved through S3ManifestStore (fake conditional-put client),
+    producing the IDENTICAL partition plan, offsets, and feed schema
+    as the POSIX twin of the same store — so the only untested piece
+    on a real bucket is pyarrow's S3 filesystem credentials."""
+    import os as _os
+
+    from graphdatabase_spark.streaming import store_source as ss
+    from tests.test_metastore import FakeS3Client
+
+    engine.append_edges(_edges(spark, [("A", 1, 2, 5)]))
+    engine.set_vertex_props(spark.createDataFrame(
+        [("A", 1, "x")], "graph string, vid int, tag string"),
+        mode="delta")
+    engine.merge_edges(_edges(spark, [("A", 1, 2, 9)]))   # COW: skipped
+    # mirror the POSIX manifest blobs into the fake bucket
+    fake = FakeS3Client()
+    mdir = _os.path.join(engine.store, "manifests")
+    for name in _os.listdir(mdir):
+        with open(_os.path.join(mdir, name), "rb") as f:
+            fake.put_object(Bucket="bkt",
+                            Key=f"warehouse/gdb/manifests/{name}",
+                            Body=f.read(), IfNoneMatch="*")
+    posix = ss.GraphStoreStreamReader({"path": engine.store})
+    ss.S3_CLIENT_FACTORY = lambda: fake
+    try:
+        s3 = ss.GraphStoreStreamReader({"path": "s3://bkt/warehouse/gdb"})
+        assert s3.latestOffset() == posix.latestOffset()
+        key = lambda p: (p.seq, p.cid, p.gb, tuple(p.graphs), p.table,
+                         tuple(p.prop_cols))
+        got = sorted(key(p) for p in s3.partitions(
+            s3.initialOffset(), s3.latestOffset()))
+        want = sorted(key(p) for p in posix.partitions(
+            posix.initialOffset(), posix.latestOffset()))
+        assert got == want and got   # same non-empty plan
+        # schema() resolves over s3 too (vertex feed incl. props)
+        src = ss.GraphStoreDataSource(
+            {"path": "s3://bkt/warehouse/gdb", "table": "vertices"})
+        assert src.schema() == "graph string, vid int, tag string, seq int"
+    finally:
+        ss.S3_CLIENT_FACTORY = None
+
+
+def test_unsupported_scheme_fails_loudly_everywhere(engine, spark):
+    """hdfs://-family schemes (JVM-gateway filesystems the Python
+    planner can't reach) raise the loud NotImplementedError from BOTH
+    entry points — schema resolution and reader construction — never
+    a confusing downstream listing error."""
+    from graphdatabase_spark.streaming import store_source as ss
+
+    with pytest.raises(NotImplementedError, match="hdfs"):
+        ss.GraphStoreStreamReader({"path": "hdfs://nn/warehouse/gdb"})
+    with pytest.raises(NotImplementedError, match="hdfs"):
+        ss.GraphStoreDataSource({"path": "hdfs://nn/warehouse/gdb"}).schema()
