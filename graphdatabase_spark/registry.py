@@ -61,7 +61,7 @@ _DEFERRED_R15 = [
     # keeps this list explicit. Round 16 MUST front these.
     "bfs_expr", "contamination_check", "corpus_histogram", "corpus_prep",
     "customer_distribution", "customers_without_orders",
-    "embedding_pq_trained_topk", "events_anomaly",
+    "embedding_ivf_topk", "embedding_pq_trained_topk", "events_anomaly",
     "events_enriched", "events_funnel", "events_retention",
     "events_rollup_daily", "events_sessionization", "events_sliding_avg",
     "events_trending", "events_tumbling_counts", "excess_stock_suppliers",
@@ -141,12 +141,11 @@ _CHECK_FIRST = [
     # (closing the measured recall-0.0 defect, round-14 verdict
     # item 4) --
     "ann_recall", "embedding_ann_lsh",
-    # -- placeholder slot: swapped for the NEW composed
-    # IVF + PQ-on-residuals id (embedding_ivfpq_topk, the FAISS
-    # IVFADC shape — round-14 verdict item 3) when it lands this
-    # round; until then the oldest r13-window filler keeps the
-    # 50-slot window full --
-    "embedding_ivf_topk",
+    # -- NEW this round: the composed IVF + PQ-on-residuals index
+    # (the FAISS IVFADC shape, round-14 verdict item 3), served from
+    # COMMITTED store codebooks with the corpus-size-derived rerank
+    # cut (verdict item 5) --
+    "embedding_ivfpq_topk",
 ]
 # (the remaining r13-window ids are _DEFERRED_R15 above — their r13
 # rows stay within the three-window horizon; round 16 fronts them.)

@@ -77,3 +77,26 @@ def test_stored_pq_serve_equals_cache_serve(spark, sf_dir):
     stored = sq.q_embedding_pq_stored_topk(spark, sf_dir).collect()
     cached = sim.q_embedding_pq_trained_topk(spark, sf_dir).collect()
     assert [tuple(r) for r in stored] == [tuple(r) for r in cached]
+
+
+def test_stored_ivfpq_serve_equals_session_pipeline(spark, sf_dir):
+    """The committed coarse + residual codebooks serve the identical
+    top-k as the session-computed IVFADC pipeline — the storage
+    round-trip of the COMPOSED quantizer (its driver oracle is the
+    session pipeline unrolled, so this equality is what makes the
+    shared-oracle hash check meaningful)."""
+    stored = sq.q_embedding_ivfpq_topk(spark, sf_dir).collect()
+    session = sim.q_embedding_ivfpq_topk(spark, sf_dir).collect()
+    assert [tuple(r) for r in stored] == [tuple(r) for r in session]
+    assert stored   # non-trivial result
+
+
+def test_stored_ivfpq_codebook_roundtrip(spark, sf_dir):
+    got = _rows(sq.stored_ivfpq_codebook(spark, sf_dir)
+                .select(F.col("m").cast("long"),
+                        F.col("code").cast("long"), "csub"))
+    tc = sim.trained_centroids(spark, sf_dir)
+    want = _rows(sim.ivfpq_residual_codebook(spark, sf_dir, tc)
+                 .select(F.col("m").cast("long"),
+                         F.col("code").cast("long"), "csub"))
+    assert got == want and got

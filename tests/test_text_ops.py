@@ -348,11 +348,18 @@ def test_ann_recall_parity_and_sanity(spark, sf_dir):
     rows = {r["method"]: r["recall"]
             for r in similarity.q_ann_recall(spark, sf_dir).collect()}
     assert set(rows) == {"ann_lsh", "ivf", "ivf_trained", "ivf_trained2",
-                         "pq", "pq_trained", "pq_trained2"}
+                         "pq", "pq_trained", "pq_trained2", "ivfpq"}
     assert all(0.0 <= v <= 1.0 for v in rows.values())
     # the exact-re-rank PQ paths can only miss via the ADC cut; at the
     # fixture's rerank depth they must stay strong
     assert rows["pq"] >= 0.5 and rows["pq_trained"] >= 0.5
+    # the composed residual index must not rank behind plain PQ, and
+    # the multi-probe LSH fix must keep measured recall off the
+    # zero floor even at the tiniest fixture (0.2 at sf0.001; the
+    # ≥ 0.3 target at sf0.01 is pinned in
+    # test_multiprobe_lsh_recall_at_mid_scale)
+    assert rows["ivfpq"] >= rows["pq"]
+    assert rows["ann_lsh"] > 0.0
     # the measured training-depth facts (deterministic — exact int
     # math end-to-end): the second Lloyd step RAISES IVF recall at
     # fixture scale; PQ recall is NOT monotone in depth (distortion
@@ -413,3 +420,65 @@ def test_multi_step_training_monotone(spark, sf_dir):
     assert ivf_distortion(t2) <= ivf_distortion(t1)
     with pytest.raises(ValueError):
         similarity.train_pq_codebook(spark, sf_dir, steps=0)
+
+
+def test_ivfpq_parity(spark, sf_dir):
+    """The composed IVFADC pipeline (trained coarse cells + residual
+    PQ + auto-sized rerank) unrolls into ONE SQL statement."""
+    assert_parity(similarity.q_embedding_ivfpq_topk(spark, sf_dir),
+                  similarity.ORACLE_EMBEDDING_IVFPQ_TOPK, sf_dir)
+
+
+def test_ivfpq_beats_pq_at_equal_rerank(spark, sf_dir):
+    """The residual encode is the point of IVFADC: at the SAME rerank
+    depth, coding v − centroid (small, centered) gives tighter ADC
+    candidate ranking than coding the raw vector — recall@k must not
+    be worse than plain PQ."""
+    exact = {r["vec_id"] for r in
+             similarity.q_embedding_cosine_topk(spark, sf_dir).collect()}
+    pq = {r["vec_id"] for r in
+          similarity.q_embedding_pq_topk(
+              spark, sf_dir, rerank=similarity.PQ_RERANK).collect()}
+    ivfpq = {r["vec_id"] for r in
+             similarity.q_embedding_ivfpq_topk(
+                 spark, sf_dir, rerank=similarity.PQ_RERANK).collect()}
+    assert len(ivfpq & exact) >= len(pq & exact)
+    assert len(ivfpq & exact) >= 5   # and genuinely useful, not vacuous
+
+
+def test_ivfpq_all_cells_full_rerank_equals_brute_force(spark, sf_dir):
+    """nprobe = all cells + rerank ≥ N degenerates to the exact
+    brute-force top-k (the ADC cut keeps everything, the re-rank is
+    exact) — the same no-approximation sanity the PQ path pins."""
+    got = [(r["vec_id"], r["cos_sim"]) for r in
+           similarity.q_embedding_ivfpq_topk(
+               spark, sf_dir, nprobe=similarity.IVF_CELLS,
+               rerank=10**9).collect()]
+    exact = [(r["vec_id"], r["cos_sim"]) for r in
+             similarity.q_embedding_cosine_topk(spark, sf_dir).collect()]
+    assert got == exact
+
+
+def test_auto_rerank_formula():
+    """The corpus-size-derived cut: floor at PQ_RERANK for toy
+    corpora, 4·⌈√N⌉ beyond, with exact integer ceil-sqrt (perfect
+    squares and off-by-one neighborhoods included)."""
+    ar = similarity.auto_rerank
+    assert ar(100) == similarity.PQ_RERANK        # 4*10 < 50: floor wins
+    assert ar(156) == 52                          # 4*ceil(sqrt(156)=12.49)
+    assert ar(2500) == 200                        # perfect square: 4*50
+    assert ar(2501) == 204                        # 4*51
+    assert ar(2499) == 200                        # 4*50 (ceil)
+    assert ar(20000) == 4 * 142                   # the BENCH_SF1 corpus
+
+
+def test_multiprobe_lsh_recall_at_mid_scale(spark, sf_dir_mid):
+    """The round-14 verdict's recall-0.0 defect, closed with a
+    measured number: Hamming-radius-2 multi-probe LSH recalls ≥ 0.3
+    of the exact top-10 at sf0.01 (measured 0.5; 0.5 at sf0.1 too —
+    BENCH_SF1's ann_recall leg re-measures the large end)."""
+    exact = {r["vec_id"] for r in
+             similarity.q_embedding_cosine_topk(spark, sf_dir_mid).collect()}
+    lsh = {r["vec_id"] for r in
+           similarity.q_embedding_ann_lsh(spark, sf_dir_mid).collect()}
+    assert len(lsh & exact) / similarity.TOPK >= 0.3
