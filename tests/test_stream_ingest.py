@@ -377,3 +377,99 @@ def test_stream_ingest_carries_property_columns(engine, spark, tmp_path):
     assert {(r["graph"], r["src"], r["dst"], r["w"], r["kind"])
             for r in snap.weighted_edges("PS", props=True).collect()} == {
         ("PS", 1, 2, 3, "follows")}
+
+
+def test_stream_ingest_with_auto_compaction_exactly_once(spark, tmp_path):
+    """Verdict-r14 item 7, deterministic half: a foreachBatch ingest
+    onto a store whose compact_policy fires mid-stream. Auto-compaction
+    interleaves pointer REPLACEMENTS between the append commits; the
+    read-back must still be the exact union of every batch, and the
+    gdb_commits replay must emit every append exactly once (rewrites
+    skipped, none dropped — the skip rule diffs per SEQ STEP, so a
+    later compaction can never mask an earlier append)."""
+    from graphdatabase_spark.streaming.store_source import \
+        GraphStoreDataSource
+
+    eng = GraphEngine(spark, str(tmp_path / "store"), buckets=2)
+    eng.compact_policy(max_chain=2)   # compact whenever a chain hits 3
+    src = tmp_path / "incoming"
+    src.mkdir()
+    batches = [[("W", i, i + 1, i + 1), ("X", i, i + 1, 1)]
+               for i in range(1, 7)]
+
+    def land(name, rows):
+        stage = tmp_path / "stage" / name
+        _edges_df(spark, rows).coalesce(1).write.mode("overwrite") \
+            .parquet(str(stage))
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(stage / part, src / f"{name}.parquet")
+
+    for i, rows in enumerate(batches):
+        land(f"b{i}", rows)
+    stream = (spark.readStream
+              .schema("graph string, src int, dst int, w int")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = stream_edges_into_store(stream, eng, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    expected = {r for rows in batches for r in rows}
+    assert _edge_set(eng.weighted_edges()) == expected
+    # the policy really fired: no chain ever exceeds the cap + 1
+    assert all(len(c) <= 3 for c in
+               _cids_map(eng).values()), _cids_map(eng)
+    # consumer half: every append emitted exactly once, compactions
+    # (pointer replacements) skipped — multiset equality via sort
+    spark.dataSource.register(GraphStoreDataSource)
+    replay = sorted((r["graph"], r["src"], r["dst"], r["w"]) for r in
+                    spark.read.format("gdb_commits")
+                    .option("path", eng.store).load().collect())
+    assert replay == sorted(expected)
+
+
+def _cids_map(eng):
+    return {g: _cids(p) for g, p in
+            (eng.manifests.load() or {}).get("graphs", {}).items()}
+
+
+def test_appends_racing_concurrent_compaction(spark, tmp_path):
+    """Verdict-r14 item 7, concurrent half: a SECOND engine handle
+    hammering compact() from another thread while appends land.
+    compact's publish is pointer-guarded (a graph whose pointer moved
+    since the rewrite pinned its snapshot keeps the newer pointer), so
+    whatever the interleaving: no append is lost, no row duplicated,
+    and the commit-chain replay emits each append exactly once."""
+    import threading
+
+    from graphdatabase_spark.streaming.store_source import \
+        GraphStoreDataSource
+
+    eng = GraphEngine(spark, str(tmp_path / "store"), buckets=2)
+    compactor = GraphEngine(spark, str(tmp_path / "store"))
+    eng.append_edges(_edges_df(spark, [("W", 0, 1, 1)]))
+    stop = threading.Event()
+    errors = []
+
+    def compact_loop():
+        while not stop.is_set():
+            try:
+                compactor.compact()
+            except Exception as exc:   # pragma: no cover - fail loudly
+                errors.append(exc)
+                return
+
+    t = threading.Thread(target=compact_loop)
+    t.start()
+    try:
+        for i in range(1, 9):
+            eng.append_edges(_edges_df(spark, [("W", i, i + 1, i)]))
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors
+    expected = {("W", i, i + 1, max(i, 1)) for i in range(0, 9)}
+    assert _edge_set(eng.weighted_edges()) == expected
+    spark.dataSource.register(GraphStoreDataSource)
+    replay = sorted((r["graph"], r["src"], r["dst"], r["w"]) for r in
+                    spark.read.format("gdb_commits")
+                    .option("path", eng.store).load().collect())
+    assert replay == sorted(expected)
