@@ -11,10 +11,14 @@ ICDE'21 top-k literature in PAPERS.md).
   this is one broadcast of the query vector + a map-side fold per row
   + a top-k (TakeOrdered) — no shuffle of the embedding table.
 - ``embedding_ann_lsh``: the scale path — random-hyperplane LSH into
-  2^P buckets; only the query's bucket is scanned. Hyperplane signs
-  are derived from md5 (deterministic, reproducible in SQL), so even
-  the ANN query is oracle-checkable: the bucketing is exact integer
-  math, not a race.
+  2^P buckets; the query scans its own bucket plus every bucket
+  within Hamming radius LSH_PROBE_RADIUS of it (multi-probe).
+  Hyperplane signs are derived from md5 (deterministic, reproducible
+  in SQL), so even the ANN query is oracle-checkable: the bucketing
+  is exact integer math, not a race.
+- ``embedding_ivfpq_topk``: the composed form (IVFADC) — trained IVF
+  cells prune the scan, PQ codes of the RESIDUALS rank the survivors,
+  a corpus-size-derived rerank cut re-ranks exactly.
 """
 
 from __future__ import annotations

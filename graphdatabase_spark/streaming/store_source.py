@@ -162,6 +162,14 @@ def _feed_schema(table: str, pcols: list[tuple[str, str]],
             + ", seq int")
 
 
+def _data_fs_uri(store: str) -> str:
+    """The store URI as pyarrow's FileSystem.from_uri expects it:
+    Hadoop's ``s3a://`` spelling normalized to ``s3://`` (pyarrow
+    doesn't know the Hadoop scheme); everything else verbatim."""
+    return ("s3://" + store[len("s3a://"):]
+            if store.startswith("s3a://") else store)
+
+
 def _open_commit_dataset(store: str, table: str, cid: str,
                          gb: int | None):
     """The pyarrow dataset of one commit dir, scheme-aware: POSIX
@@ -178,8 +186,7 @@ def _open_commit_dataset(store: str, table: str, cid: str,
             return None
         return pads.dataset(path, format="parquet", partitioning="hive")
     from pyarrow import fs as pafs
-    uri = store[2:] if store.startswith("s3a://") else store
-    fs, base = pafs.FileSystem.from_uri(uri)
+    fs, base = pafs.FileSystem.from_uri(_data_fs_uri(store))
     path = base.rstrip("/") + "/" + rel
     if fs.get_file_info(path).type == pafs.FileType.NotFound:
         return None

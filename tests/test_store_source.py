@@ -355,3 +355,14 @@ def test_unsupported_scheme_fails_loudly_everywhere(engine, spark):
         ss.GraphStoreStreamReader({"path": "hdfs://nn/warehouse/gdb"})
     with pytest.raises(NotImplementedError, match="hdfs"):
         ss.GraphStoreDataSource({"path": "hdfs://nn/warehouse/gdb"}).schema()
+
+
+def test_s3a_data_uri_normalizes_to_s3_for_pyarrow():
+    """pyarrow's FileSystem.from_uri knows s3://, not Hadoop's s3a://
+    spelling — the executor read normalizes before resolving, and
+    leaves every other scheme (and plain paths) verbatim."""
+    from graphdatabase_spark.streaming.store_source import _data_fs_uri
+
+    assert _data_fs_uri("s3a://bkt/wh/gdb") == "s3://bkt/wh/gdb"
+    assert _data_fs_uri("s3://bkt/wh/gdb") == "s3://bkt/wh/gdb"
+    assert _data_fs_uri("file:///x/store") == "file:///x/store"

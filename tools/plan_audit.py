@@ -167,6 +167,16 @@ AUDIT = [
     ("store_table_changes", "SQL CDC rollup: table_changes binds the "
      "two-snapshot full-outer diff (change-sized output) and the "
      "statement aggregates it map-side-combined; no second fact scan"),
+    ("embedding_ann_lsh", "multi-probe LSH ANN (r15): the ≤37-row probe "
+     "set (query row exploded over literal XOR masks) broadcast against "
+     "the bucket-partitioned cached table — one hash join on bucket, "
+     "no corpus shuffle, no self-join, TakeOrdered top-k"),
+    ("embedding_ivfpq_topk", "composed IVFADC serving (r15): both "
+     "codebooks are broadcast-sized committed store-table scans; "
+     "candidates = cell-partitioned cached codes joined against the "
+     "broadcast nprobe query cells, scored by ONE broadcast-LUT array "
+     "fold per row (coarse dot + residual ADC), TakeOrdered "
+     "top-(4·√N) cut, exact re-rank joins only the cut"),
 ]
 
 
