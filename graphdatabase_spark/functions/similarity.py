@@ -1364,16 +1364,17 @@ IVFPQ_NPROBE = 4   # trained cells scanned per query (of IVF_CELLS)
 # Rerank depth derived from CORPUS SIZE at build time (round-14
 # verdict item 5 — the fixed top-50 cut measurably decayed recall as N
 # grew 100×): rerank = max(PQ_RERANK, RERANK_SQRT_COEF · ⌈√N⌉). The
-# coefficient comes from the MEASURED r14 rerank curve at sf1
-# (N = 20k: recall 0.3/0.6/0.8 at rerank 50/200/800 ≈ 0.35/1.4/5.7·√N
-# — BENCH_SF1 pq_rerank_curve_sf1): 4·√N sits at the knee where the
-# curve flattens. Cost stays sublinear: the cut is a TakeOrdered
-# top-(4√N) over the nprobe-pruned candidate set, and the exact
-# re-rank touches 4√N rows — at N = 1e9 that is ~127k re-ranks against
-# a 4e9-row brute-force scan. The ceil-√ is integer-corrected float
-# sqrt, so Python and SQL (both IEEE-754 correctly-rounded sqrt)
-# compute identical cuts and the value stays oracle-checkable.
-RERANK_SQRT_COEF = 4
+# coefficient is MEASURED on the sf1 IVFADC rerank curve (round 15,
+# N = 20k: recall 0.8 at 4√N = 568, 1.0 at 8√N = 1136, flat beyond —
+# BENCH_SF1 round15 addendum; consistent with the r14 trained-PQ curve
+# 0.3/0.6/0.8 at 50/200/800): 8·√N is where the curve saturates.
+# Cost stays sublinear: the cut is a TakeOrdered top-(8√N) over the
+# nprobe-pruned candidate set, and the exact re-rank touches 8√N rows
+# — at N = 1e9 that is ~253k re-ranks against a 4e9-row brute-force
+# scan. The ceil-√ is integer-corrected float sqrt, so Python and SQL
+# (both IEEE-754 correctly-rounded sqrt) compute identical cuts and
+# the value stays oracle-checkable.
+RERANK_SQRT_COEF = 8
 
 
 def auto_rerank(n: int, floor: int = PQ_RERANK,
@@ -1478,7 +1479,7 @@ def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str,
     Plan shape at 100 TB: codebooks broadcast (cells ≈ √N and
     PQ_M × PQ_CODES rows), candidate set = nprobe·N/cells rows ranked
     by one broadcast-LUT array fold each (no corpus shuffle), one
-    TakeOrdered top-(4√N) cut, 4√N exact re-ranks."""
+    TakeOrdered top-(8√N) cut, 8√N exact re-ranks."""
     emb = load_table(spark, sf_dir, "embeddings")
     quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
     if tc is None:

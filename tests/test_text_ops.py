@@ -461,15 +461,15 @@ def test_ivfpq_all_cells_full_rerank_equals_brute_force(spark, sf_dir):
 
 def test_auto_rerank_formula():
     """The corpus-size-derived cut: floor at PQ_RERANK for toy
-    corpora, 4·⌈√N⌉ beyond, with exact integer ceil-sqrt (perfect
+    corpora, 8·⌈√N⌉ beyond, with exact integer ceil-sqrt (perfect
     squares and off-by-one neighborhoods included)."""
     ar = similarity.auto_rerank
-    assert ar(100) == similarity.PQ_RERANK        # 4*10 < 50: floor wins
-    assert ar(156) == 52                          # 4*ceil(sqrt(156)=12.49)
-    assert ar(2500) == 200                        # perfect square: 4*50
-    assert ar(2501) == 204                        # 4*51
-    assert ar(2499) == 200                        # 4*50 (ceil)
-    assert ar(20000) == 4 * 142                   # the BENCH_SF1 corpus
+    assert ar(36) == similarity.PQ_RERANK         # 8*6 = 48 < 50: floor
+    assert ar(100) == 80                          # 8*10
+    assert ar(2500) == 400                        # perfect square: 8*50
+    assert ar(2501) == 408                        # 8*51
+    assert ar(2499) == 400                        # 8*50 (ceil)
+    assert ar(20000) == 8 * 142                   # the BENCH_SF1 corpus
 
 
 def test_multiprobe_lsh_recall_at_mid_scale(spark, sf_dir_mid):

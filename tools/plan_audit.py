@@ -176,7 +176,7 @@ AUDIT = [
      "candidates = cell-partitioned cached codes joined against the "
      "broadcast nprobe query cells, scored by ONE broadcast-LUT array "
      "fold per row (coarse dot + residual ADC), TakeOrdered "
-     "top-(4·√N) cut, exact re-rank joins only the cut"),
+     "top-(8·√N) cut, exact re-rank joins only the cut"),
 ]
 
 
