@@ -366,3 +366,28 @@ def test_s3a_data_uri_normalizes_to_s3_for_pyarrow():
     assert _data_fs_uri("s3a://bkt/wh/gdb") == "s3://bkt/wh/gdb"
     assert _data_fs_uri("s3://bkt/wh/gdb") == "s3://bkt/wh/gdb"
     assert _data_fs_uri("file:///x/store") == "file:///x/store"
+
+
+def test_schema_and_reader_pin_the_same_manifest(engine, spark):
+    """The round-14 advice race: schema() and the reader must resolve
+    the prop plan from ONE manifest load — a declare_prop landing
+    between them must not give the reader a wider prop plan than the
+    query schema (wrong row arity for the whole run)."""
+    from graphdatabase_spark.streaming.store_source import \
+        GraphStoreDataSource
+
+    engine.set_vertex_props(spark.createDataFrame(
+        [("A", 1, "x")], "graph string, vid int, tag string"),
+        mode="delta")
+    src = GraphStoreDataSource({"path": engine.store, "table": "vertices"})
+    schema_before = src.schema()
+    engine.declare_prop("vertices", "late", "int")   # the race window
+    reader = src.streamReader(None)
+    assert schema_before == "graph string, vid int, tag string, seq int"
+    assert reader._pcols == [("tag", "tag")]          # not widened
+    # a FRESH data source (consumer restart) picks up the evolution
+    src2 = GraphStoreDataSource({"path": engine.store,
+                                 "table": "vertices"})
+    assert "late int" in src2.schema()
+    assert src2.streamReader(None)._pcols == [("tag", "tag"),
+                                              ("late", "late")]
