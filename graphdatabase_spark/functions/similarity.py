@@ -923,6 +923,12 @@ def _pq_adc_probe(spark: SparkSession, sf_dir: str, pq: DataFrame,
     ``cb``, one array fold per row over ``pq``'s codes, top-``rerank``
     cut, exact cosine re-rank."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # cap the cut at corpus size: rerank >= N keeps everything anyway,
+    # and Spark's TakeOrdered allocates its top-k buffer EAGERLY (a
+    # 1e9 limit = an 8 GB array before a single row arrives — measured
+    # Java-heap OOM, round 15). Semantically identical, so the oracles
+    # (which LIMIT the same logical cut) are unaffected.
+    rerank = min(rerank, _emb_count(spark, sf_dir))
     qsubs = (subs.filter(F.col("vec_id") == QUERY_VEC_ID)
              .select("m", F.col("sub").alias("qsub")))
     lut_row = _pack_lut(spark, cb, qsubs)
@@ -1487,8 +1493,11 @@ def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str,
     if rcb is None:
         rcb = ivfpq_residual_codebook(spark, sf_dir, tc)
     pq = cached_ivfpq_index(spark, sf_dir, tc, rcb, index_key)
-    rr = rerank if rerank is not None \
-        else auto_rerank(_emb_count(spark, sf_dir))
+    # capped at N for the same eager-TakeOrdered-buffer reason as
+    # _pq_adc_probe (identical result, bounded allocation)
+    rr = min(rerank if rerank is not None
+             else auto_rerank(_emb_count(spark, sf_dir)),
+             _emb_count(spark, sf_dir))
     qrow = (quant.filter(F.col("vec_id") == QUERY_VEC_ID)
             .select(F.col("v").alias("qv"),
                     _norm_sq(F.col("v")).alias("qnsq")))
