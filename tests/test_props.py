@@ -829,6 +829,8 @@ def test_model_schema_evolution_random_interleaving(spark, tmp_path):
                           buckets=2)
         model: dict[tuple, dict] = {}     # key -> {"w": int, "p": {col: val}}
         schema: list[str] = []            # declared order, logical names
+        phys: dict[str, str] = {}         # logical -> physical mirror
+        tombs: set[str] = set()           # tombstoned physicals
         counter = 0
         history: list[tuple[int, list, dict]] = []
         for step in range(12):
@@ -854,9 +856,22 @@ def test_model_schema_evolution_random_interleaving(spark, tmp_path):
                     model[k] = {"w": w, "p": dict(vals)}
             elif op == "rename" and schema:
                 old = rng.choice(schema)
+                # with retired physicals around, first try an ILLEGAL
+                # rename onto one (another live column's physical or a
+                # tombstone — never old's own physical, which is the
+                # legal un-rename): must raise and change nothing (the
+                # read-back assert below sees the unchanged store)
+                retired = {p for l, p in phys.items()
+                           if p != l and l != old} | tombs
+                retired -= {phys.get(old, old)}
+                if retired and rng.random() < 0.5:
+                    with pytest.raises(ValueError, match="physical"):
+                        eng.rename_prop("edges", old,
+                                        rng.choice(sorted(retired)))
                 counter += 1
                 new = f"c{counter}"
                 assert eng.rename_prop("edges", old, new) is True
+                phys[new] = phys.pop(old, old)
                 schema[schema.index(old)] = new
                 for row in model.values():
                     if old in row["p"]:
@@ -864,6 +879,7 @@ def test_model_schema_evolution_random_interleaving(spark, tmp_path):
             elif op == "drop" and schema:
                 gone = rng.choice(schema)
                 assert eng.drop_prop("edges", gone) is True
+                tombs.add(phys.pop(gone, gone))
                 schema.remove(gone)
                 for row in model.values():
                     row["p"].pop(gone, None)
