@@ -793,7 +793,14 @@ WHERE rk <= {KNN_K}
 PQ_M = 8
 PQ_SUBDIM = EMB_DIM // PQ_M
 PQ_CODES = 16
-PQ_RERANK = 50   # exact re-rank depth over the ADC candidate list
+# Exact re-rank depth over the ADC candidate list for the LEGACY pq
+# ids (their registered config — held stable this round so the
+# deferred ids' driver rows stay byte-identical). The corpus-size-
+# derived :func:`auto_rerank` (max(50, 8·⌈√N⌉), measured saturation
+# point) is the production default and what the composed
+# embedding_ivfpq_topk serves with; the fixed-50 decay is measured in
+# BENCH_SF1 (pq recall 0.6→0.3 as N grows 40×).
+PQ_RERANK = 50
 
 def _subslices(col: str) -> str:
     """SQL expr: array column ``col`` → its PQ_M subvector slices."""

@@ -100,3 +100,24 @@ def test_stored_ivfpq_codebook_roundtrip(spark, sf_dir):
                  .select(F.col("m").cast("long"),
                          F.col("code").cast("long"), "csub"))
     assert got == want and got
+
+
+def test_ivfpq_rollback_is_restore_too(spark, sf_dir):
+    """The composed index's rollback story matches its single-index
+    twins: RESTORE to before the residual-codebook commit (seq 4)
+    removes the ivfpq_codebook table from the catalog; restoring back
+    brings the identical serving result — no retrain."""
+    eng = sq._ann_store_engine(spark, sf_dir)
+    top_seq = eng.snapshot().manifest["seq"]
+    before = [tuple(r) for r in
+              sq.q_embedding_ivfpq_topk(spark, sf_dir).collect()]
+    try:
+        eng.sql("RESTORE gdb TO VERSION AS OF 3")
+        assert "ivfpq_codebook" not in eng.snapshot().graphs()
+        assert "pq_codebook" in eng.snapshot().graphs()
+    finally:
+        eng.sql(f"RESTORE gdb TO VERSION AS OF {top_seq}")
+    assert "ivfpq_codebook" in eng.snapshot().graphs()
+    after = [tuple(r) for r in
+             sq.q_embedding_ivfpq_topk(spark, sf_dir).collect()]
+    assert after == before
