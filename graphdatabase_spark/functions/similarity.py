@@ -913,7 +913,10 @@ def _pack_lut(spark: SparkSession, cb: DataFrame,
     ldots = (cb.join(F.broadcast(qsubs), "m")
              .select("m", "code",
                      _dot(F.col("csub"), F.col("qsub")).alias("ldot")))
-    return (grid.join(ldots, ["m", "code"], "left")
+    # both sides are PQ_M × PQ_CODES rows — broadcast the computed
+    # side so the grid backfill is a hash join, not a sort-merge with
+    # two Exchanges (plan-only; 128 rows either way)
+    return (grid.join(F.broadcast(ldots), ["m", "code"], "left")
             .select(F.struct("m", "code",
                              F.coalesce("ldot", F.lit(0))
                              .alias("ldot")).alias("e"))
