@@ -88,6 +88,20 @@ _PROPS_STORE_IDS = frozenset({"motif_weighted", "bfs_expr",
 _DERIVED_EDGE_IDS = frozenset({
     "bfs_levels", "reachability", "shortest_path_hops", "kcore",
     "graph_degree", "sssp_weighted", "dfs_leaves_tree", "graph_stats"})
+# Round-15 (optimization round): the two fixture stores added in
+# rounds 14-15 join the same warm-up policy as the three above — the
+# committed-quantizer ANN store (read by the stored-serving ids) and
+# the commit-chain tailing store (read by store_stream_source). Both
+# are session-shared harness fixtures whose one-time build was being
+# charged to whichever query hit them first each sweep (16.3 s /
+# 17.0 s in-sweep vs 0.8 s / 4.5 s warm-iso, BENCH_FULL.json at
+# ab7adb7 — kept in OPTIMIZATION_r15.md as the old numbers). Queries
+# that build a FRESH store per call by design (store_stream_ingest,
+# store_sql_dml, store_sql_maintenance) remain fully charged.
+_ANN_STORE_IDS = frozenset({
+    "embedding_ivf_stored_topk", "embedding_pq_stored_topk",
+    "embedding_ivfpq_topk"})
+_TAIL_STORE_IDS = frozenset({"store_stream_source"})
 
 
 def _warm_shared(spark, qid: str | None = None) -> None:
@@ -107,6 +121,10 @@ def _warm_shared(spark, qid: str | None = None) -> None:
         sq._merge_fixture_engine(spark, SF_DIR)
     if qid is None or qid in _PROPS_STORE_IDS:
         sq._props_fixture_engine(spark, SF_DIR)
+    if qid is None or qid in _ANN_STORE_IDS:
+        sq._ann_store_engine(spark, SF_DIR)
+    if qid is None or qid in _TAIL_STORE_IDS:
+        sq._tail_store_engine(spark, SF_DIR)
 
 
 def run_single(qid: str) -> None:

@@ -436,8 +436,20 @@ def trained_centroids(spark: SparkSession, sf_dir: str,
     SQL-oracle-checkable. Every cell keeps ≥ 1 member (each seed
     vector assigns to itself at distance 0), so the trained codebook
     is always complete. Output is cells × 1 rows — broadcast-sized at
-    any N (cells ≈ sqrt(N) ≪ broadcast threshold up to N ~ 1e9+)."""
-    return _recenter_cells(cached_ivf_cells(spark, sf_dir, n_cells))
+    any N (cells ≈ sqrt(N) ≪ broadcast threshold up to N ~ 1e9+).
+
+    Session-shared (round-15 optimization): the OUTPUT is cells × 1
+    rows but the BUILD is a posexplode + two shuffled aggs over all
+    N·D components, and before this was persisted every consumer
+    embedded that whole training subplan — ann_recall's 8-method plan
+    carried it once per trained leg per reference (394 Exchanges /
+    183 scans in one plan, plans/r15/ann_recall_before.txt). Caching
+    the tiny output replaces every later reference with an
+    InMemoryScan: guide §2.4 (remove shuffles outright) applied to a
+    subplan instead of a single exchange."""
+    return shared_persist(
+        spark, ("trained_centroids", sf_dir, n_cells),
+        lambda: _recenter_cells(cached_ivf_cells(spark, sf_dir, n_cells)))
 
 
 def train_centroids(spark: SparkSession, sf_dir: str,
@@ -456,11 +468,20 @@ def train_centroids(spark: SparkSession, sf_dir: str,
     tc = trained_centroids(spark, sf_dir, n_cells)
     if steps == 1:
         return tc
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
-    for _ in range(steps - 1):
-        tc = _recenter_cells(_cell_assign(quant, tc, 1))
-    return tc
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
+        out = tc
+        for _ in range(steps - 1):
+            out = _recenter_cells(_cell_assign(quant, out, 1))
+        return out
+
+    # cells × 1 rows; session-shared for the same duplicated-subplan
+    # reason as trained_centroids (each extra step embeds a full
+    # assign + recenter over N·D components)
+    return shared_persist(
+        spark, ("train_centroids_steps", sf_dir, n_cells, steps), build)
 
 
 def cached_ivf_cells_trained(spark: SparkSession, sf_dir: str,
@@ -1040,8 +1061,16 @@ def trained_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay SQL-oracle-checkable. Every (m, code) keeps ≥ 1 member (each
     seed vector encodes to itself per subspace at distance 0), so the
     trained codebooks are complete — PQ_M × PQ_CODES rows, broadcast-
-    sized at any N."""
-    return _recenter_pq_cb(cached_pq_codes(spark, sf_dir))
+    sized at any N.
+
+    Session-shared (round-15 optimization): same duplicated-subplan
+    economics as :func:`trained_centroids` — the 128-row output is
+    cheap to hold, the two-shuffled-agg build over N·M·D components
+    was being re-embedded at every reference (probe LUT + encode per
+    trained-PQ consumer)."""
+    return shared_persist(
+        spark, ("trained_pq_cb", sf_dir),
+        lambda: _recenter_pq_cb(cached_pq_codes(spark, sf_dir)))
 
 
 def train_pq_codebook(spark: SparkSession, sf_dir: str,
@@ -1061,10 +1090,18 @@ def train_pq_codebook(spark: SparkSession, sf_dir: str,
     cb = trained_pq_codebook(spark, sf_dir)
     if steps == 1:
         return cb
-    quant, subs, _ = _pq_sub_frames(spark, sf_dir)
-    for _ in range(steps - 1):
-        cb = _recenter_pq_cb(_pq_encode(quant, subs, cb))
-    return cb
+
+    def build() -> DataFrame:
+        quant, subs, _ = _pq_sub_frames(spark, sf_dir)
+        out = cb
+        for _ in range(steps - 1):
+            out = _recenter_pq_cb(_pq_encode(quant, subs, out))
+        return out
+
+    # PQ_M × PQ_CODES rows; session-shared for the same
+    # duplicated-subplan reason as train_centroids' steps loop
+    return shared_persist(
+        spark, ("train_pq_cb_steps", sf_dir, steps), build)
 
 
 def cached_pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1418,25 +1455,37 @@ def _emb_count(spark: SparkSession, sf_dir: str) -> int:
 
 
 def ivfpq_residual_codebook(spark: SparkSession, sf_dir: str,
-                            tc: DataFrame) -> DataFrame:
+                            tc: DataFrame | None = None) -> DataFrame:
     """``(m, code, csub)`` residual PQ codebooks under coarse
-    quantizer ``tc``: the residual subvectors of the PQ_CODES lowest
-    vec_ids (the same deterministic k-means-free seeding as every
-    other codebook here, applied to residual space — so the whole
-    composed index stays exact integer math). PQ_M × PQ_CODES rows,
-    broadcast-sized at any N."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    seeds = (emb.filter(F.col("vec_id") < PQ_CODES)
-             .select("vec_id", quantized(F.col("embedding")).alias("v")))
-    res = (_cell_assign(seeds, tc, 1)
-           .join(F.broadcast(tc), "cell")
-           .select("vec_id",
-                   F.zip_with("v", "cv", lambda x, y: x - y).alias("rv")))
-    return (res.select("vec_id",
-                       F.posexplode(F.expr(_subslices("rv")))
-                       .alias("m", "sub"))
-            .select("m", F.col("vec_id").alias("code"),
-                    F.col("sub").alias("csub")))
+    quantizer ``tc`` (default: the session-shared
+    :func:`trained_centroids`): the residual subvectors of the
+    PQ_CODES lowest vec_ids (the same deterministic k-means-free
+    seeding as every other codebook here, applied to residual space —
+    so the whole composed index stays exact integer math).
+    PQ_M × PQ_CODES rows, broadcast-sized at any N. The default-``tc``
+    form is session-shared (round-15 optimization, the same
+    duplicated-subplan economics as the other codebook builders); an
+    explicit ``tc`` bypasses the cache (callers injecting alternative
+    coarse quantizers, e.g. tests)."""
+    def _build(coarse: DataFrame) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        seeds = (emb.filter(F.col("vec_id") < PQ_CODES)
+                 .select("vec_id", quantized(F.col("embedding")).alias("v")))
+        res = (_cell_assign(seeds, coarse, 1)
+               .join(F.broadcast(coarse), "cell")
+               .select("vec_id",
+                       F.zip_with("v", "cv", lambda x, y: x - y).alias("rv")))
+        return (res.select("vec_id",
+                           F.posexplode(F.expr(_subslices("rv")))
+                           .alias("m", "sub"))
+                .select("m", F.col("vec_id").alias("code"),
+                        F.col("sub").alias("csub")))
+
+    if tc is not None:
+        return _build(tc)
+    return shared_persist(
+        spark, ("ivfpq_rcb", sf_dir),
+        lambda: _build(trained_centroids(spark, sf_dir)))
 
 
 def cached_ivfpq_index(spark: SparkSession, sf_dir: str,
@@ -1501,7 +1550,8 @@ def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str,
     if tc is None:
         tc = trained_centroids(spark, sf_dir)
     if rcb is None:
-        rcb = ivfpq_residual_codebook(spark, sf_dir, tc)
+        # default (no tc arg) = the session-shared residual codebook
+        rcb = ivfpq_residual_codebook(spark, sf_dir)
     pq = cached_ivfpq_index(spark, sf_dir, tc, rcb, index_key)
     # capped at N for the same eager-TakeOrdered-buffer reason as
     # _pq_adc_probe (identical result, bounded allocation)

@@ -1513,7 +1513,7 @@ def _ann_store_engine(spark: SparkSession, sf_dir: str):
             F.lit("pq_codebook").alias("graph"),
             (F.col("m") * sim.PQ_CODES + F.col("code"))
             .cast("int").alias("vid"), "csub"))                     # seq 3
-        rcb = sim.ivfpq_residual_codebook(spark, sf_dir, tc)
+        rcb = sim.ivfpq_residual_codebook(spark, sf_dir)
         eng.set_vertex_props(rcb.select(
             F.lit("ivfpq_codebook").alias("graph"),
             (F.col("m") * sim.PQ_CODES + F.col("code"))
