@@ -24,12 +24,28 @@ This module centralizes both problems:
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
 _SHARED: dict[tuple, DataFrame] = {}
 _TRACKED: list[DataFrame] = []
+
+# Per-key build locks: concurrent materialization from driver threads
+# (guide §2.6 — overlapping independent jobs, e.g. ann_recall's index
+# builds) must not build the same key twice; a dependent build blocks
+# on its dependency's lock and then reuses the memo.
+_LOCKS: dict[tuple, threading.Lock] = {}
+_META_LOCK = threading.Lock()
+
+
+def _key_lock(k: tuple) -> threading.Lock:
+    with _META_LOCK:
+        lock = _LOCKS.get(k)
+        if lock is None:
+            lock = _LOCKS[k] = threading.Lock()
+        return lock
 
 
 def _app_id(df_or_spark) -> str:
@@ -44,9 +60,56 @@ def shared_persist(spark, key: tuple, build: Callable[[], DataFrame]) -> DataFra
     k = (_app_id(spark), *key)
     df = _SHARED.get(k)
     if df is None:
-        df = build().persist()
-        _SHARED[k] = df
+        with _key_lock(k):
+            df = _SHARED.get(k)
+            if df is None:
+                df = build().persist()
+                _SHARED[k] = df
     return df
+
+
+def shared_local(spark, key: tuple, build: Callable[[], DataFrame],
+                 max_rows: int = 10_000) -> DataFrame:
+    """Session-shared memo for METADATA-SIZED deterministic results
+    (quantizer codebooks: tens to hundreds of rows): materialize
+    ``build()`` once per (applicationId, key) and re-expose the rows
+    as a LocalRelation-backed DataFrame.
+
+    Why not :func:`shared_persist`: a persisted DataFrame's LOGICAL
+    plan is still the full build tree — every consumer that embeds
+    the codebook re-pays ANALYSIS over that tree, and the cache only
+    collapses it at physical planning (measured: ann_recall's warm
+    DataFrame BUILD cost 6.8 s vs 5.5 s execution with persist).
+    A LocalRelation has no lineage at all: analysis is O(rows), the
+    physical plan is a LocalTableScan that broadcasts for free. Same
+    session-scoped semantics as shared_persist (computed from the
+    parquet inputs once per process, released by
+    :func:`release_caches`), with the driver holding only
+    metadata-sized rows — ``max_rows`` is the loud guard that this
+    never quietly becomes a driver-side data path (guide §5)."""
+    k = (_app_id(spark), *key)
+    df = _SHARED.get(k)
+    if df is None:
+        with _key_lock(k):
+            df = _SHARED.get(k)
+            if df is None:
+                src = build()
+                rows = src.collect()
+                if len(rows) > max_rows:
+                    raise ValueError(
+                        f"shared_local({key}): {len(rows)} rows exceeds "
+                        f"the metadata-size guard ({max_rows}); use "
+                        f"shared_persist")
+                df = spark.createDataFrame(rows, src.schema)
+                _SHARED[k] = df
+    return df
+
+
+def is_cached(spark, key: tuple) -> bool:
+    """True when ``key`` is already memoized for this session — lets
+    cold-path warmers skip the memo hit + materialization probe
+    entirely on warm calls."""
+    return (_app_id(spark), *key) in _SHARED
 
 
 def track_persist(df: DataFrame) -> DataFrame:

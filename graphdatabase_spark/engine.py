@@ -814,8 +814,11 @@ class GraphEngine:
         instead of documented. Columns beyond the core four are typed
         edge PROPERTY columns, kept verbatim; returns the batch's
         property schema alongside (``{name: ddl_type}``, empty for a
-        plain batch). One metadata-cheap job over the
-        (micro-batch-sized) input."""
+        plain batch). Runs NO job: the invariant scan is fused into
+        the caller's touched-graphs collect
+        (:meth:`_touched_validated`) so the pre-write metadata pass
+        over the batch happens ONCE, not twice (round-15
+        optimization)."""
         props = _prop_schema(df, ("graph", "src", "dst", "w"), op)
         # case-insensitive presence check: withColumn resolves names
         # case-insensitively, so a batch carrying 'W' must not have its
@@ -827,12 +830,24 @@ class GraphEngine:
                        F.col("w").cast("int"),
                        F.col("graph").cast("string"),
                        *props)
-        if not df.filter(F.col("w").isNull() | (F.col("w") < 1)).isEmpty():
+        return df, props
+
+    @staticmethod
+    def _touched_validated(df: DataFrame, op: str) -> list[str]:
+        """The batch's graph names AND the ``w >= 1`` store invariant
+        in ONE metadata-sized job (previously a distinct-collect plus
+        a separate isEmpty validation scan — two jobs per edge write).
+        Still fails loudly BEFORE any file lands: callers run this
+        ahead of every ``_store_write``."""
+        rows = df.groupBy("graph").agg(
+            F.count(F.when(F.col("w").isNull() | (F.col("w") < 1),
+                           F.lit(1))).alias("bad")).collect()
+        if any(r["bad"] for r in rows):
             raise ValueError(
                 f"{op} requires integer edge weights >= 1 (w is the "
                 f"stored multiplicity/weight; 0, negative, and NULL "
                 f"break the store's CDC absence encoding)")
-        return df, props
+        return [r["graph"] for r in rows]
 
     def append_edges(self, edges: DataFrame,
                      commit_id: str | None = None,
@@ -895,10 +910,10 @@ class GraphEngine:
         _merge_props(prev0.get("props", {}).get("edges", {}),
                      batch_props, "append_edges",
                      _blocked_physicals(prev0, "edges"))
-        # graph NAMES of this batch (metadata-sized collect, same
-        # envelope note as _write) — also prunes the anti-join reads
-        write_graphs = [r["graph"]
-                        for r in edges.select("graph").distinct().collect()]
+        # graph NAMES of this batch + the w >= 1 invariant, one
+        # metadata-sized job (same envelope note as _write) — also
+        # prunes the anti-join reads
+        write_graphs = self._touched_validated(edges, "append_edges")
         if not write_graphs:
             return False  # empty batch publishes nothing
         batch_vids = (edges.select(F.col("src").alias("vid"), "graph")
@@ -1030,8 +1045,10 @@ class GraphEngine:
             _merge_props(snap.props.get("edges", {}), batch_props,
                          "merge_edges",
                          _blocked_physicals(snap.manifest, "edges"))
-        touched = [r["graph"]
-                   for r in updates.select("graph").distinct().collect()]
+        touched = (self._touched_validated(updates, "merge_edges")
+                   if not delete else
+                   [r["graph"]
+                    for r in updates.select("graph").distinct().collect()])
         if delete:
             # deleting from a graph the store doesn't have is a no-op,
             # not a new empty catalog entry

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from graphdatabase_spark.cache import shared_persist
+from graphdatabase_spark.cache import shared_local, shared_persist
 from graphdatabase_spark.functions.dedup import _hashes_cte, cached_shingle_hashes
 from graphdatabase_spark.sources.tables import load_table
 
@@ -447,7 +447,7 @@ def trained_centroids(spark: SparkSession, sf_dir: str,
     the tiny output replaces every later reference with an
     InMemoryScan: guide §2.4 (remove shuffles outright) applied to a
     subplan instead of a single exchange."""
-    return shared_persist(
+    return shared_local(
         spark, ("trained_centroids", sf_dir, n_cells),
         lambda: _recenter_cells(cached_ivf_cells(spark, sf_dir, n_cells)))
 
@@ -480,7 +480,7 @@ def train_centroids(spark: SparkSession, sf_dir: str,
     # cells × 1 rows; session-shared for the same duplicated-subplan
     # reason as trained_centroids (each extra step embeds a full
     # assign + recenter over N·D components)
-    return shared_persist(
+    return shared_local(
         spark, ("train_centroids_steps", sf_dir, n_cells, steps), build)
 
 
@@ -1068,7 +1068,7 @@ def trained_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap to hold, the two-shuffled-agg build over N·M·D components
     was being re-embedded at every reference (probe LUT + encode per
     trained-PQ consumer)."""
-    return shared_persist(
+    return shared_local(
         spark, ("trained_pq_cb", sf_dir),
         lambda: _recenter_pq_cb(cached_pq_codes(spark, sf_dir)))
 
@@ -1100,7 +1100,7 @@ def train_pq_codebook(spark: SparkSession, sf_dir: str,
 
     # PQ_M × PQ_CODES rows; session-shared for the same
     # duplicated-subplan reason as train_centroids' steps loop
-    return shared_persist(
+    return shared_local(
         spark, ("train_pq_cb_steps", sf_dir, steps), build)
 
 
@@ -1483,7 +1483,7 @@ def ivfpq_residual_codebook(spark: SparkSession, sf_dir: str,
 
     if tc is not None:
         return _build(tc)
-    return shared_persist(
+    return shared_local(
         spark, ("ivfpq_rcb", sf_dir),
         lambda: _build(trained_centroids(spark, sf_dir)))
 
@@ -1732,6 +1732,46 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees the reshuffle keeps every true neighbor above the
     rerank cut). The curve is re-measured at sf0.1/sf1 in BENCH_SF1's
     ann_recall leg."""
+    # Materialize the session-shared indexes and quantizer artifacts
+    # CONCURRENTLY before assembling the report (guide §2.6 — overlap
+    # independent jobs): each build is its own blocking driver-side
+    # job whose stages never fill the cluster, and one thread
+    # serialized ~10 of them. The per-key locks in cache.py make
+    # dependent builds (steps=2 needs the step-1 codebook; the
+    # residual codebook needs the trained centroids) block-and-reuse
+    # instead of double-building. Cold-path only: on a warm session
+    # ``is_cached`` filters every thunk out, adding zero jobs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from graphdatabase_spark.cache import is_cached
+
+    builders = [
+        (("emb_bucketed", sf_dir, ANN_PLANES),
+         lambda: cached_emb_bucketed(spark, sf_dir).count()),
+        (("trained_centroids", sf_dir, IVF_CELLS),
+         lambda: trained_centroids(spark, sf_dir)),
+        (("trained_pq_cb", sf_dir),
+         lambda: trained_pq_codebook(spark, sf_dir)),
+        (("ivf_cells_trained", sf_dir, IVF_CELLS),
+         lambda: cached_ivf_cells_trained(spark, sf_dir).count()),
+        (("pq_codes_trained", sf_dir),
+         lambda: cached_pq_codes_trained(spark, sf_dir).count()),
+        (("train_centroids_steps", sf_dir, IVF_CELLS, ANN_STEPS),
+         lambda: train_centroids(spark, sf_dir, steps=ANN_STEPS)),
+        (("train_pq_cb_steps", sf_dir, ANN_STEPS),
+         lambda: train_pq_codebook(spark, sf_dir, steps=ANN_STEPS)),
+        (("ivfpq_rcb", sf_dir),
+         lambda: ivfpq_residual_codebook(spark, sf_dir)),
+        (("ivfpq_codes", sf_dir),
+         lambda: cached_ivfpq_index(
+             spark, sf_dir, trained_centroids(spark, sf_dir),
+             ivfpq_residual_codebook(spark, sf_dir)).count()),
+    ]
+    pending = [b for key, b in builders if not is_cached(spark, key)]
+    if pending:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(lambda b: b(), pending))
+
     exact = q_embedding_cosine_topk(spark, sf_dir).select("vec_id")
     methods = [
         ("ann_lsh", q_embedding_ann_lsh),

@@ -131,7 +131,8 @@ class CommitPartition(InputPartition):
     def __init__(self, store: str, cid: str, seq: int,
                  graphs: list[str], gb: int | None,
                  table: str = "edges",
-                 prop_cols: list[tuple[str, str]] | None = None):
+                 prop_cols: list[tuple[str, str]] | None = None,
+                 prop_types: list[str] | None = None):
         self.store = store
         self.cid = cid
         self.seq = seq
@@ -141,6 +142,9 @@ class CommitPartition(InputPartition):
         # declared props as (logical, physical) pairs in declaration
         # order — the colmap applied executor-side
         self.prop_cols = prop_cols or []
+        # the props' declared DDL types (same order): lets the
+        # executor build Arrow batches without a JVM to parse DDL
+        self.prop_types = prop_types or []
 
 
 def _table_props(doc: dict, table: str) -> list[tuple[str, str]]:
@@ -170,6 +174,45 @@ def _data_fs_uri(store: str) -> str:
             if store.startswith("s3a://") else store)
 
 
+# DDL scalar type → pyarrow type for the Arrow-batch fast path of
+# ``read`` (guide §4: rows cross the Python boundary as Arrow batches,
+# never as per-row pickled tuples). Executors and the planning worker
+# have no JVM gateway, so Spark's DDL parser is out of reach — this
+# covers the scalar vocabulary; a prop outside it (array/struct/
+# timestamp) drops that partition to the always-correct tuple path.
+_ARROW_TYPES = {
+    "int": "int32", "integer": "int32", "bigint": "int64",
+    "long": "int64", "smallint": "int16", "tinyint": "int8",
+    "string": "string", "double": "float64", "float": "float32",
+    "boolean": "bool", "date": "date32",
+}
+
+
+def _arrow_feed_schema(table: str, prop_cols: list[tuple[str, str]],
+                       prop_types: list[str]):
+    """The feed's Arrow schema (matching ``_feed_schema``'s DDL), or
+    None when a prop type falls outside the scalar fast-path map."""
+    import pyarrow as pa
+
+    types = {"int32": pa.int32(), "int64": pa.int64(),
+             "int16": pa.int16(), "int8": pa.int8(),
+             "string": pa.string(), "float64": pa.float64(),
+             "float32": pa.float32(), "bool": pa.bool_(),
+             "date32": pa.date32()}
+    core = ([("graph", pa.string()), ("vid", pa.int32())]
+            if table == "vertices" else
+            [("graph", pa.string()), ("src", pa.int32()),
+             ("dst", pa.int32()), ("w", pa.int32())])
+    fields = list(core)
+    for (logical, _), ddl in zip(prop_cols, prop_types):
+        key = _ARROW_TYPES.get(ddl.strip().lower())
+        if key is None:
+            return None
+        fields.append((logical, types[key]))
+    fields.append(("seq", pa.int32()))
+    return pa.schema(fields)
+
+
 def _open_commit_dataset(store: str, table: str, cid: str,
                          gb: int | None):
     """The pyarrow dataset of one commit dir, scheme-aware: POSIX
@@ -196,7 +239,8 @@ def _open_commit_dataset(store: str, table: str, cid: str,
 
 class GraphStoreStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, log=None,
-                 pcols: list[tuple[str, str]] | None = None):
+                 pcols: list[tuple[str, str]] | None = None,
+                 props: dict | None = None):
         path = options.get("path")
         if not path:
             raise ValueError(
@@ -218,9 +262,16 @@ class GraphStoreStreamReader(DataSourceStreamReader):
         # mid-stream must not widen later batches' rows beyond the
         # query's schema (restart the consumer to pick up evolved
         # schema, the Delta convention)
-        self._pcols = (pcols if pcols is not None
-                       else _table_props(self._log.load() or {},
-                                         self._table))
+        if pcols is None or props is None:
+            doc = self._log.load() or {}   # ONE load for both
+            pcols = (pcols if pcols is not None
+                     else _table_props(doc, self._table))
+            props = (props if props is not None
+                     else doc.get("props", {}).get(self._table, {}))
+        self._pcols = pcols
+        # the props' declared DDL types, same order as _pcols — ride
+        # into every partition for the executor-side Arrow batches
+        self._ptypes = [props.get(n, "string") for n, _ in pcols]
 
     # -- offsets ------------------------------------------------------
 
@@ -270,12 +321,12 @@ class GraphStoreStreamReader(DataSourceStreamReader):
                             graph_bucket(g, buckets), []).append(g)
                     parts.extend(
                         CommitPartition(self._store, cid, seq, gs, gb,
-                                        self._table, pcols)
+                                        self._table, pcols, self._ptypes)
                         for gb, gs in sorted(by_gb.items()))
                 else:
                     parts.append(
                         CommitPartition(self._store, cid, seq, graphs, None,
-                                        self._table, pcols))
+                                        self._table, pcols, self._ptypes))
             prev = cur
         return parts
 
@@ -287,7 +338,6 @@ class GraphStoreStreamReader(DataSourceStreamReader):
         if dset is None:
             return   # this commit wrote no rows for this table
         names = set(dset.schema.names)
-        want = set(partition.graphs)
         # physical prop columns present in THIS commit's files; absent
         # ones (commits predating the column) read None — the same
         # NULL-backfill rule as the snapshot scan
@@ -296,14 +346,61 @@ class GraphStoreStreamReader(DataSourceStreamReader):
             else ["graph", "src", "dst", "w"]
         cols = [c for c in core if c in names] + \
             [p for p in phys if p in names]
-        for batch in dset.to_table(columns=cols).to_batches():
-            d = batch.to_pydict()
-            n = len(d[cols[0]])
+        schema = _arrow_feed_schema(partition.table, partition.prop_cols,
+                                    partition.prop_types)
+        if schema is not None:
+            # Arrow fast path (guide §4): rows leave the Python worker
+            # as RecordBatches — the per-row tuple/pickle loop removed.
+            # Filtering, NULL-backfill, w-defaulting and casts are all
+            # vectorized pyarrow kernels.
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            tbl = dset.to_table(columns=cols).combine_chunks()
+            n = tbl.num_rows
+            if n == 0:
+                return
             # legacy layout (gb is None): graph is a hive partition
             # value Spark %-escaped at write (Hive's escapePathName)
             # — unquote it. Bucketed layout: graph is a plain data
             # column, taken verbatim (unquoting could mangle a name
             # that legitimately contains '%').
+            garr = tbl.column("graph").cast(pa.string())
+            if partition.gb is None:
+                garr = pa.array([unquote(g) for g in garr.to_pylist()],
+                                pa.string())
+            arrays, out_names = [garr], ["graph"]
+            for c in core[1:]:
+                if c in tbl.column_names:
+                    col = tbl.column(c)
+                    if c == "w":
+                        col = pc.fill_null(col, 1)
+                elif c == "w":
+                    col = pa.array([1] * n, pa.int32())
+                else:
+                    col = pa.nulls(n, pa.int32())
+                arrays.append(col)
+                out_names.append(c)
+            for idx, (logical, p) in enumerate(partition.prop_cols):
+                ftype = schema.field(len(core) + idx).type
+                col = (tbl.column(p) if p in tbl.column_names
+                       else pa.nulls(n, ftype))
+                arrays.append(col)
+                out_names.append(logical)
+            arrays.append(pa.array([partition.seq] * n, pa.int32()))
+            out_names.append("seq")
+            out = (pa.table(arrays, names=out_names)
+                   .filter(pc.is_in(garr, value_set=pa.array(
+                       sorted(set(partition.graphs)), pa.string())))
+                   .cast(schema))
+            yield from out.to_batches()
+            return
+        # tuple fallback: a declared prop type outside the scalar map
+        # (array/struct/timestamp) — row loop, always correct
+        want = set(partition.graphs)
+        for batch in dset.to_table(columns=cols).to_batches():
+            d = batch.to_pydict()
+            n = len(d[cols[0]])
             graphs = ([unquote(str(g)) for g in d["graph"]]
                       if partition.gb is None
                       else [str(g) for g in d["graph"]])
@@ -334,8 +431,9 @@ class GraphStoreBatchReader(DataSourceReader):
     backfill-then-tail composes without gaps or double counts."""
 
     def __init__(self, options: dict, log=None,
-                 pcols: list[tuple[str, str]] | None = None):
-        self._stream = GraphStoreStreamReader(options, log, pcols)
+                 pcols: list[tuple[str, str]] | None = None,
+                 props: dict | None = None):
+        self._stream = GraphStoreStreamReader(options, log, pcols, props)
 
     def partitions(self):
         return self._stream.partitions(self._stream.initialOffset(),
@@ -389,8 +487,8 @@ class GraphStoreDataSource(DataSource):
 
     def streamReader(self, schema) -> GraphStoreStreamReader:
         log, pcols = self._resolved()
-        return GraphStoreStreamReader(self.options, log, pcols)
+        return GraphStoreStreamReader(self.options, log, pcols, self._props)
 
     def reader(self, schema) -> GraphStoreBatchReader:
         log, pcols = self._resolved()
-        return GraphStoreBatchReader(self.options, log, pcols)
+        return GraphStoreBatchReader(self.options, log, pcols, self._props)

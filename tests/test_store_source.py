@@ -33,6 +33,20 @@ def _edges(spark, rows):
     return spark.createDataFrame(rows, "graph string, src int, dst int, w int")
 
 
+def _read_rows(reader, parts):
+    """Flatten reader.read() output to row tuples: the reader yields
+    Arrow RecordBatches on the scalar-prop fast path and plain tuples
+    on the fallback — consumers (Spark) accept both; tests normalize."""
+    out = []
+    for p in parts:
+        for item in reader.read(p):
+            if hasattr(item, "to_pylist"):      # pyarrow.RecordBatch
+                out.extend(tuple(d.values()) for d in item.to_pylist())
+            else:
+                out.append(tuple(item))
+    return out
+
+
 def test_appends_and_deltas_emit_rewrites_skip(engine, spark, tmp_path):
     spark.dataSource.register(GraphStoreDataSource)
     engine.append_edges(_edges(spark, [("A", 1, 2, 5), ("B", 1, 2, 2)]))
@@ -234,7 +248,7 @@ def test_vertex_feed_schema_pinned_at_query_start(engine, spark):
     parts = reader.partitions(reader.initialOffset(),
                               reader.latestOffset())
     assert parts and all(p.prop_cols == [("tag", "tag")] for p in parts)
-    rows = [r for p in parts for r in reader.read(p)]
+    rows = _read_rows(reader, parts)
     # every row is exactly (graph, vid, tag, seq) wide — the late
     # column never leaks into this run
     assert rows and all(len(r) == 4 for r in rows)
@@ -279,7 +293,7 @@ def test_edge_feed_props_rename_and_query_start_pinning(engine, spark,
     assert parts and all(
         p.prop_cols == [("category", "kind"), ("rank", "rank")]
         for p in parts)
-    rows = [r for p in parts for r in reader.read(p)]
+    rows = _read_rows(reader, parts)
     assert rows and all(len(r) == 7 for r in rows)
     # category via physical 'kind'; the late column (value 4) dropped;
     # seq 5 = append after rename (3) and declare (4) manifests
