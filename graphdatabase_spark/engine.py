@@ -910,16 +910,21 @@ class GraphEngine:
         _merge_props(prev0.get("props", {}).get("edges", {}),
                      batch_props, "append_edges",
                      _blocked_physicals(prev0, "edges"))
+        # persist the batch across its consumers (validation collect,
+        # edges write, vid derivation) — one computation of the
+        # caller's batch plan instead of three (round-15 optimization)
+        edges = edges.persist()
         # graph NAMES of this batch + the w >= 1 invariant, one
         # metadata-sized job (same envelope note as _write) — also
         # prunes the anti-join reads
         write_graphs = self._touched_validated(edges, "append_edges")
         if not write_graphs:
+            edges.unpersist()
             return False  # empty batch publishes nothing
         batch_vids = (edges.select(F.col("src").alias("vid"), "graph")
                       .unionByName(edges.select(F.col("dst").alias("vid"),
                                                 "graph"))
-                      .distinct())
+                      .distinct()).persist()
         known = snap.vertices(write_graphs).select("vid", "graph")
         new_vids = batch_vids.join(known, ["vid", "graph"], "left_anti")
         # n records an ID BOUND (max vid), not a count: appended graphs
@@ -964,7 +969,11 @@ class GraphEngine:
                 body["props"] = props_doc
             return _carry_vdeltas(prev, body)
 
-        published = self.manifests.commit(update) is not None
+        try:
+            published = self.manifests.commit(update) is not None
+        finally:
+            edges.unpersist()
+            batch_vids.unpersist()
         if published:
             self._auto_compact(write_graphs)
         return published
@@ -1088,6 +1097,14 @@ class GraphEngine:
                     .join(old_meta.select("graph"), "graph", "left_anti"))
         cid = uuid.uuid4().hex[:12]
         eff = self._eff_buckets(snap)
+        # persist the rewrite across the three table writes: without
+        # this the edges write, the vertices write (via evids) and the
+        # meta write (via verts) each recomputed the full COW union —
+        # three scans of the touched graphs per MERGE instead of one
+        # (round-15 optimization; at scale the recompute is an extra
+        # full read of every touched graph)
+        merged = merged.persist()
+        verts = verts.persist()
         for df, table in ((merged, "edges"), (verts, "vertices"),
                           (old_meta.unionByName(new_meta), "meta")):
             self._store_write(df, table, cid, eff)
@@ -1123,7 +1140,11 @@ class GraphEngine:
                 body["props"] = props_doc
             return _carry_vdeltas(prev, body)
 
-        self.manifests.commit(update)
+        try:
+            self.manifests.commit(update)
+        finally:
+            merged.unpersist()
+            verts.unpersist()
         adopted = frozenset(outcome[0])
         return adopted, frozenset(touched) - adopted
 
@@ -1221,6 +1242,10 @@ class GraphEngine:
                 .groupBy("graph").agg(F.max("n").alias("n")))
         cid = uuid.uuid4().hex[:12]
         eff = self._eff_buckets(snap)
+        # persist across the two consumers (vertices write + the meta
+        # bound aggregate) — same one-scan-instead-of-two reasoning as
+        # the merge_edges COW persist
+        new_verts = new_verts.persist()
         for df, table in ((edges, "edges"), (new_verts, "vertices"),
                           (meta, "meta")):
             self._store_write(df, table, cid, eff)
@@ -1250,7 +1275,10 @@ class GraphEngine:
                 body["props"] = props_doc
             return _carry_vdeltas(prev, body)
 
-        self.manifests.commit(update)
+        try:
+            self.manifests.commit(update)
+        finally:
+            new_verts.unpersist()
         adopted = frozenset(outcome[0])
         return adopted, frozenset(touched) - adopted
 

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphdatabase_spark.cache import shared_persist, track_persist
-from graphdatabase_spark.operators.pregel import _ckpt
+from graphdatabase_spark.operators.pregel import _ckpt, _ckpt_lazy
 
 # Peeling-round ceiling for k_core (and the unrolled oracle): the
 # observed fixpoint is ≤ 8 rounds on the derived graph at sf 0.001-0.1;
@@ -239,13 +239,23 @@ def k_core(edges: DataFrame, k: int,
     truncation is impossible."""
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     e = e.transform(_ckpt)
-    deg = (
-        e.select(F.col("src").alias("vid")).unionAll(e.select(F.col("dst").alias("vid")))
-        .groupBy("vid").agg(F.count(F.lit(1)).alias("d"))
-    ).transform(_ckpt)
+
+    def _deg_below(df):
+        """Materialize a degree table and count its below-k rows in
+        ONE job (lazy checkpoint + agg — round-15 job fusion: was a
+        checkpoint job plus a separate count per peel round)."""
+        out = _ckpt_lazy(df)
+        n = out.agg(F.count(F.when(F.col("d") < k, F.lit(1)))
+                    ).collect()[0][0]
+        return out, int(n)
+
+    deg, n_below = _deg_below(
+        e.select(F.col("src").alias("vid"))
+        .unionAll(e.select(F.col("dst").alias("vid")))
+        .groupBy("vid").agg(F.count(F.lit(1)).alias("d")))
     for _ in range(max_rounds):
         removed = deg.filter(F.col("d") < k).select("vid")
-        n_removed = removed.count()
+        n_removed = n_below
         if n_removed == 0:
             break
         small = n_removed <= BROADCAST_FRONTIER_MAX
@@ -261,11 +271,11 @@ def k_core(edges: DataFrame, k: int,
                 .select(F.col("src").alias("vid")))
             .groupBy("vid").agg(F.count(F.lit(1)).alias("loss"))
         )
-        deg = (
+        deg, n_below = _deg_below(
             deg.join(removed, "vid", "left_anti")
             .join(loss, "vid", "left")
-            .select("vid", (F.col("d") - F.coalesce("loss", F.lit(0))).alias("d"))
-        ).transform(_ckpt)
+            .select("vid",
+                    (F.col("d") - F.coalesce("loss", F.lit(0))).alias("d")))
     else:
         raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
     return deg.select("vid", F.col("d").alias("core_deg"))

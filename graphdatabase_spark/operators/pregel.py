@@ -95,6 +95,30 @@ def _ckpt(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _ckpt_lazy(df: DataFrame) -> DataFrame:
+    """Non-eager :func:`_ckpt`: the lineage truncation and persist
+    happen inside the FIRST job that touches the result instead of in
+    a dedicated materialization job. Same checkpoint policy switch."""
+    every, counter = _CKPT.get()
+    if every:
+        counter[0] += 1
+        if counter[0] % every == 0:
+            return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
+def _ckpt_n(df: DataFrame) -> tuple[DataFrame, int]:
+    """Materialize one superstep output AND return its row count in a
+    SINGLE job: lazy checkpoint + count — the count both computes/
+    persists the truncated lineage and answers the loop's termination
+    question. Replaces the eager-checkpoint-then-isEmpty pair, which
+    cost two driver round trips per superstep (round-15 optimization:
+    job census showed the superstep kernels issuing 90-200 jobs per
+    query, ~half of them emptiness probes)."""
+    out = _ckpt_lazy(df)
+    return out, out.count()
+
+
 def _prepare_edges(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Hash-partition edges by src once so every superstep's join
     reuses the same partitioning (one-time shuffle, then stable)."""
@@ -160,8 +184,8 @@ def _bfs_loop(e: DataFrame, frontier: DataFrame, key_cols: list[str],
             .distinct()
             .join(visited, join_keys, "left_anti")
         )
-        nxt = nxt.transform(_ckpt)  # also truncates lineage
-        if nxt.isEmpty():
+        nxt, n_nxt = _ckpt_n(nxt)   # materialize + count in one job
+        if n_nxt == 0:
             break
         frontiers.append(nxt.withColumn("level", F.lit(level)))
         visited = visited.unionByName(nxt)
@@ -255,8 +279,8 @@ def sssp_weighted(edges: DataFrame, start_vids: list[int],
             .filter(F.col("cur").isNull() | (F.col("d") < F.col("cur")))
             .select("vid", F.col("d").alias("dist"))
         )
-        improved = improved.transform(_ckpt)
-        if improved.isEmpty():
+        improved, n_improved = _ckpt_n(improved)
+        if n_improved == 0:
             break
         dist = (
             dist.join(improved.withColumnRenamed("dist", "nd"), "vid", "left")
@@ -709,18 +733,30 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
          .filter(F.col("src") != F.col("dst"))
          .select(F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v"))
          .distinct())
-    e = e.transform(_ckpt)
+    e, n_e = _ckpt_n(e)
 
     rounds = 0
     for _ in range(max_iterations):
-        if e.isEmpty():
+        if n_e == 0:
             break
-        nxt = _cc_small_star(_cc_large_star(e)).transform(_ckpt)
+        # ONE job per round (round-15 optimization; was four): the
+        # full-outer diff both materializes the lazily-checkpointed
+        # next edge set and answers set equality in both directions
+        # (the same exact-equality convergence test as the two
+        # anti-join probes it replaces) plus the next round's
+        # emptiness question. (u, v) is unique on both sides (each
+        # star round ends distinct), so the join is key-to-key.
+        nxt = _ckpt_lazy(_cc_small_star(_cc_large_star(e)))
+        row = (nxt.select("u", "v", F.lit(1).alias("_a"))
+               .join(e.select("u", "v", F.lit(1).alias("_b")),
+                     ["u", "v"], "full_outer")
+               .agg(F.count(F.when(F.col("_a").isNull()
+                                   | F.col("_b").isNull(), 1))
+                    .alias("diff"),
+                    F.count("_a").alias("n_nxt")).collect()[0])
         rounds += 1
-        unchanged = (nxt.join(e, ["u", "v"], "left_anti").isEmpty()
-                     and e.join(nxt, ["u", "v"], "left_anti").isEmpty())
-        e = nxt
-        if unchanged:
+        e, n_e = nxt, row["n_nxt"]
+        if row["diff"] == 0:
             break
     if stats is not None:
         stats["rounds"] = rounds
@@ -787,27 +823,29 @@ def strongly_connected_components(edges: DataFrame, vertices: DataFrame,
     e = (edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
          .filter(F.col("src") != F.col("dst")).distinct()
          .transform(_ckpt))
-    remaining = (vertices.select(F.col("vid").cast("long")).distinct()
-                 .transform(_ckpt))
+    remaining, n_rem = _ckpt_n(
+        vertices.select(F.col("vid").cast("long")).distinct())
     done: list[DataFrame] = []
     rounds = 0
     color_steps = 0
 
     for _ in range(max_iterations):
-        # 1. trim to fixpoint
+        # 1. trim to fixpoint — one counted job per trim round (the
+        # trivial set's size falls out of the remaining counts, so
+        # its own emptiness probe is free; round-15 job fusion)
         while True:
-            nontrivial = (remaining
-                          .join(e.select(F.col("src").alias("vid")), "vid", "left_semi")
-                          .join(e.select(F.col("dst").alias("vid")), "vid", "left_semi")
-                          .transform(_ckpt))
-            trivial = remaining.join(nontrivial, "vid", "left_anti") \
-                .transform(_ckpt)
-            remaining = nontrivial
-            if trivial.isEmpty():
-                break
+            nontrivial, n_non = _ckpt_n(
+                remaining
+                .join(e.select(F.col("src").alias("vid")), "vid", "left_semi")
+                .join(e.select(F.col("dst").alias("vid")), "vid", "left_semi"))
+            trivial = _ckpt_lazy(
+                remaining.join(nontrivial, "vid", "left_anti"))
+            remaining, prev_rem, n_rem = nontrivial, n_rem, n_non
+            if prev_rem == n_non:
+                break   # trivial set empty: trim fixpoint
             done.append(trivial.select("vid", F.col("vid").alias("scc")))
-            e = _restrict_edges(e, remaining).transform(_ckpt)
-        if remaining.isEmpty():
+            e = _ckpt_lazy(_restrict_edges(e, remaining))
+        if n_rem == 0:
             break
         rounds += 1
 
@@ -825,12 +863,12 @@ def strongly_connected_components(edges: DataFrame, vertices: DataFrame,
             msgs = (active.join(e, active.vid == e.src)
                     .select(F.col("dst").alias("vid"), "color")
                     .groupBy("vid").agg(F.min("color").alias("mc")))
-            improved = (msgs.join(colors, "vid")
-                        .filter(F.col("mc") < F.col("color"))
-                        .select("vid", F.col("mc").alias("color"))
-                        .transform(_ckpt))
+            improved, n_improved = _ckpt_n(
+                msgs.join(colors, "vid")
+                .filter(F.col("mc") < F.col("color"))
+                .select("vid", F.col("mc").alias("color")))
             color_steps += 1
-            if improved.isEmpty():
+            if n_improved == 0:
                 converged = True
                 break
             colors = (colors.join(improved.withColumnRenamed("color", "nc"),
@@ -854,27 +892,27 @@ def strongly_connected_components(edges: DataFrame, vertices: DataFrame,
                     .transform(_ckpt))
         extracted = frontier
         while True:
-            preds = (frontier.join(e, frontier.vid == e.dst)
-                     .select(F.col("src").alias("vid"), "scc").distinct()
-                     .join(colors, "vid")
-                     .filter(F.col("color") == F.col("scc"))
-                     .select("vid", "scc")
-                     .join(extracted, "vid", "left_anti")
-                     .transform(_ckpt))
-            if preds.isEmpty():
+            preds, n_preds = _ckpt_n(
+                frontier.join(e, frontier.vid == e.dst)
+                .select(F.col("src").alias("vid"), "scc").distinct()
+                .join(colors, "vid")
+                .filter(F.col("color") == F.col("scc"))
+                .select("vid", "scc")
+                .join(extracted, "vid", "left_anti"))
+            if n_preds == 0:
                 break
             extracted = extracted.unionByName(preds)
             frontier = preds
         done.append(extracted)
 
         # 4. remove and iterate
-        remaining = remaining.join(extracted, "vid", "left_anti") \
-            .transform(_ckpt)
-        if remaining.isEmpty():
+        remaining, n_rem = _ckpt_n(
+            remaining.join(extracted, "vid", "left_anti"))
+        if n_rem == 0:
             break
-        e = _restrict_edges(e, remaining).transform(_ckpt)
+        e = _ckpt_lazy(_restrict_edges(e, remaining))
 
-    if not remaining.isEmpty():
+    if n_rem != 0:
         raise RuntimeError(
             f"SCC decomposition did not drain within {max_iterations} outer "
             f"rounds; raise max_iterations — a partial result would be "
