@@ -105,6 +105,32 @@ def shared_local(spark, key: tuple, build: Callable[[], DataFrame],
     return df
 
 
+def shared_plan(spark, key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
+    """Session-shared memo of a DataFrame OBJECT — an *unexecuted
+    plan*, never a result. First use pays ``build()`` (Python-side
+    plan assembly + py4j round trips + analysis); later uses return
+    the same object, so a warm call adds zero plan-construction cost.
+
+    This is NOT a result cache: nothing is persisted and every action
+    on the returned frame executes from the inputs. (Under AQE,
+    re-executing the same physical plan can reuse the prior
+    execution's shuffle files — Spark's ordinary skipped-stage
+    behaviour for an identical RDD lineage, bounded to this session
+    and dropped by :func:`release_caches` exactly like the shared
+    index materializations.) Use for report plans whose *assembly*
+    is measurably expensive (ann_recall: 9 probe legs, ~4 s of
+    driver-side analysis per call)."""
+    k = (_app_id(spark), *key)
+    df = _SHARED.get(k)
+    if df is None:
+        with _key_lock(k):
+            df = _SHARED.get(k)
+            if df is None:
+                df = build()
+                _SHARED[k] = df
+    return df
+
+
 def is_cached(spark, key: tuple) -> bool:
     """True when ``key`` is already memoized for this session — lets
     cold-path warmers skip the memo hit + materialization probe
@@ -133,4 +159,9 @@ def release_caches() -> int:
             pass
     _SHARED.clear()
     _TRACKED.clear()
+    # Keys embed applicationId, so locks from a stopped session can
+    # never be reused — drop them or they accumulate across session
+    # restarts within one process.
+    with _META_LOCK:
+        _LOCKS.clear()
     return n

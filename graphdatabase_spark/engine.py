@@ -57,6 +57,7 @@ from __future__ import annotations
 import os
 import time
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
@@ -784,6 +785,33 @@ class GraphEngine:
         else:
             out.write.mode("overwrite").partitionBy("graph").parquet(path)
 
+    def _store_write_all(self, frames: list[tuple[DataFrame, str]],
+                         cid: str, buckets: int | None) -> None:
+        """Land one commit's table dirs CONCURRENTLY (guide §2.6 —
+        overlap independent jobs): the edges/vertices/meta writes
+        target disjoint ``c=<cid>`` dirs and none reads another's
+        output, but each is a driver-blocking job whose task tail
+        leaves most of the cluster idle; a pool of one thread per
+        table overlaps them so the next write's tasks back-fill the
+        freed executors. The manifest CAS stays strictly AFTER every
+        write returns (the caller publishes only once this method
+        does), so the commit protocol — files first, pointer flip
+        last — is unchanged; any write failure propagates before a
+        manifest can reference the commit.
+
+        Callers order ``frames`` so a frame whose persisted cache is
+        still COLD and feeds the other tables is NOT raced: pass it
+        through :meth:`_store_write` first (merge_edges writes the
+        COW edge set alone, then vertices ∥ meta from its cache)."""
+        if len(frames) == 1:
+            self._store_write(frames[0][0], frames[0][1], cid, buckets)
+            return
+        with ThreadPoolExecutor(max_workers=len(frames)) as pool:
+            futs = [pool.submit(self._store_write, df, table, cid, buckets)
+                    for df, table in frames]
+            for f in futs:
+                f.result()   # propagate the first failure loudly
+
     # -- op 1 / op 2: add / modify (full overwrite of one graph) ---------
 
     def add_graph(self, name: str, matrix_text: str) -> None:
@@ -912,68 +940,75 @@ class GraphEngine:
                      _blocked_physicals(prev0, "edges"))
         # persist the batch across its consumers (validation collect,
         # edges write, vid derivation) — one computation of the
-        # caller's batch plan instead of three (round-15 optimization)
+        # caller's batch plan instead of three (round-15 optimization).
+        # The try starts IMMEDIATELY after the persist (round-16
+        # ADVICE fix): a validation ValueError or a write failure must
+        # not leak the cached frames until release_caches.
         edges = edges.persist()
-        # graph NAMES of this batch + the w >= 1 invariant, one
-        # metadata-sized job (same envelope note as _write) — also
-        # prunes the anti-join reads
-        write_graphs = self._touched_validated(edges, "append_edges")
-        if not write_graphs:
-            edges.unpersist()
-            return False  # empty batch publishes nothing
-        batch_vids = (edges.select(F.col("src").alias("vid"), "graph")
-                      .unionByName(edges.select(F.col("dst").alias("vid"),
-                                                "graph"))
-                      .distinct()).persist()
-        known = snap.vertices(write_graphs).select("vid", "graph")
-        new_vids = batch_vids.join(known, ["vid", "graph"], "left_anti")
-        # n records an ID BOUND (max vid), not a count: appended graphs
-        # carry arbitrary user vids, and meta n's contract downstream
-        # (_packed_union's lower bound, the matrix dimension for
-        # ingested graphs) is "no vid exceeds n at write time".
-        new_graph_meta = (batch_vids.groupBy("graph")
-                          .agg(F.max("vid").cast("int").alias("n"))
-                          .join(snap.meta(write_graphs)
-                                .select("graph").distinct(),
-                                "graph", "left_anti"))
-        eff = self._eff_buckets(snap)
-        for df, table in ((edges, "edges"), (new_vids, "vertices"),
-                          (new_graph_meta, "meta")):
-            self._store_write(df, table, cid, eff)
-
-        def update(prev: dict | None) -> dict | None:
-            _check_layout(prev, eff)
-            txns = dict((prev or {}).get("txns", {}))
-            if txn_app is not None:
-                # re-checked INSIDE the CAS closure: a competing replica
-                # may have applied this version since our snapshot
-                if txns.get(txn_app, -1) >= txn_version:
-                    return None
-                txns[txn_app] = txn_version
-            graphs_map = dict(prev["graphs"]) if prev else {}
-            changed = False
-            for g in write_graphs:
-                chain = _cids(graphs_map[g]) if g in graphs_map else []
-                if cid not in chain:
-                    graphs_map[g] = chain + [cid]
-                    changed = True
-            if not changed:
-                return None
-            body = {"commit": cid, "graphs": graphs_map, "txns": txns}
-            props_doc = dict((prev or {}).get("props", {}))
-            if batch_props:
-                props_doc["edges"] = _merge_props(
-                    props_doc.get("edges", {}), batch_props, "append_edges",
-                    _blocked_physicals(prev, "edges"))
-            if props_doc:
-                body["props"] = props_doc
-            return _carry_vdeltas(prev, body)
-
+        batch_vids = None
         try:
+            # graph NAMES of this batch + the w >= 1 invariant, one
+            # metadata-sized job (same envelope note as _write) — also
+            # prunes the anti-join reads
+            write_graphs = self._touched_validated(edges, "append_edges")
+            if not write_graphs:
+                return False  # empty batch publishes nothing
+            batch_vids = (edges.select(F.col("src").alias("vid"), "graph")
+                          .unionByName(edges.select(F.col("dst").alias("vid"),
+                                                    "graph"))
+                          .distinct()).persist()
+            known = snap.vertices(write_graphs).select("vid", "graph")
+            new_vids = batch_vids.join(known, ["vid", "graph"], "left_anti")
+            # n records an ID BOUND (max vid), not a count: appended
+            # graphs carry arbitrary user vids, and meta n's contract
+            # downstream (_packed_union's lower bound, the matrix
+            # dimension for ingested graphs) is "no vid exceeds n at
+            # write time".
+            new_graph_meta = (batch_vids.groupBy("graph")
+                              .agg(F.max("vid").cast("int").alias("n"))
+                              .join(snap.meta(write_graphs)
+                                    .select("graph").distinct(),
+                                    "graph", "left_anti"))
+            eff = self._eff_buckets(snap)
+            # all three frames read from the batch cache (already
+            # filled by the validation collect), so the writes are
+            # safe to overlap (guide §2.6)
+            self._store_write_all([(edges, "edges"), (new_vids, "vertices"),
+                                   (new_graph_meta, "meta")], cid, eff)
+
+            def update(prev: dict | None) -> dict | None:
+                _check_layout(prev, eff)
+                txns = dict((prev or {}).get("txns", {}))
+                if txn_app is not None:
+                    # re-checked INSIDE the CAS closure: a competing replica
+                    # may have applied this version since our snapshot
+                    if txns.get(txn_app, -1) >= txn_version:
+                        return None
+                    txns[txn_app] = txn_version
+                graphs_map = dict(prev["graphs"]) if prev else {}
+                changed = False
+                for g in write_graphs:
+                    chain = _cids(graphs_map[g]) if g in graphs_map else []
+                    if cid not in chain:
+                        graphs_map[g] = chain + [cid]
+                        changed = True
+                if not changed:
+                    return None
+                body = {"commit": cid, "graphs": graphs_map, "txns": txns}
+                props_doc = dict((prev or {}).get("props", {}))
+                if batch_props:
+                    props_doc["edges"] = _merge_props(
+                        props_doc.get("edges", {}), batch_props, "append_edges",
+                        _blocked_physicals(prev, "edges"))
+                if props_doc:
+                    body["props"] = props_doc
+                return _carry_vdeltas(prev, body)
+
             published = self.manifests.commit(update) is not None
         finally:
             edges.unpersist()
-            batch_vids.unpersist()
+            if batch_vids is not None:
+                batch_vids.unpersist()
         if published:
             self._auto_compact(write_graphs)
         return published
@@ -1105,42 +1140,51 @@ class GraphEngine:
         # full read of every touched graph)
         merged = merged.persist()
         verts = verts.persist()
-        for df, table in ((merged, "edges"), (verts, "vertices"),
-                          (old_meta.unionByName(new_meta), "meta")):
-            self._store_write(df, table, cid, eff)
-        pinned = (snap.manifest or {}).get("graphs", {})
-        # the CAS closure can retry; the LAST invocation is the one
-        # that published, so it overwrites (not accumulates) this cell
-        outcome: list[set] = [set()]
-
-        def update(prev: dict | None) -> dict | None:
-            _check_layout(prev, eff)
-            graphs_map = dict(prev["graphs"]) if prev else {}
-            adopted = set()
-            for g in touched:
-                if graphs_map.get(g) == pinned.get(g):
-                    graphs_map[g] = cid
-                    adopted.add(g)
-            outcome[0] = adopted
-            if not adopted:
-                # every touched graph's pointer moved mid-merge: the
-                # rewrite is stale everywhere — publish NOTHING (the
-                # c=cid dirs become orphans for vacuum), mirroring
-                # append_edges' changed-else-None guard, instead of a
-                # no-op manifest whose "commit" nothing references
-                return None
-            body = {"commit": cid, "graphs": graphs_map,
-                    "txns": (prev or {}).get("txns", {})}
-            props_doc = dict((prev or {}).get("props", {}))
-            if batch_props:
-                props_doc["edges"] = _merge_props(
-                    props_doc.get("edges", {}), batch_props, "merge_edges",
-                    _blocked_physicals(prev, "edges"))
-            if props_doc:
-                body["props"] = props_doc
-            return _carry_vdeltas(prev, body)
-
         try:
+            # the edges write goes ALONE first: it fills the COW
+            # cache (`merged`), which both remaining tables read —
+            # racing them against a cold cache would recompute the
+            # touched-graph scan per thread instead of once. Then
+            # vertices ∥ meta overlap from the warm cache (§2.6).
+            self._store_write(merged, "edges", cid, eff)
+            self._store_write_all(
+                [(verts, "vertices"),
+                 (old_meta.unionByName(new_meta), "meta")], cid, eff)
+            pinned = (snap.manifest or {}).get("graphs", {})
+            # the CAS closure can retry; the LAST invocation is the
+            # one that published, so it overwrites (not accumulates)
+            # this cell
+            outcome: list[set] = [set()]
+
+            def update(prev: dict | None) -> dict | None:
+                _check_layout(prev, eff)
+                graphs_map = dict(prev["graphs"]) if prev else {}
+                adopted = set()
+                for g in touched:
+                    if graphs_map.get(g) == pinned.get(g):
+                        graphs_map[g] = cid
+                        adopted.add(g)
+                outcome[0] = adopted
+                if not adopted:
+                    # every touched graph's pointer moved mid-merge:
+                    # the rewrite is stale everywhere — publish
+                    # NOTHING (the c=cid dirs become orphans for
+                    # vacuum), mirroring append_edges'
+                    # changed-else-None guard, instead of a no-op
+                    # manifest whose "commit" nothing references
+                    return None
+                body = {"commit": cid, "graphs": graphs_map,
+                        "txns": (prev or {}).get("txns", {})}
+                props_doc = dict((prev or {}).get("props", {}))
+                if batch_props:
+                    props_doc["edges"] = _merge_props(
+                        props_doc.get("edges", {}), batch_props,
+                        "merge_edges",
+                        _blocked_physicals(prev, "edges"))
+                if props_doc:
+                    body["props"] = props_doc
+                return _carry_vdeltas(prev, body)
+
             self.manifests.commit(update)
         finally:
             merged.unpersist()
@@ -1246,36 +1290,41 @@ class GraphEngine:
         # bound aggregate) — same one-scan-instead-of-two reasoning as
         # the merge_edges COW persist
         new_verts = new_verts.persist()
-        for df, table in ((edges, "edges"), (new_verts, "vertices"),
-                          (meta, "meta")):
-            self._store_write(df, table, cid, eff)
-        pinned = (snap.manifest or {}).get("graphs", {})
-        outcome: list[set] = [set()]
-
-        def update(prev: dict | None) -> dict | None:
-            _check_layout(prev, eff)
-            graphs_map = dict(prev["graphs"]) if prev else {}
-            adopted = set()
-            for g in touched:
-                if graphs_map.get(g) == pinned.get(g):
-                    graphs_map[g] = cid
-                    adopted.add(g)
-            outcome[0] = adopted
-            if not adopted:
-                return None
-            body = {"commit": cid, "graphs": graphs_map,
-                    "txns": (prev or {}).get("txns", {})}
-            props_doc = dict((prev or {}).get("props", {}))
-            if batch_props:
-                props_doc["vertices"] = _merge_props(
-                    props_doc.get("vertices", {}), batch_props,
-                    "set_vertex_props",
-                    _blocked_physicals(prev, "vertices"))
-            if props_doc:
-                body["props"] = props_doc
-            return _carry_vdeltas(prev, body)
-
         try:
+            # the heavy frame here is the copy-through EDGE rewrite
+            # (independent of new_verts), so all three writes overlap
+            # (§2.6); the vertices/meta race can at worst recompute
+            # the touched graphs' VERTEX scan once — small next to
+            # overlapping it with the edge copy.
+            self._store_write_all([(edges, "edges"),
+                                   (new_verts, "vertices"),
+                                   (meta, "meta")], cid, eff)
+            pinned = (snap.manifest or {}).get("graphs", {})
+            outcome: list[set] = [set()]
+
+            def update(prev: dict | None) -> dict | None:
+                _check_layout(prev, eff)
+                graphs_map = dict(prev["graphs"]) if prev else {}
+                adopted = set()
+                for g in touched:
+                    if graphs_map.get(g) == pinned.get(g):
+                        graphs_map[g] = cid
+                        adopted.add(g)
+                outcome[0] = adopted
+                if not adopted:
+                    return None
+                body = {"commit": cid, "graphs": graphs_map,
+                        "txns": (prev or {}).get("txns", {})}
+                props_doc = dict((prev or {}).get("props", {}))
+                if batch_props:
+                    props_doc["vertices"] = _merge_props(
+                        props_doc.get("vertices", {}), batch_props,
+                        "set_vertex_props",
+                        _blocked_physicals(prev, "vertices"))
+                if props_doc:
+                    body["props"] = props_doc
+                return _carry_vdeltas(prev, body)
+
             self.manifests.commit(update)
         finally:
             new_verts.unpersist()
@@ -1302,7 +1351,6 @@ class GraphEngine:
                                   F.lit(0).alias("w"), "graph")
             self._store_write(rows, "edges", cid, eff)
         else:
-            self._store_write(updates, "edges", cid, eff)
             known = snap.vertices(touched).select("vid", "graph")
             evids = (updates.select(F.col("src").alias("vid"), "graph")
                      .unionByName(updates.select(F.col("dst").alias("vid"),
@@ -1312,8 +1360,11 @@ class GraphEngine:
             meta = (evids.groupBy("graph")
                     .agg(F.max("vid").cast("int").alias("n"))
                     .select("n", "graph"))
-            self._store_write(new_verts, "vertices", cid, eff)
-            self._store_write(meta, "meta", cid, eff)
+            # all three are O(batch) plans over the caller's update
+            # batch (recomputed per write either way) — overlap them
+            self._store_write_all([(updates, "edges"),
+                                   (new_verts, "vertices"),
+                                   (meta, "meta")], cid, eff)
 
         def update(prev: dict | None) -> dict | None:
             _check_layout(prev, eff)
@@ -1361,8 +1412,9 @@ class GraphEngine:
         eff = self._eff_buckets(snap)
         meta = verts.groupBy("graph").agg(
             F.max("vid").cast("int").alias("n")).select("n", "graph")
-        self._store_write(verts, "vertices", cid, eff)
-        self._store_write(meta, "meta", cid, eff)
+        # both O(batch) plans over the caller's batch — overlap them
+        self._store_write_all([(verts, "vertices"), (meta, "meta")],
+                              cid, eff)
 
         def update(prev: dict | None) -> dict | None:
             _check_layout(prev, eff)
@@ -1628,9 +1680,10 @@ class GraphEngine:
         meta = snap.meta(touched).distinct()
         cid = uuid.uuid4().hex[:12]
         eff = self._eff_buckets(snap)
-        for df, table in ((edges, "edges"), (verts, "vertices"),
-                          (meta, "meta")):
-            self._store_write(df, table, cid, eff)
+        # three INDEPENDENT anti-join scans (edge table, vertex table,
+        # meta) sharing only the batch-sized key set — overlap them
+        self._store_write_all([(edges, "edges"), (verts, "vertices"),
+                               (meta, "meta")], cid, eff)
         pinned = (snap.manifest or {}).get("graphs", {})
         outcome: list[set] = [set()]
 
@@ -1680,8 +1733,9 @@ class GraphEngine:
             (matrix_mod.matrix_vertices(lines), "vertices"),
             (meta, "meta"),
         )
-        for df, table in writes:
-            self._store_write(df, table, cid, eff)
+        # three independent projections of the ingest read — overlap
+        # them (§2.6); the manifest publish below stays strictly last
+        self._store_write_all(list(writes), cid, eff)
         # The graph set of this write (one small driver-side collect of
         # catalog metadata — graph NAMES, not data; one per commit, not
         # per table). Envelope: the manifest itself stores one entry
@@ -1754,30 +1808,29 @@ class GraphEngine:
         sel = graphs if names is not None else None
         cid = uuid.uuid4().hex[:12]
         eff = self._eff_buckets(snap)
-        for table in ("edges", "vertices", "meta"):
-            if table == "edges":
-                # the weighted read normalizes legacy commits (no w
-                # column) to w=1, so compaction also migrates them;
-                # props=True carries the declared property columns;
-                # both reads resolve merge-on-read deltas, so the
-                # compacted commit holds plain merged rows
-                df = snap.weighted_edges(sel, props=True)
-            elif table == "vertices":
-                # distinct: an append chain written by concurrent
-                # same-graph appenders can carry duplicate vertex rows
-                # (each anti-joined against the same pre-append
-                # snapshot); compaction is the heal point
-                df = snap.vertices(sel, props=True).distinct()
-            else:
-                # meta needs a per-graph AGGREGATE, not distinct: two
-                # concurrent appends that both CREATE a graph write
-                # meta rows with different n (each derived from its own
-                # batch against the same pre-append snapshot), and
-                # distinct() would keep both forever. max preserves the
-                # "n >= max vid at write time" bound both writers held.
-                df = (snap._table(table, "n int", sel)
-                      .groupBy("graph").agg(F.max("n").alias("n")))
-            self._store_write(df, table, cid, eff)
+        frames = [
+            # the weighted read normalizes legacy commits (no w
+            # column) to w=1, so compaction also migrates them;
+            # props=True carries the declared property columns;
+            # both reads resolve merge-on-read deltas, so the
+            # compacted commit holds plain merged rows
+            (snap.weighted_edges(sel, props=True), "edges"),
+            # distinct: an append chain written by concurrent
+            # same-graph appenders can carry duplicate vertex rows
+            # (each anti-joined against the same pre-append
+            # snapshot); compaction is the heal point
+            (snap.vertices(sel, props=True).distinct(), "vertices"),
+            # meta needs a per-graph AGGREGATE, not distinct: two
+            # concurrent appends that both CREATE a graph write
+            # meta rows with different n (each derived from its own
+            # batch against the same pre-append snapshot), and
+            # distinct() would keep both forever. max preserves the
+            # "n >= max vid at write time" bound both writers held.
+            (snap._table("meta", "n int", sel)
+             .groupBy("graph").agg(F.max("n").alias("n")), "meta"),
+        ]
+        # three independent chain reads — overlap the rewrites (§2.6)
+        self._store_write_all(frames, cid, eff)
         pinned = snap.manifest["graphs"]
         target = set(graphs)
 

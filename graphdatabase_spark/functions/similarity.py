@@ -210,6 +210,18 @@ def _bucket_col(v, num_planes: int = ANN_PLANES, seed: str = "plane") -> F.Colum
     return bucket
 
 
+
+# --- session-cache keys, single-sourced (round-16 ADVICE fix) -------
+# Each shared builder's cache key is produced by exactly one helper,
+# used BOTH at the builder's shared_persist/shared_local call site and
+# by q_ann_recall's cold-path warm-up list. A duplicated literal that
+# drifted from its builder would silently defeat ``is_cached``
+# filtering and re-run cold builds on every warm call.
+
+def emb_bucketed_key(sf_dir: str, num_planes: int = ANN_PLANES) -> tuple:
+    return ("emb_bucketed", sf_dir, num_planes)
+
+
 def cached_emb_bucketed(spark: SparkSession, sf_dir: str,
                         num_planes: int = ANN_PLANES) -> DataFrame:
     """The session-shared hyperplane-LSH materialization the bucketed
@@ -223,7 +235,7 @@ def cached_emb_bucketed(spark: SparkSession, sf_dir: str,
     quant = emb.select("vec_id", quantized(F.col("embedding")).alias("v"))
     n_part = spark.sparkContext.defaultParallelism
     return shared_persist(
-        spark, ("emb_bucketed", sf_dir, num_planes),
+        spark, emb_bucketed_key(sf_dir, num_planes),
         lambda: quant.select("vec_id", "v", _norm_sq(F.col("v")).alias("nsq"),
                              _bucket_col(F.col("v"), num_planes).alias("bucket"))
         .repartition(n_part, "bucket"))
@@ -426,6 +438,10 @@ def _recenter_cells(cells: DataFrame) -> DataFrame:
                 lambda x: x["c"]).alias("cv")))
 
 
+def trained_centroids_key(sf_dir: str, n_cells: int = IVF_CELLS) -> tuple:
+    return ("trained_centroids", sf_dir, n_cells)
+
+
 def trained_centroids(spark: SparkSession, sf_dir: str,
                       n_cells: int = IVF_CELLS) -> DataFrame:
     """``(cell, cv)`` after ONE Lloyd step over the seed assignment:
@@ -448,8 +464,13 @@ def trained_centroids(spark: SparkSession, sf_dir: str,
     InMemoryScan: guide §2.4 (remove shuffles outright) applied to a
     subplan instead of a single exchange."""
     return shared_local(
-        spark, ("trained_centroids", sf_dir, n_cells),
+        spark, trained_centroids_key(sf_dir, n_cells),
         lambda: _recenter_cells(cached_ivf_cells(spark, sf_dir, n_cells)))
+
+
+def train_centroids_key(sf_dir: str, n_cells: int = IVF_CELLS,
+                        steps: int = 1) -> tuple:
+    return ("train_centroids_steps", sf_dir, n_cells, steps)
 
 
 def train_centroids(spark: SparkSession, sf_dir: str,
@@ -481,7 +502,11 @@ def train_centroids(spark: SparkSession, sf_dir: str,
     # reason as trained_centroids (each extra step embeds a full
     # assign + recenter over N·D components)
     return shared_local(
-        spark, ("train_centroids_steps", sf_dir, n_cells, steps), build)
+        spark, train_centroids_key(sf_dir, n_cells, steps), build)
+
+
+def ivf_cells_trained_key(sf_dir: str, n_cells: int = IVF_CELLS) -> tuple:
+    return ("ivf_cells_trained", sf_dir, n_cells)
 
 
 def cached_ivf_cells_trained(spark: SparkSession, sf_dir: str,
@@ -500,7 +525,7 @@ def cached_ivf_cells_trained(spark: SparkSession, sf_dir: str,
     tc = trained_centroids(spark, sf_dir, n_cells)
     n_part = spark.sparkContext.defaultParallelism
     return shared_persist(
-        spark, ("ivf_cells_trained", sf_dir, n_cells),
+        spark, ivf_cells_trained_key(sf_dir, n_cells),
         lambda: _cell_assign(quant, tc, 1).repartition(n_part, "cell"))
 
 
@@ -1051,6 +1076,10 @@ def _recenter_pq_cb(pq: DataFrame) -> DataFrame:
                 lambda x: x["c"]).alias("csub")))
 
 
+def trained_pq_codebook_key(sf_dir: str) -> tuple:
+    return ("trained_pq_cb", sf_dir)
+
+
 def trained_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(m, code, csub)`` after ONE Lloyd step per subspace — the
     ``pq_recenter`` training output (pipeline.py: per-(m, code, dim)
@@ -1069,8 +1098,12 @@ def trained_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     was being re-embedded at every reference (probe LUT + encode per
     trained-PQ consumer)."""
     return shared_local(
-        spark, ("trained_pq_cb", sf_dir),
+        spark, trained_pq_codebook_key(sf_dir),
         lambda: _recenter_pq_cb(cached_pq_codes(spark, sf_dir)))
+
+
+def train_pq_codebook_key(sf_dir: str, steps: int = 1) -> tuple:
+    return ("train_pq_cb_steps", sf_dir, steps)
 
 
 def train_pq_codebook(spark: SparkSession, sf_dir: str,
@@ -1101,7 +1134,11 @@ def train_pq_codebook(spark: SparkSession, sf_dir: str,
     # PQ_M × PQ_CODES rows; session-shared for the same
     # duplicated-subplan reason as train_centroids' steps loop
     return shared_local(
-        spark, ("train_pq_cb_steps", sf_dir, steps), build)
+        spark, train_pq_codebook_key(sf_dir, steps), build)
+
+
+def pq_codes_trained_key(sf_dir: str) -> tuple:
+    return ("pq_codes_trained", sf_dir)
 
 
 def cached_pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1117,7 +1154,7 @@ def cached_pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant, subs, _ = _pq_sub_frames(spark, sf_dir)
         return _pq_encode(quant, subs, trained_pq_codebook(spark, sf_dir))
 
-    return shared_persist(spark, ("pq_codes_trained", sf_dir), build)
+    return shared_persist(spark, pq_codes_trained_key(sf_dir), build)
 
 
 def q_embedding_pq_trained_topk(spark: SparkSession, sf_dir: str,
@@ -1454,6 +1491,10 @@ def _emb_count(spark: SparkSession, sf_dir: str) -> int:
     return n
 
 
+def ivfpq_rcb_key(sf_dir: str) -> tuple:
+    return ("ivfpq_rcb", sf_dir)
+
+
 def ivfpq_residual_codebook(spark: SparkSession, sf_dir: str,
                             tc: DataFrame | None = None) -> DataFrame:
     """``(m, code, csub)`` residual PQ codebooks under coarse
@@ -1484,8 +1525,12 @@ def ivfpq_residual_codebook(spark: SparkSession, sf_dir: str,
     if tc is not None:
         return _build(tc)
     return shared_local(
-        spark, ("ivfpq_rcb", sf_dir),
+        spark, ivfpq_rcb_key(sf_dir),
         lambda: _build(trained_centroids(spark, sf_dir)))
+
+
+def ivfpq_index_key(sf_dir: str, key: str = "ivfpq_codes") -> tuple:
+    return (key, sf_dir)
 
 
 def cached_ivfpq_index(spark: SparkSession, sf_dir: str,
@@ -1519,7 +1564,7 @@ def cached_ivfpq_index(spark: SparkSession, sf_dir: str,
                            rsubs, rcb)
                 .repartition(n_part, "cell"))
 
-    return shared_persist(spark, (key, sf_dir), build)
+    return shared_persist(spark, ivfpq_index_key(sf_dir, key), build)
 
 
 def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str,
@@ -1743,26 +1788,29 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ``is_cached`` filters every thunk out, adding zero jobs.
     from concurrent.futures import ThreadPoolExecutor
 
-    from graphdatabase_spark.cache import is_cached
+    from graphdatabase_spark.cache import is_cached, shared_plan
 
+    # keys come from the SAME helpers the builders' cache call sites
+    # use (round-16 ADVICE fix: a drifted duplicate literal would
+    # silently defeat is_cached and re-run cold builds every call)
     builders = [
-        (("emb_bucketed", sf_dir, ANN_PLANES),
+        (emb_bucketed_key(sf_dir),
          lambda: cached_emb_bucketed(spark, sf_dir).count()),
-        (("trained_centroids", sf_dir, IVF_CELLS),
+        (trained_centroids_key(sf_dir),
          lambda: trained_centroids(spark, sf_dir)),
-        (("trained_pq_cb", sf_dir),
+        (trained_pq_codebook_key(sf_dir),
          lambda: trained_pq_codebook(spark, sf_dir)),
-        (("ivf_cells_trained", sf_dir, IVF_CELLS),
+        (ivf_cells_trained_key(sf_dir),
          lambda: cached_ivf_cells_trained(spark, sf_dir).count()),
-        (("pq_codes_trained", sf_dir),
+        (pq_codes_trained_key(sf_dir),
          lambda: cached_pq_codes_trained(spark, sf_dir).count()),
-        (("train_centroids_steps", sf_dir, IVF_CELLS, ANN_STEPS),
+        (train_centroids_key(sf_dir, steps=ANN_STEPS),
          lambda: train_centroids(spark, sf_dir, steps=ANN_STEPS)),
-        (("train_pq_cb_steps", sf_dir, ANN_STEPS),
+        (train_pq_codebook_key(sf_dir, steps=ANN_STEPS),
          lambda: train_pq_codebook(spark, sf_dir, steps=ANN_STEPS)),
-        (("ivfpq_rcb", sf_dir),
+        (ivfpq_rcb_key(sf_dir),
          lambda: ivfpq_residual_codebook(spark, sf_dir)),
-        (("ivfpq_codes", sf_dir),
+        (ivfpq_index_key(sf_dir),
          lambda: cached_ivfpq_index(
              spark, sf_dir, trained_centroids(spark, sf_dir),
              ivfpq_residual_codebook(spark, sf_dir)).count()),
@@ -1772,33 +1820,44 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         with ThreadPoolExecutor(max_workers=4) as pool:
             list(pool.map(lambda b: b(), pending))
 
-    exact = q_embedding_cosine_topk(spark, sf_dir).select("vec_id")
-    methods = [
-        ("ann_lsh", q_embedding_ann_lsh),
-        ("ivf", q_embedding_ivf_topk),
-        ("ivf_trained", q_embedding_ivf_trained_topk),
-        ("ivf_trained2", q_embedding_ivf_steps_topk),
-        ("pq", q_embedding_pq_topk),
-        ("pq_trained", q_embedding_pq_trained_topk),
-        ("pq_trained2", q_embedding_pq_steps_topk),
-        ("ivfpq", q_embedding_ivfpq_topk),
-    ]
-    out = None
-    for name, fn in methods:
-        got = (fn(spark, sf_dir).select("vec_id")
-               .withColumn("method", F.lit(name)))
-        out = got if out is None else out.unionByName(got)
-    hits = (out.join(exact, "vec_id", "left_semi")
-            .groupBy("method").agg(F.count(F.lit(1)).alias("hits")))
-    # a method whose candidate set missed EVERY exact neighbor (or
-    # returned no rows) must still report, at recall 0
-    names = spark.createDataFrame([(n,) for n, _ in methods],
-                                  "method string")
-    return (names.join(hits, "method", "left")
-            .select("method",
-                    F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
-                    (F.coalesce("hits", F.lit(0)).cast("double")
-                     / F.lit(TOPK)).alias("recall")))
+    def assemble() -> DataFrame:
+        exact = q_embedding_cosine_topk(spark, sf_dir).select("vec_id")
+        methods = [
+            ("ann_lsh", q_embedding_ann_lsh),
+            ("ivf", q_embedding_ivf_topk),
+            ("ivf_trained", q_embedding_ivf_trained_topk),
+            ("ivf_trained2", q_embedding_ivf_steps_topk),
+            ("pq", q_embedding_pq_topk),
+            ("pq_trained", q_embedding_pq_trained_topk),
+            ("pq_trained2", q_embedding_pq_steps_topk),
+            ("ivfpq", q_embedding_ivfpq_topk),
+        ]
+        out = None
+        for name, fn in methods:
+            got = (fn(spark, sf_dir).select("vec_id")
+                   .withColumn("method", F.lit(name)))
+            out = got if out is None else out.unionByName(got)
+        hits = (out.join(exact, "vec_id", "left_semi")
+                .groupBy("method").agg(F.count(F.lit(1)).alias("hits")))
+        # a method whose candidate set missed EVERY exact neighbor (or
+        # returned no rows) must still report, at recall 0
+        names = spark.createDataFrame([(n,) for n, _ in methods],
+                                      "method string")
+        return (names.join(hits, "method", "left")
+                .select("method",
+                        F.coalesce("hits", F.lit(0)).cast("long")
+                        .alias("hits"),
+                        (F.coalesce("hits", F.lit(0)).cast("double")
+                         / F.lit(TOPK)).alias("recall")))
+
+    # The report PLAN is session-memoized (round-16, VERDICT item 4):
+    # assembling + analyzing the 9 probe legs cost ~4 s of driver-side
+    # py4j/analysis per call — over half the warm floor — while the
+    # legs' data dependencies are the session-shared indexes above.
+    # shared_plan memoizes the unexecuted DataFrame only; every
+    # collect still executes from the inputs, and release() drops the
+    # memo with the rest of the session caches.
+    return shared_plan(spark, ("ann_recall_report", sf_dir), assemble)
 
 
 ORACLE_ANN_RECALL = f"""

@@ -119,6 +119,18 @@ def _ckpt_n(df: DataFrame) -> tuple[DataFrame, int]:
     return out, out.count()
 
 
+def _ckpt_sum(df: DataFrame, col: str) -> tuple[DataFrame, int]:
+    """:func:`_ckpt_n`'s aggregate twin: materialize one superstep
+    output and return ``sum(col)`` in the SAME job. Lets a kernel fold
+    its convergence test into the state materialization itself (SCC's
+    color loop: the improved-flag sum over the new color table answers
+    "did any label improve?" without a second per-superstep job for
+    the improved subset — round-16 optimization)."""
+    out = _ckpt_lazy(df)
+    row = out.agg(F.sum(F.col(col)).alias("s")).collect()[0]
+    return out, int(row["s"] or 0)
+
+
 def _prepare_edges(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Hash-partition edges by src once so every superstep's join
     reuses the same partitioning (one-time shuffle, then stable)."""
@@ -273,22 +285,31 @@ def sssp_weighted(edges: DataFrame, start_vids: list[int],
             .select(F.col("dst").alias("vid"), (F.col("dist") + F.col("weight")).alias("d"))
             .groupBy("vid").agg(F.min("d").alias("d"))
         )
-        # improvements: candidate strictly better than current (or new)
-        improved = (
-            cand.join(dist.withColumnRenamed("dist", "cur"), "vid", "left")
-            .filter(F.col("cur").isNull() | (F.col("d") < F.col("cur")))
-            .select("vid", F.col("d").alias("dist"))
+        # one job per superstep (round-16, the SCC color-loop fusion
+        # applied here): the relaxed distance table, the improved
+        # flags, and the convergence sum come out of a single
+        # _ckpt_sum materialization — previously the improved-set
+        # count and the eager dist checkpoint were two jobs. The full
+        # outer join IS the old two-legged update (matched keys take
+        # the better distance, cand-only keys insert, dist-only keys
+        # carry through).
+        step = (
+            dist.withColumnRenamed("dist", "cur").join(cand, "vid", "full")
+            .select("vid",
+                    F.when(F.col("cur").isNull()
+                           | (F.col("d") < F.col("cur")),
+                           F.col("d")).otherwise(F.col("cur"))
+                    .alias("dist"),
+                    F.when(F.col("cur").isNull()
+                           | (F.col("d") < F.col("cur")),
+                           F.lit(1)).otherwise(F.lit(0)).alias("imp"))
         )
-        improved, n_improved = _ckpt_n(improved)
+        step, n_improved = _ckpt_sum(step, "imp")
         if n_improved == 0:
+            dist = step.select("vid", "dist")
             break
-        dist = (
-            dist.join(improved.withColumnRenamed("dist", "nd"), "vid", "left")
-            .select("vid", F.coalesce("nd", "dist").alias("dist"))
-            .unionByName(improved.join(dist, "vid", "left_anti"))
-        )
-        dist = dist.transform(_ckpt)
-        active = improved
+        dist = step.select("vid", "dist")
+        active = step.filter(F.col("imp") == 1).select("vid", "dist")
     if not prepared:
         e.unpersist()
     return dist
@@ -774,9 +795,15 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
 
 def _restrict_edges(e: DataFrame, keep: DataFrame) -> DataFrame:
     """Edges with BOTH endpoints in ``keep`` (a (vid) set) — two
-    semi-joins, checkpointed by the caller."""
-    return (e.join(keep.select(F.col("vid").alias("src")), "src", "left_semi")
-            .join(keep.select(F.col("vid").alias("dst")), "dst", "left_semi")
+    semi-joins, checkpointed by the caller. The ``src`` semi-join goes
+    LAST deliberately: the result (and the checkpoint that preserves
+    its physical partitioning) comes out hash-partitioned by ``src``,
+    so the color loop's per-superstep frontier⋈edges join reuses the
+    edge partitioning instead of re-exchanging the whole remaining
+    edge set every superstep (guide §2.4 — same total exchanges here,
+    one fewer per superstep downstream)."""
+    return (e.join(keep.select(F.col("vid").alias("dst")), "dst", "left_semi")
+            .join(keep.select(F.col("vid").alias("src")), "src", "left_semi")
             .select("src", "dst"))
 
 
@@ -820,8 +847,15 @@ def strongly_connected_components(edges: DataFrame, vertices: DataFrame,
     (DAG-heavy) graphs cheap. ``stats`` receives ``{"rounds": k,
     "color_supersteps": m}``.
     """
+    # src-partitioned ONCE, preserved by every checkpoint (LogicalRDD
+    # carries the physical partitioning) and by the broadcast-side
+    # restrict semi-joins: the color loop's frontier⋈edges join then
+    # never re-exchanges the edge set — labels shuffle, edges stay put
+    # (the kernel contract this module's header declares, now actually
+    # delivered for SCC; guide §2.4).
     e = (edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
          .filter(F.col("src") != F.col("dst")).distinct()
+         .repartition("src")
          .transform(_ckpt))
     remaining, n_rem = _ckpt_n(
         vertices.select(F.col("vid").cast("long")).distinct())
@@ -855,27 +889,36 @@ def strongly_connected_components(edges: DataFrame, vertices: DataFrame,
         # silently WRONG results, unlike BFS where a depth cap merely
         # truncates. Fail loudly instead (BFS-style bounded semantics
         # are not offered here for that reason).
-        colors = remaining.select("vid", F.col("vid").alias("color")) \
-            .transform(_ckpt)
+        # one job per superstep (round-16): the new color table, the
+        # improved flags, and the convergence sum all come out of a
+        # single _ckpt_sum materialization — the previous shape paid
+        # two jobs (improved-set count, then an eager colors
+        # checkpoint). ``colors`` starts as a plain projection of the
+        # checkpointed ``remaining`` (no extra materialization) and is
+        # re-derived from each superstep's checkpoint, so lineage
+        # depth stays 1.
+        colors = remaining.select("vid", F.col("vid").alias("color"))
         active = colors
         converged = False
         for _ in range(max_iterations):
             msgs = (active.join(e, active.vid == e.src)
                     .select(F.col("dst").alias("vid"), "color")
                     .groupBy("vid").agg(F.min("color").alias("mc")))
-            improved, n_improved = _ckpt_n(
-                msgs.join(colors, "vid")
-                .filter(F.col("mc") < F.col("color"))
-                .select("vid", F.col("mc").alias("color")))
+            step = (colors.join(msgs, "vid", "left")
+                    .select("vid",
+                            F.when(F.col("mc") < F.col("color"),
+                                   F.col("mc"))
+                            .otherwise(F.col("color")).alias("color"),
+                            F.when(F.col("mc") < F.col("color"),
+                                   F.lit(1)).otherwise(F.lit(0))
+                            .alias("imp")))
+            step, n_improved = _ckpt_sum(step, "imp")
             color_steps += 1
             if n_improved == 0:
                 converged = True
                 break
-            colors = (colors.join(improved.withColumnRenamed("color", "nc"),
-                                  "vid", "left")
-                      .select("vid", F.coalesce("nc", "color").alias("color"))
-                      .transform(_ckpt))
-            active = improved
+            colors = step.select("vid", "color")
+            active = step.filter(F.col("imp") == 1).select("vid", "color")
         if not converged:
             raise RuntimeError(
                 f"SCC coloring did not reach its fixpoint within "
@@ -889,7 +932,9 @@ def strongly_connected_components(edges: DataFrame, vertices: DataFrame,
         # materialized, lineage depth stays 1 — the _bfs_loop pattern).
         frontier = (colors.filter(F.col("vid") == F.col("color"))
                     .select("vid", F.col("vid").alias("scc"))
-                    .transform(_ckpt))
+                    .transform(_ckpt_lazy))   # materializes inside the
+        # first backward job (colors is itself a projection of a
+        # checkpoint, so lineage depth stays 1 either way)
         extracted = frontier
         while True:
             preds, n_preds = _ckpt_n(

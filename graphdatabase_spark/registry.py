@@ -39,116 +39,118 @@ _MODULES = [relational, graph_queries, text, dedup, similarity, streamops, multi
 # i.e. ids whose first driver row is still pending — are fronted in
 # ``_CHECK_FIRST``.  When rotating for round N+1: copy ``_CHECK_FIRST``
 # into ``_PREV_WINDOW`` first.
-# Round-15 window: the round-14 deferral (the 47 ids below, fronted
-# FIRST — their r12 rows hit the three-window horizon, the one
-# mechanical MUST of the round-14 verdict), then the ids NEW or
-# MODIFIED this round.  With >100 registered ids and a fixed 50-row
+# Round-16 window: the round-15 deferral (the 47 ids below, fronted
+# FIRST — their r13 rows hit the three-window horizon, the one
+# mechanical MUST of the round-15 verdict), then the ids whose
+# implementation this optimization round touches most (semantics
+# unchanged; fronting them puts the driver's oracle on exactly the
+# rewritten paths).  With >100 registered ids and a fixed 50-row
 # driver window a two-window cover stays arithmetically impossible
-# (2 × 50 < N): the ids squeezed out (``_DEFERRED_R15`` below — r13
-# greens) keep their r13 row until round 16, where they MUST be
+# (2 × 50 < N): the ids squeezed out (``_DEFERRED_R16`` below — r14
+# greens) keep their r14 row until round 17, where they MUST be
 # fronted.
 # tests/test_registry.py enforces the three-window cover and that
 # deferral beyond two rounds happens only because the registry
 # outgrew two windows — never silently.  Local full-registry parity
 # evidence stays per-round in PARITY_LOCAL.json
 # (tools/harness_replica.py).
-_DEFERRED_R15 = [
-    # r13-window ids squeezed out of the round-15 window (the 50-slot
-    # driver window must front the 47 _DEFERRED_R14 ids whose r12 rows
-    # hit the three-window horizon, plus this round's new/modified
-    # ids; 146 ids > 2 x 50 slots). Their latest driver row is r13,
-    # inside the three-window horizon, and tests/test_registry.py
-    # keeps this list explicit. Round 16 MUST front these.
-    "bfs_expr", "contamination_check", "corpus_histogram", "corpus_prep",
-    "customer_distribution", "customers_without_orders",
-    "embedding_ivf_topk", "embedding_pq_trained_topk", "events_anomaly",
-    "events_enriched", "events_funnel", "events_retention",
-    "events_rollup_daily", "events_sessionization", "events_sliding_avg",
-    "events_trending", "events_tumbling_counts", "excess_stock_suppliers",
-    "graph_stats", "important_parts", "market_share", "min_cost_supplier",
-    "motif_weighted", "order_priority_rollup", "parts_supplier_counts",
-    "pivot_returns", "product_profit", "quality_repetition",
-    "range_join_events", "returned_item_revenue", "returns_cube",
-    "salted_join_orders", "sample_split",
-    "segment_distinct_customers_approx", "sequence_pack",
-    "shipmode_priority", "shipping_priority", "sql_forecast_revenue",
-    "sql_grouping_sets", "store_merge_edges_mor", "store_sql_dml",
-    "tfidf_top_terms", "top_ngrams", "top_orders_per_customer",
-    "vertex_jaccard", "volume_shipping", "waiting_suppliers",
+_DEFERRED_R16 = [
+    # r14-window ids squeezed out of the round-16 window (the 50-slot
+    # driver window must front the 47 _DEFERRED_R15 ids whose r13 rows
+    # hit the three-window horizon, plus this round's touched ids;
+    # 146 ids > 2 x 50 slots). Their latest driver row is r14, inside
+    # the three-window horizon, and tests/test_registry.py keeps this
+    # list explicit. Round 17 MUST front these.
+    "chunk_dedup", "clustering_coefficient", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_near_guarded", "dedup_simhash",
+    "dfs_leaves", "dfs_leaves_tree", "disjunctive_revenue",
+    "doc_fingerprint", "domain_mix", "embedding_cosine_topk",
+    "embedding_ivf_stored_topk", "embedding_pq_stored_topk",
+    "embedding_pq_topk", "events_quantiles_approx", "file_search",
+    "graph_degree", "label_propagation", "lang_id",
+    "large_volume_customers", "local_supplier_volume",
+    "multimodal_features", "multimodal_frames", "multimodal_resize",
+    "personalized_pagerank", "pii_scrub", "pregel_max_prop",
+    "promo_revenue", "quality_score", "reachability", "running_revenue",
+    "running_user_stats", "sales_opportunity", "scalar_functions",
+    "segment_distinct_customers", "set_ops", "shortest_path_hops",
+    "small_qty_revenue", "store_table_changes", "store_triangle_all",
+    "summary_stats", "text_stats", "token_count",
+    "top_expensive_orders", "top_supplier", "wordcount_docs",
 ]
 
 _PREV_WINDOW2 = [
-    # round-13 window (CORRECTNESS_r13.json's 50 rows, in order)
-    "contamination_check", "corpus_histogram", "corpus_prep", "bfs_expr",
-    "customer_distribution", "embedding_ann_lsh", "embedding_ivf_topk",
-    "events_anomaly", "events_enriched", "events_funnel", "events_retention",
-    "events_rollup_daily", "events_sessionization", "events_sliding_avg",
-    "events_trending", "events_tumbling_counts", "excess_stock_suppliers",
-    "graph_stats", "important_parts", "market_share", "min_cost_supplier",
-    "motif_weighted", "parts_supplier_counts", "pivot_returns",
-    "product_profit", "quality_repetition", "range_join_events",
-    "returned_item_revenue", "salted_join_orders", "sample_split",
-    "segment_distinct_customers_approx", "sequence_pack",
-    "shipmode_priority", "sql_forecast_revenue", "sql_grouping_sets",
-    "tfidf_top_terms", "top_ngrams", "vertex_jaccard", "volume_shipping",
-    "waiting_suppliers", "store_merge_edges_mor",
-    "embedding_pq_trained_topk", "store_sql_maintenance", "ann_recall",
-    "store_sql_dml", "shipping_priority", "customers_without_orders",
-    "order_priority_rollup", "returns_cube", "top_orders_per_customer",
-]
-
-_PREV_WINDOW = [
     # round-14 window (CORRECTNESS_r14.json's 50 rows, in order)
     "chunk_dedup", "clustering_coefficient", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_near_guarded", "dedup_simhash", "dfs_leaves",
-    "dfs_leaves_tree", "disjunctive_revenue", "doc_fingerprint",
-    "domain_mix", "embedding_cosine_topk", "embedding_pq_topk",
-    "events_quantiles_approx", "file_search", "graph_degree",
-    "label_propagation", "lang_id", "large_volume_customers",
-    "local_supplier_volume", "multimodal_features", "multimodal_frames",
-    "multimodal_resize", "personalized_pagerank", "pii_scrub",
-    "pregel_max_prop", "promo_revenue", "quality_score", "reachability",
-    "running_revenue", "sales_opportunity", "scalar_functions",
+    "dedup_minhash_lsh", "dedup_near_guarded", "dedup_simhash",
+    "dfs_leaves", "dfs_leaves_tree", "disjunctive_revenue",
+    "doc_fingerprint", "domain_mix", "embedding_cosine_topk",
+    "embedding_pq_topk", "events_quantiles_approx", "file_search",
+    "graph_degree", "label_propagation", "lang_id",
+    "large_volume_customers", "local_supplier_volume",
+    "multimodal_features", "multimodal_frames", "multimodal_resize",
+    "personalized_pagerank", "pii_scrub", "pregel_max_prop",
+    "promo_revenue", "quality_score", "reachability", "running_revenue",
+    "sales_opportunity", "scalar_functions",
     "segment_distinct_customers", "set_ops", "shortest_path_hops",
-    "small_qty_revenue", "store_triangle_all", "summary_stats", "text_stats",
-    "token_count", "top_expensive_orders", "top_supplier", "wordcount_docs",
-    "ann_recall", "store_sql_maintenance", "embedding_ivf_stored_topk",
-    "store_table_changes", "store_stream_source", "embedding_pq_stored_topk",
+    "small_qty_revenue", "store_triangle_all", "summary_stats",
+    "text_stats", "token_count", "top_expensive_orders", "top_supplier",
+    "wordcount_docs", "ann_recall", "store_sql_maintenance",
+    "embedding_ivf_stored_topk", "store_table_changes",
+    "store_stream_source", "embedding_pq_stored_topk",
     "running_user_stats",
 ]
 
-_CHECK_FIRST = [
-    # -- the round-14 deferral (47 ids, r12 rows at the three-round
-    # horizon): MUST front per the rotation invariant --
+_PREV_WINDOW = [
+    # round-15 window (CORRECTNESS_r15.json's 50 rows, in order)
     "asof_join_events", "asof_join_events_salted", "bfs_levels",
     "connected_components", "corpus_funnel", "dedup_clusters",
-    "dedup_embedding", "dedup_near",
-    "embedding_ivf_trained_topk", "events_gap_fill", "events_quantiles",
-    "events_stream_dedup", "events_stream_join", "graph_ingest_matrix",
-    "hybrid_search_rrf", "ivf_recenter", "kcore", "knn_join", "motif_find",
+    "dedup_embedding", "dedup_near", "embedding_ivf_trained_topk",
+    "events_gap_fill", "events_quantiles", "events_stream_dedup",
+    "events_stream_join", "graph_ingest_matrix", "hybrid_search_rrf",
+    "ivf_recenter", "kcore", "knn_join", "motif_find",
     "multimodal_meta", "pagerank", "pq_recenter", "pricing_summary",
     "revenue_by_nation", "scc", "search_bm25", "semdedup_ivf",
-    "shortest_paths_landmarks",
-    "similarity_topk", "sql_recursive_reachability", "sssp_weighted",
-    "store_bfs_all", "store_cc_all", "store_clustering_all",
-    "store_kcore_all", "store_label_propagation_all", "store_merge_edges",
+    "shortest_paths_landmarks", "similarity_topk",
+    "sql_recursive_reachability", "sssp_weighted", "store_bfs_all",
+    "store_cc_all", "store_clustering_all", "store_kcore_all",
+    "store_label_propagation_all", "store_merge_edges",
     "store_pagerank_all", "store_props_mor", "store_scc_all",
     "store_snapshot_diff", "store_sql_degree", "store_sssp_all",
     "store_stats", "store_stream_ingest", "triangle_count",
-    "window_showcase",
-    # -- MODIFIED this round: ann_recall gains the 8th (IVFADC)
-    # method; embedding_ann_lsh gains Hamming-radius multi-probe
-    # (closing the measured recall-0.0 defect, round-14 verdict
-    # item 4) --
-    "ann_recall", "embedding_ann_lsh",
-    # -- NEW this round: the composed IVF + PQ-on-residuals index
-    # (the FAISS IVFADC shape, round-14 verdict item 3), served from
-    # COMMITTED store codebooks with the corpus-size-derived rerank
-    # cut (verdict item 5) --
+    "window_showcase", "ann_recall", "embedding_ann_lsh",
     "embedding_ivfpq_topk",
 ]
-# (the remaining r13-window ids are _DEFERRED_R15 above — their r13
-# rows stay within the three-window horizon; round 16 fronts them.)
+
+_CHECK_FIRST = [
+    # -- the round-15 deferral (47 ids, r13 rows at the three-round
+    # horizon): MUST front per the rotation invariant --
+    "bfs_expr", "contamination_check", "corpus_histogram",
+    "corpus_prep", "customer_distribution", "customers_without_orders",
+    "embedding_ivf_topk", "embedding_pq_trained_topk", "events_anomaly",
+    "events_enriched", "events_funnel", "events_retention",
+    "events_rollup_daily", "events_sessionization",
+    "events_sliding_avg", "events_trending", "events_tumbling_counts",
+    "excess_stock_suppliers", "graph_stats", "important_parts",
+    "market_share", "min_cost_supplier", "motif_weighted",
+    "order_priority_rollup", "parts_supplier_counts", "pivot_returns",
+    "product_profit", "quality_repetition", "range_join_events",
+    "returned_item_revenue", "returns_cube", "salted_join_orders",
+    "sample_split", "segment_distinct_customers_approx",
+    "sequence_pack", "shipmode_priority", "shipping_priority",
+    "sql_forecast_revenue", "sql_grouping_sets",
+    "store_merge_edges_mor", "store_sql_dml", "tfidf_top_terms",
+    "top_ngrams", "top_orders_per_customer", "vertex_jaccard",
+    "volume_shipping", "waiting_suppliers",
+    # -- TOUCHED this optimization round (implementation only, same
+    # results — the DuckDB oracles pin equivalence): ann_recall's
+    # warm-path plan build, the DML/maintenance commit write path,
+    # and the gdb_commits stream reader --
+    "ann_recall",
+    "store_sql_maintenance", "store_stream_source",
+]
+# (the remaining r14-window ids are _DEFERRED_R16 above — their r14
+# rows stay within the three-window horizon; round 17 fronts them.)
 
 # Query ids registered WITHOUT a DuckDB oracle (the driver records a
 # weaker rows-only check): approximate/sketch outputs whose exact values

@@ -270,8 +270,14 @@ class GraphStoreStreamReader(DataSourceStreamReader):
                      else doc.get("props", {}).get(self._table, {}))
         self._pcols = pcols
         # the props' declared DDL types, same order as _pcols — ride
-        # into every partition for the executor-side Arrow batches
-        self._ptypes = [props.get(n, "string") for n, _ in pcols]
+        # into every partition for the executor-side Arrow batches.
+        # A prop missing from the declared-type map (stale pinned
+        # pcols vs a reloaded manifest) is UNKNOWN, not "string":
+        # the empty sentinel makes _arrow_feed_schema return None so
+        # that partition takes the always-correct tuple fallback
+        # instead of mis-casting to string and breaking the declared
+        # feed schema at runtime.
+        self._ptypes = [props.get(n, "") for n, _ in pcols]
 
     # -- offsets ------------------------------------------------------
 

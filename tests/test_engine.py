@@ -12,6 +12,8 @@ from graphdatabase_spark.engine import GraphEngine
 from graphdatabase_spark.operators.dfs import canonical_dfs_leaves
 from graphdatabase_spark.sources.tables import load_table
 
+pytestmark = pytest.mark.slow  # heavyweight integration module: full-suite tier (pyproject.toml)
+
 REF_FIXTURES = "/root/reference/Assignment2"
 
 # Golden BFS level-sets for G6 from vertex 18 — the output of the

@@ -15,6 +15,8 @@ from graphdatabase_spark.sources import matrix as matrix_mod
 
 from tests.parity import assert_parity
 
+pytestmark = pytest.mark.slow  # heavyweight integration module: full-suite tier (pyproject.toml)
+
 FIXTURE_DIR = "/root/reference/Assignment2"
 HAVE_FIXTURES = os.path.isdir(FIXTURE_DIR)
 

@@ -19,6 +19,8 @@ from graphdatabase_spark.metastore import (InMemoryManifestStore, ManifestLog,
                                            PosixManifestStore, manifest_name,
                                            parse_seq)
 
+pytestmark = pytest.mark.slow  # heavyweight integration module: full-suite tier (pyproject.toml)
+
 
 # -- blob-store contract ---------------------------------------------------
 

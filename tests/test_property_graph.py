@@ -11,6 +11,9 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from graphdatabase_spark.operators import pregel
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight integration module: full-suite tier (pyproject.toml)
 
 MAX_N = 10
 

@@ -59,7 +59,7 @@ def test_rotation_covers_every_id_within_coverage_period():
             f"two-window cover was possible but these were deferred: {deferred}"
         assert set(deferred) <= set(registry._PREV_WINDOW2), \
             f"deferred ids not from the oldest window: {deferred}"
-        assert deferred == sorted(registry._DEFERRED_R15), \
+        assert deferred == sorted(registry._DEFERRED_R16), \
             "deferral must be the documented explicit list"
 
 

@@ -6,6 +6,9 @@ availableNow runs over a shared checkpoint."""
 import uuid
 
 from graphdatabase_spark.streaming import stateful, streamops
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight integration module: full-suite tier (pyproject.toml)
 
 
 def test_stateful_running_stats_converges_to_batch(spark, sf_dir):

@@ -11,6 +11,9 @@ from pyspark.sql import functions as F
 
 from graphdatabase_spark.functions import similarity as sim
 from graphdatabase_spark.operators import store_queries as sq
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight integration module: full-suite tier (pyproject.toml)
 
 
 def _rows(df):

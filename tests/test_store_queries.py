@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from graphdatabase_spark.operators import store_queries as sq
 
+pytestmark = pytest.mark.slow  # heavyweight integration module: full-suite tier (pyproject.toml)
+
 REF_FIXTURES = "/root/reference/Assignment2"
 
 

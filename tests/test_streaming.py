@@ -12,6 +12,8 @@ from graphdatabase_spark.streaming import streamops
 
 from tests.parity import assert_parity
 
+pytestmark = pytest.mark.slow  # heavyweight integration module: full-suite tier (pyproject.toml)
+
 
 @pytest.mark.parametrize("name", sorted(streamops.QUERIES))
 def test_streaming_batch_parity(spark, sf_dir, name):

@@ -25,7 +25,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def main(ids: list[str], sweeps: int) -> None:
+def main(ids: list[str], sweeps: int, raw: bool = False) -> None:
     import bench
     from graphdatabase_spark import get_spark, registry
 
@@ -59,17 +59,25 @@ def main(ids: list[str], sweeps: int) -> None:
         registry.release()
         runs.append(timings)
     med = {q: round(statistics.median(r[q] for r in runs), 4) for q in ids}
-    print(json.dumps({"queries": med, "total": round(sum(med.values()), 4),
-                      "sweeps": sweeps,
-                      "conf": {k: v for k, v in conf.items()
-                               if k != "spark.ui.showConsoleProgress"}}))
+    out = {"queries": med, "total": round(sum(med.values()), 4),
+           "sweeps": sweeps,
+           "conf": {k: v for k, v in conf.items()
+                    if k != "spark.ui.showConsoleProgress"}}
+    if raw:
+        # every sweep's raw value per query — for interleaved A/B
+        # (tools/ab_interleaved.py) which medians ACROSS invocations
+        out["raw"] = {q: [r[q] for r in runs] for q in ids}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:]]
     sweeps = 2
+    raw = "--raw" in args
+    if raw:
+        args.remove("--raw")
     if "--sweeps" in args:
         i = args.index("--sweeps")
         sweeps = int(args[i + 1])
         del args[i:i + 2]
-    main([q for a in args for q in a.split(",") if q], sweeps)
+    main([q for a in args for q in a.split(",") if q], sweeps, raw)
